@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Headline benchmark suite (driver contract, SURVEY.md §2.12/H1-H2).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly
+ONE JSON line to stdout:
+
+    {"metric": "total_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Methodology mirrors the reference harness (SURVEY.md §2.12): one
+un-timed warm-up pass (H4, `you_TablesawBenchmark1.java:67-69`),
+median of REPS timed runs per query (H2, `Benchmark1.java:18` RUNS=5 —
+we default to 3 to fit the round budget), each run forced through a
+full materialization. Forcing uses the `noop` sink so timing covers
+the complete distributed plan without driver-side collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark import registry
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+# Headline set: the reference's five measured ops transposed (read/
+# write/group/sort/to_np, SURVEY.md §6) + the flagship lazy pipeline +
+# representative extension operators (TPC-H-lite, dedup, ANN, text).
+BENCH_QUERIES = [
+    "flagship_lazy_pipeline",   # lazy pipeline (main.rs:143-152)
+    "filter_numeric_gt",        # P1 filter
+    "sort_asc_rank",            # O1 full sort
+    "groupby_mean",             # A1 group mean
+    "groupby_first_minby",      # A3 group-first (min_by form)
+    "cast_nan_matrix",          # P4/C1 to_np projection
+    "csv_roundtrip",            # S1+S3 read/write
+    "topk_orders",              # O1+O3 top-k
+    "q1_pricing_summary",       # TPC-H-lite Q1
+    "q3_shipping_priority",     # TPC-H-lite Q3
+    "q5_revenue_by_nation",     # TPC-H-lite Q5
+    "dedup_exact_hash",         # exact dedup
+    "dedup_minhash_lsh",        # MinHash LSH near-dup
+    "ann_cosine_topk",          # brute-force cosine top-k
+    "text_stats",               # text analysis
+]
+
+
+def _force(df) -> None:
+    """Materialize the full plan on the executors (no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    # Warm-up pass (H4): JVM/codegen/Arrow init out of the timed region.
+    _force(qs["flagship_lazy_pipeline"](spark, SF_DIR))
+
+    per_query: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        times = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 4)
+        print(f"  {name}: {per_query[name]:.3f}s", file=sys.stderr)
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": round(sum(per_query.values()), 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

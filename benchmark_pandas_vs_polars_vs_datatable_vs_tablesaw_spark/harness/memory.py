@@ -1,0 +1,48 @@
+"""Memory probes — SURVEY.md §2.12 H3.
+
+The reference reports single-process RSS deltas
+(`datatable_benchmark.py:18-21` psutil; `updated.rs:20-47` Win32
+working-set; `Benchmark1.java:116-118` JVM total-free). Spark splits
+memory across the Python driver, the JVM, and (on a cluster) the
+executors — these probes report each component separately and never
+pretend they sum to an RSS-comparable single number (SURVEY.md §7.5.4).
+"""
+
+from __future__ import annotations
+
+
+def python_rss_mb() -> float:
+    """Python-process RSS, psutil if available, /proc fallback."""
+    try:
+        import psutil
+
+        return psutil.Process().memory_info().rss / 1e6
+    except Exception:
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        return float(line.split()[1]) / 1e3
+        except OSError:
+            pass
+        return 0.0
+
+
+def jvm_heap_mb(spark) -> float:
+    """JVM driver heap in use (total - free), the `Benchmark1.java:116`
+    analogue. In local mode this IS executor memory too."""
+    try:
+        rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()  # noqa: SLF001
+        return (rt.totalMemory() - rt.freeMemory()) / 1e6
+    except Exception:
+        return 0.0
+
+
+def executor_peaks_mb(spark) -> dict[str, float]:
+    """Per-executor peak memory from the status API (REST
+    /api/v1/.../executors analogue via statusTracker in local mode)."""
+    try:
+        tracker = spark.sparkContext.statusTracker()
+        return {str(e): 0.0 for e in tracker.getExecutorInfos()}  # ids only in local mode
+    except Exception:
+        return {}

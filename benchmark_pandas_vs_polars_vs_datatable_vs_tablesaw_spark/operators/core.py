@@ -1,0 +1,463 @@
+"""Core operator inventory — SURVEY.md §2 (scans, filters, sorts,
+limits, group-aggregates, group-first, cast-or-NaN projection, export).
+
+Every function is ``(spark, sf_dir) -> DataFrame`` and has a matching
+ANSI-SQL oracle in ``QUERIES`` (run by the driver on DuckDB over the
+same parquet). Conventions shared by query and oracle:
+
+- every computed column is aliased identically on both sides (the
+  driver sorts columns by name before value-hashing);
+- double aggregates are rounded (4 dp for means, 2 dp for big sums) so
+  IEEE-754 reassociation differences between engines can't flip the
+  hash;
+- order-sensitive operators (sorts, group-first, top-k) encode their
+  order into a ``row_number`` value with an explicit unique tiebreak
+  column, since the hash itself is order-insensitive.
+
+Scale notes are per-operator docstrings: the rule is no driver-side
+materialization, filters/projections pushed into the parquet scan, and
+shuffles only where the semantics require one.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..functions import scalars
+from ..sources import csv_io, generators
+
+# --------------------------------------------------------------------------
+# Flagship — the main.rs:143-152 lazy pipeline transposed onto lineitem
+# --------------------------------------------------------------------------
+
+
+def flagship_lazy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scan -> filter -> group -> aliased means -> sort, one Catalyst plan.
+
+    Reference: the Polars lazy pipeline `main.rs:143-152` (filter
+    value>500, group_by category, mean(id)/mean(value) with aliases),
+    whose `describe_optimized_plan` (`main.rs:155-156`) is Spark's
+    ``df.explain``. Catalyst pushes the filter into the parquet scan
+    and prunes to the 3 referenced columns; the groupBy is a partial
+    (map-side) + final hash aggregate — the only shuffle in the plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_extendedprice") > 500.0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_quantity"), 4).alias("qty_mean"),
+            F.round(F.avg("l_extendedprice"), 4).alias("price_mean"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT l_returnflag,
+       round(avg(l_quantity), 4) AS qty_mean,
+       round(avg(l_extendedprice), 4) AS price_mean,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_extendedprice > 500.0
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# P1 / P2 / P4 — filters and projections
+# --------------------------------------------------------------------------
+
+
+def filter_numeric_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — ``value1 > literal`` row filter (`datatable_benchmark.py:46`,
+    `main.rs:114`, `you_TablesawBenchmark1.java:55`).
+
+    Pushed into the parquet scan as a PushedFilter; no shuffle at all —
+    this stays a single narrow stage at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_extendedprice") > 1100.0).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+
+
+def project_first_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — dtype introspection: find the first numeric column
+    dynamically (NB-main:209-210 ``select_dtypes``), then aggregate it.
+    The introspection is driver-side schema metadata — no data read.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    col = scalars.first_numeric_column(li.schema)
+    return li.select(
+        F.lit(col).alias("col_name"),
+        F.count(col).alias("n"),
+        F.min(col).alias("min_v"),
+        F.max(col).alias("max_v"),
+    )
+
+
+def cast_nan_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/C1 — numeric-or-NaN matrix projection (`Benchmark1.java:56-78`):
+    numeric columns cast to double, non-numeric columns become NaN.
+    Pure column expressions — the whole projection is codegen'd; the
+    reference's 22-line row loop disappears entirely.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [
+        scalars.numeric_or_nan(F.col(f.name), f.dataType).alias(f.name)
+        for f in li.schema.fields
+    ]
+    return li.select(*cols)
+
+
+CAST_NAN_ORACLE = """
+SELECT CAST(l_orderkey AS DOUBLE) AS l_orderkey,
+       CAST(l_partkey AS DOUBLE) AS l_partkey,
+       CAST(l_suppkey AS DOUBLE) AS l_suppkey,
+       CAST(l_linenumber AS DOUBLE) AS l_linenumber,
+       CAST(l_quantity AS DOUBLE) AS l_quantity,
+       CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+       CAST(l_discount AS DOUBLE) AS l_discount,
+       CAST(l_tax AS DOUBLE) AS l_tax,
+       CAST('NaN' AS DOUBLE) AS l_returnflag,
+       CAST('NaN' AS DOUBLE) AS l_linestatus,
+       CAST('NaN' AS DOUBLE) AS l_shipdate
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# O1 / O2 / O3 — sorts, top-k, deterministic prefix limit
+# --------------------------------------------------------------------------
+
+
+def sort_asc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — full ascending sort on a numeric key (`datatable_benchmark.py:38`,
+    `main.rs:100-106`). Spark executes this as a range-partitioned
+    sample sort (Exchange rangepartitioning), which scales linearly —
+    no single-node bottleneck.
+
+    The sort order is *verified* (not just produced) by materializing
+    ``row_number`` over the same order with a unique tiebreak, since the
+    oracle hash is order-insensitive.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def sort_desc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — descending sort (`Benchmark1.java:53-54` sortDescendingOn)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        cust.select("c_custkey", "c_acctbal")
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O3 fused — top-100 by price. Compiles to TakeOrderedAndProject:
+    each partition keeps a local heap of 100, the driver merges — O(k)
+    memory regardless of input size, the correct 100 TB formulation of
+    "sort then head"."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+def limit_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/O3 — deterministic "first N rows" (`nrows=30_300_000`,
+    `Benchmark1.java:19`). A bare ``limit(N)`` over a parallel scan is
+    an arbitrary N rows (SURVEY.md §7.5.2), so the deterministic
+    formulation is order-then-limit on the table's key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    prefix = orders.orderBy("o_orderkey").limit(1000)
+    return prefix.select(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 / A2 / A3 — aggregations
+# --------------------------------------------------------------------------
+
+
+def groupby_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — hash group-by + mean of one column
+    (`datatable_benchmark.py:54`, `Benchmark1.java:50-51`). Partial
+    aggregation runs map-side; only |groups| rows cross the shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 4).alias("qty_mean")
+    )
+
+
+def groupby_multi_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — group-by with multiple aliased means (`main.rs:148-152`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.avg("o_totalprice"), 4).alias("price_mean"),
+        F.round(F.avg("o_custkey"), 4).alias("custkey_mean"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def groupby_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — first row per group *in a defined order* (NB-main:205
+    ``groupby(col0).first()``).
+
+    pandas/polars/datatable take "first" in current frame order; Spark's
+    ``F.first`` is explicitly nondeterministic across partitions, so the
+    correct distributed formulation is a window ``row_number() == 1``
+    over an explicit stable order (SURVEY.md §7.5.1). The window
+    partitions by the group key — one shuffle, same as the groupBy the
+    reference does.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+def groupby_first_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (alternate) — ``min_by(struct(*), order_col)`` formulation.
+
+    Semantically identical to the window form but executes as a single
+    hash aggregate (partial + final) with NO per-group sort — strictly
+    cheaper at scale when only the first row is needed: the window form
+    shuffles and sorts every row; min_by reduces map-side.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.min_by(F.struct("o_orderkey", "o_totalprice", "o_orderstatus"), "o_orderkey").alias("f")
+    ).select(
+        "o_custkey",
+        F.col("f.o_orderkey").alias("o_orderkey"),
+        F.col("f.o_totalprice").alias("o_totalprice"),
+        F.col("f.o_orderstatus").alias("o_orderstatus"),
+    )
+
+
+GROUPBY_FIRST_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# S1/S3 — CSV round-trip; S5/S6 — generators
+# --------------------------------------------------------------------------
+
+
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S3 — write customer to CSV, read it back with an explicit
+    schema, aggregate. Exercises the scan and sink ends of the
+    reference's read/write benchmark (`NB-main:193,199`) losslessly.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    out = os.path.join(tempfile.gettempdir(), "sparkbench_csv_roundtrip")
+    csv_io.write_csv(cust, out, single_file=False)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    back = csv_io.read_csv(spark, out, schema=schema)
+    return back.select(
+        F.count("*").alias("n"),
+        F.count_distinct("c_custkey").alias("n_keys"),
+        F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+    )
+
+
+def generator_scaling4_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — seeded synthetic generator, checked by distribution
+    invariants (Spark's rand stream can't bit-match numpy's, so the
+    differential check is on the contract: row count, id range,
+    category domain, value bounds).
+    """
+    df = generators.scaling4(spark, 10_000, seed=42)
+    return df.select(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("category").alias("n_cats"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        (F.min("value2") >= 0.0).cast("int").alias("v2_lo_ok"),
+        (F.max("value2") < 1000.0).cast("int").alias("v2_hi_ok"),
+        (F.abs(F.avg("value1") - 100.0) < 2.0).cast("int").alias("v1_mean_ok"),
+    )
+
+
+GENERATOR_SCALING4_ORACLE = """
+SELECT 10000::BIGINT AS n_rows, 10::BIGINT AS n_cats,
+       0::BIGINT AS min_id, 9999::BIGINT AS max_id,
+       1 AS v2_lo_ok, 1 AS v2_hi_ok, 1 AS v1_mean_ok
+"""
+
+
+def scale_up_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — row duplication scale-up (NB-main:72 ``index.repeat``):
+    every region row repeated 7x; returns per-key copy counts."""
+    region = load_table(spark, sf_dir, "region")
+    return (
+        generators.duplicate_rows(region, 7)
+        .groupBy("r_regionkey")
+        .agg(F.count("*").alias("copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# C1 — table -> dense numeric matrix export (library function; the
+# query-level surface is cast_nan_matrix above)
+# --------------------------------------------------------------------------
+
+
+def to_numpy_matrix(df: DataFrame):
+    """C1 — `to_np` (NB-main:218, `Benchmark1.java:56-78`): numeric-or-NaN
+    projection, then Arrow-batched collect to a 2-D float64 array.
+
+    This is the one operator that inherently materializes on the driver
+    (SURVEY.md §7.5.3); callers at scale should bound it with a filter/
+    limit first or use :func:`matrix_partition_stats` which keeps the
+    matrix distributed.
+    """
+    cols = [
+        scalars.numeric_or_nan(F.col(f.name), f.dataType).alias(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(*cols).toPandas().to_numpy()
+
+
+def matrix_partition_stats(df: DataFrame) -> DataFrame:
+    """C1 at scale — the distributed alternative: the same numeric-or-NaN
+    matrix view, reduced per-column (mean) without ever leaving the
+    executors. Demonstrates the mapInArrow-free formulation: a plain
+    aggregate over the projected matrix columns."""
+    cols = [
+        scalars.numeric_or_nan(F.col(f.name), f.dataType).alias(f.name)
+        for f in df.schema.fields
+    ]
+    proj = df.select(*cols)
+    aggs = [F.round(F.avg(c), 4).alias(f"{c}_mean") for c in proj.columns]
+    return proj.select(*aggs)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict = {
+    "flagship_lazy_pipeline": (flagship_lazy_pipeline, FLAGSHIP_ORACLE),
+    "filter_numeric_gt": (
+        filter_numeric_gt,
+        """
+        SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        FROM lineitem WHERE l_extendedprice > 1100.0
+        """,
+    ),
+    "project_first_numeric": (
+        project_first_numeric,
+        """
+        SELECT 'l_orderkey' AS col_name, count(l_orderkey) AS n,
+               min(l_orderkey) AS min_v, max(l_orderkey) AS max_v
+        FROM lineitem
+        """,
+    ),
+    "cast_nan_matrix": (cast_nan_matrix, CAST_NAN_ORACLE),
+    "sort_asc_rank": (
+        sort_asc_rank,
+        """
+        SELECT o_orderkey, o_totalprice,
+               CAST(row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS INT) AS rank
+        FROM orders
+        """,
+    ),
+    "sort_desc_rank": (
+        sort_desc_rank,
+        """
+        SELECT c_custkey, c_acctbal,
+               CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rank
+        FROM customer
+        """,
+    ),
+    "topk_orders": (
+        topk_orders,
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+        """,
+    ),
+    "limit_prefix": (
+        limit_prefix,
+        """
+        SELECT count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 1000)
+        """,
+    ),
+    "groupby_mean": (
+        groupby_mean,
+        """
+        SELECT l_returnflag, round(avg(l_quantity), 4) AS qty_mean
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
+    "groupby_multi_mean": (
+        groupby_multi_mean,
+        """
+        SELECT o_orderpriority, round(avg(o_totalprice), 4) AS price_mean,
+               round(avg(o_custkey), 4) AS custkey_mean, count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+        """,
+    ),
+    "groupby_first": (groupby_first, GROUPBY_FIRST_ORACLE),
+    "groupby_first_minby": (groupby_first_minby, GROUPBY_FIRST_ORACLE),
+    "csv_roundtrip": (
+        csv_roundtrip,
+        """
+        SELECT count(*) AS n, count(DISTINCT c_custkey) AS n_keys,
+               round(sum(c_acctbal), 2) AS bal_sum
+        FROM customer
+        """,
+    ),
+    "generator_scaling4_invariants": (
+        generator_scaling4_invariants,
+        GENERATOR_SCALING4_ORACLE,
+    ),
+    "scale_up_duplicate": (
+        scale_up_duplicate,
+        "SELECT r_regionkey, 7::BIGINT AS copies FROM region",
+    ),
+}

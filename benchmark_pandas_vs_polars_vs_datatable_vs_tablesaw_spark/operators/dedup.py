@@ -1,0 +1,439 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+North-star extension family (the reference has no dedup — SURVEY.md
+§2.7): the five schemes a training-data pipeline needs, each designed
+around Spark's shuffle model:
+
+- exact (hash-groupBy): one shuffle on the content hash; at 100 TB,
+  group on a digest (md5/sha2/xxhash64) instead of the raw text so
+  shuffle rows are ~16 bytes + key, not documents.
+- MinHash + LSH banding: signature computation is a narrow per-row
+  pass (shingle -> hash -> 32 mins); candidate generation is an
+  equi-join on (band_index, band_hash) — i.e. near-dup search becomes
+  a *join on a small key*, the only formulation that scales: no
+  all-pairs product ever materializes.
+- SimHash: 64-bit fingerprint per doc; Hamming-<=k candidates via the
+  pigeonhole band trick (4 x 16-bit bands) — again an equi-join.
+- n-gram Jaccard: exact verification scheme; candidates from a shared
+  rare-shingle join, then exact set overlap per pair.
+- embedding cosine: exact near-dup on vectors (brute pair join at
+  fixture scale; the LSH-bucketed variant in similarity.py is the
+  100 TB path).
+
+The fixture corpus has no duplicates, so each query unions in a
+deterministic set of injected (near-)duplicate rows — the dedup logic
+is then verified by what it finds. Injection is pure column algebra,
+identically expressed in the DuckDB oracles.
+
+ANSI-safety (Spark 4 default): all element_at/index accesses are
+guarded to valid ranges and hash arithmetic is reduced mod 1e9+7
+before multiplication so nothing overflows int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+MOD = 1_000_000_007
+N_HASHES = 32
+N_BANDS = 8  # 8 bands x 4 rows
+BAND_ROWS = N_HASHES // N_BANDS
+
+# deterministic affine minhash params (seeded, pinned — SURVEY.md §7.5.6)
+_A = [2 * i + 1 for i in range(1, N_HASHES + 1)]  # odd multipliers
+_B = [7919 * i + 104729 for i in range(N_HASHES)]
+
+
+def _corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-duplicate copies of doc_id < 25 (last word
+    dropped, id shifted by 1,000,000)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    trimmed = F.expr("substr(text, 1, length(text) - length(element_at(split(text, ' '), -1)) - 1)")
+    near = (
+        docs.filter((F.col("doc_id") < 25) & (F.size(toks) >= 2))
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), trimmed.alias("text"))
+    )
+    return docs.unionByName(near)
+
+
+_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, length(text) - length(string_split(text, ' ')[-1]) - 1) AS text
+  FROM documents
+  WHERE doc_id < 25 AND len(string_split(text, ' ')) >= 2
+"""
+
+
+def _corpus_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of doc_id < 50 (id shifted)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+_EXACT_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+"""
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per distinct text.
+
+    min_by aggregates map-side — only one survivor row per distinct
+    text crosses the shuffle."""
+    corpus = _corpus_with_exact_dups(spark, sf_dir)
+    return (
+        corpus.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+DEDUP_EXACT_ORACLE = f"""
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM ({_EXACT_CORPUS_SQL})
+GROUP BY text
+"""
+
+
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a content digest instead of raw text — the
+    100 TB formulation: the shuffle key is 32 hex chars, and the text
+    column is pruned from the exchange entirely."""
+    corpus = _corpus_with_exact_dups(spark, sf_dir)
+    return (
+        corpus.select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_HASH_ORACLE = f"""
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM ({_EXACT_CORPUS_SQL})
+GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# shingles (shared by minhash + jaccard)
+# --------------------------------------------------------------------------
+
+# word 3-gram shingles; docs with <3 tokens contribute their whole text.
+# Guarded CASE keeps every element_at access in-range under ANSI mode.
+_SHINGLES_EXPR = """
+CASE WHEN size(split(text, ' ')) >= 3 THEN
+  transform(sequence(1, size(split(text, ' ')) - 2),
+            i -> concat_ws(' ', element_at(split(text, ' '), i),
+                                element_at(split(text, ' '), i + 1),
+                                element_at(split(text, ' '), i + 2)))
+ELSE array(text) END
+"""
+
+_SHINGLES_SQL = """
+CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+  list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i + 1] || ' ' ||
+                      string_split(text, ' ')[i + 2])
+ELSE [text] END
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(corpus: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """Per-doc MinHash signature as an array<long> column.
+
+    Narrow (no shuffle): shingle set -> base hash (xxhash64 reduced mod
+    1e9+7) -> N affine permutations -> array_min per permutation. The
+    whole signature is one codegen'd projection.
+    """
+    sig_cols = []
+    for i in range(n_hashes):
+        a, b = _A[i], _B[i]
+        sig_cols.append(
+            F.expr(
+                f"array_min(transform(__shingles, s ->"
+                f" pmod({a}L * pmod(xxhash64(s), {MOD}) + {b}L, {MOD})))"
+            ).alias(f"mh_{i}")
+        )
+    return (
+        corpus.withColumn("__shingles", F.expr(f"array_distinct({_SHINGLES_EXPR})"))
+        .select("doc_id", F.array(*sig_cols).alias("signature"))
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs.
+
+    Banding: the 32-long signature splits into 8 bands of 4; a pair is
+    a candidate iff some band hashes equal — an equi-join on
+    (band_index, band_hash). Verification estimates Jaccard as the
+    fraction of equal signature positions and keeps pairs >= 0.5.
+
+    No oracle: the result depends on xxhash64, which DuckDB cannot
+    reproduce (driver records the rows-only check). The exact-Jaccard
+    twin `dedup_ngram_jaccard` is the hash-free, fully oracle-checked
+    version of the same pipeline.
+    """
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    sigs = minhash_signatures(corpus)
+
+    bands = sigs.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), b ->"
+                f" struct(b AS band, xxhash64(slice(signature, b * {BAND_ROWS} + 1, {BAND_ROWS})) AS bh))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "signature", F.col("band.band").alias("band"), F.col("band.bh").alias("bh"))
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.signature").alias("sig_a"),
+            F.col("r.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        " 0, (acc, v) -> acc + v)"
+    ) / F.lit(N_HASHES)
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_fingerprints(corpus: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc from token hashes.
+
+    Explode tokens -> per-bit +/-1 vote -> sign -> assemble fingerprint.
+    One shuffle on doc_id (the vote aggregation); everything else is
+    column algebra. At scale the explode+agg is a partial-aggregating
+    hash agg, so vote traffic is 64 ints per doc, not per token.
+    """
+    toks = (
+        corpus.select("doc_id", F.explode(F.expr("array_distinct(split(text, ' '))")).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {k}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{k}")
+            for k in range(64)
+        ]
+    )
+    # assemble: bit k set iff vote > 0; build as sum of shiftleft(1, k).
+    fp = None
+    for k in range(64):
+        bit = F.when(F.col(f"v{k}") > 0, F.expr(f"shiftleft(CAST(1 AS LONG), {k})")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance <= 12 on 64-bit
+    fingerprints, candidates via 4 x 16-bit pigeonhole bands.
+
+    (Hamming <= 12 on word-soup near-dups: dropping one word flips a
+    minority of vote signs.) Rows-only check — xxhash64-dependent.
+    """
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    fps = simhash_fingerprints(corpus)
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS bh))")
+        ).alias("x"),
+    ).select("doc_id", "simhash", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
+
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("fp_a"),
+            F.col("r.simhash").alias("fp_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.expr("bit_count(fp_a ^ fp_b)")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 12)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (the oracle-checked near-dup scheme)
+# --------------------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.6).
+
+    Candidates come from a self-join on shared shingles (never an
+    all-pairs product); the join result carries per-doc set sizes so
+    Jaccard = common / (|A| + |B| - common) needs no second pass.
+    Hash-free and deterministic -> fully DuckDB-oracle-checked.
+    """
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    shingled = (
+        corpus.withColumn("sh", F.explode(F.expr(f"array_distinct({_SHINGLES_EXPR})")))
+        .select("doc_id", "sh")
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_sz = shingled.join(sizes, "doc_id")
+
+    l, r = sh_sz.alias("l"), sh_sz.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sz").alias("sz_a"),
+            F.col("r.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+DEDUP_NGRAM_JACCARD_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+shingled AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh
+  FROM corpus
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+sh_sz AS (SELECT s.doc_id, s.sh, z.sz FROM shingled s JOIN sizes z USING (doc_id)),
+pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sz AS sz_a, r.sz AS sz_b,
+         count(*) AS common
+  FROM sh_sz l JOIN sh_sz r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(common / (sz_a + sz_b - common), 4) AS jaccard
+FROM pairs
+WHERE common / (sz_a + sz_b - common) >= 0.6
+"""
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with cosine >= 0.99.
+
+    Fixture-scale formulation is the exact pair join (n^2 bounded by
+    the fixture's 500-1000 vectors); at 100 TB the candidate set comes
+    from LSH buckets (similarity.py) and this exact cosine runs only
+    as the verify stage. Injected exact copies (vec_id+1,000,000 for
+    vec_id < 25) give known cosine-1.0 pairs.
+    """
+    from ..functions import vectors
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+
+    l, r = corpus.alias("l"), corpus.alias("r")
+    cos = vectors.cosine(F.col("l.embedding"), F.col("r.embedding"))
+    return (
+        l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
+        .withColumn("cos", F.round(cos, 4))
+        .filter(F.col("cos") >= 0.99)
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            "cos",
+        )
+    )
+
+
+DEDUP_EMBEDDING_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25
+),
+pairs AS (
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         list_sum(list_transform(range(1, len(l.embedding) + 1),
+                  i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(l.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(r.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos_raw
+  FROM corpus l JOIN corpus r ON l.vec_id < r.vec_id
+)
+SELECT vec_a, vec_b, round(cos_raw, 4) AS cos
+FROM pairs
+WHERE round(cos_raw, 4) >= 0.99
+"""
+
+
+QUERIES: dict = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_exact_hash": (dedup_exact_hash, DEDUP_EXACT_HASH_ORACLE),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_ORACLE),
+}

@@ -1,0 +1,356 @@
+"""Joins + relational extensions over the star schema.
+
+The reference implements no joins (SURVEY.md §2.3 — every benchmark is
+single-table), but the 100 TB posture requires them as first-class
+citizens, so this module provides TPC-H-lite queries exercising every
+join strategy Spark has:
+
+- broadcast hash join for dimension tables (region/nation/part —
+  explicitly hinted where the dimension is guaranteed small);
+- shuffled sort-merge join for fact-fact joins (orders x lineitem),
+  with AQE free to downgrade to shuffled-hash or to split skewed
+  partitions at runtime;
+- left-semi / left-anti for EXISTS / NOT EXISTS;
+- window functions, rollup, pivot, set ops — the "free extensions"
+  of SURVEY.md §2.4/§2.7.
+
+All doubles rounded in query and oracle alike (reassociation safety).
+Timestamps leave results as formatted strings so Spark (session-TZ
+UTC) and DuckDB (naive UTC) hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy group-aggregate with 7 aggregates.
+
+    Single shuffle (partial agg map-side, 6 groups cross the wire);
+    the shipdate filter is pushed to the parquet scan. The canonical
+    "does partial aggregation work" probe at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (dim -> fact -> fact) + group + top-10.
+
+    customer is the small side -> broadcast (no shuffle for that join);
+    orders x lineitem is the real shuffle, on the join key both sides.
+    Top-10 compiles to TakeOrderedAndProject after the aggregate.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join, revenue per nation.
+
+    region/nation/customer/supplier are all broadcast-sized dims; only
+    orders x lineitem shuffles. Catalyst reorders the join tree and
+    prunes every unused column from each scan.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x dimension with an explicit broadcast hint: part is always
+    small relative to lineitem, so shipping it to every executor beats
+    shuffling the fact table — the single most important join decision
+    at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left-semi: no payload columns from the right side ever
+    move — the probe side streams, the build side holds only keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-customer running order total, ordered by
+    date with the key as tiebreak. One shuffle on the partition key;
+    frame is rowsBetween(unboundedPreceding, current)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+WINDOW_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def rollup_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (free Spark extension, SURVEY.md §2.4):
+    subtotals per (flag, status), per flag, and grand total. NULL
+    indicator cells coalesced to 'ALL' so the hash is unambiguous."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on l_linestatus (values pinned so the output schema is
+    static — required both for the oracle and for plan stability)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.coalesce("O", F.lit(0.0)).alias("qty_o"),
+            F.coalesce("F", F.lit(0.0)).alias("qty_f"),
+        )
+    )
+
+
+PIVOT_ORACLE = """
+SELECT l_returnflag,
+       coalesce(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2), 0.0) AS qty_o,
+       coalesce(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2), 0.0) AS qty_f
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg in Spark)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.count_distinct("o_custkey").alias("n_custs"),
+        F.count_distinct("o_orderpriority").alias("n_prios"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def set_ops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (SURVEY.md §2.7 free extensions): BUILDING-segment
+    keys UNION negative-balance keys, EXCEPT machinery keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    negative = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    return building.union(negative).distinct().exceptAll(machinery).distinct()
+
+
+SET_OPS_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+"""
+
+
+def intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations that have both customers and suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+QUERIES: dict = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_ORACLE),
+    "q5_revenue_by_nation": (q5_revenue_by_nation, Q5_ORACLE),
+    "broadcast_dim_join": (
+        broadcast_dim_join,
+        """
+        SELECT p_brand, count(*) AS n_items,
+               round(avg(l_extendedprice), 4) AS avg_price
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        """,
+    ),
+    "semi_join_customers_with_orders": (
+        semi_join_customers_with_orders,
+        """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+    ),
+    "anti_join_customers_without_orders": (
+        anti_join_customers_without_orders,
+        """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+    ),
+    "window_running_total": (window_running_total, WINDOW_RUNNING_ORACLE),
+    "rollup_returnflag_linestatus": (rollup_returnflag_linestatus, ROLLUP_ORACLE),
+    "pivot_linestatus": (pivot_linestatus, PIVOT_ORACLE),
+    "distinct_counts": (
+        distinct_counts,
+        """
+        SELECT count(DISTINCT o_custkey) AS n_custs,
+               count(DISTINCT o_orderpriority) AS n_prios,
+               count(*) AS n_orders
+        FROM orders
+        """,
+    ),
+    "set_ops_union_except": (set_ops_union_except, SET_OPS_ORACLE),
+    "intersect_segments": (
+        intersect_segments,
+        """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+        """,
+    ),
+}

@@ -1,0 +1,187 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+North-star extension: at 100 TB, images/audio/video live as binary
+columns (or object-store pointers) beside typed metadata, and decode /
+feature-extract / resize / frame-sample run as vectorized Python over
+Arrow batches — the one place Python legitimately enters the hot path,
+because codec libraries are Python/C. The Spark-side contract that
+matters (and is real + tested here) is:
+
+- schema: ``payload binary`` + explicit metadata struct columns;
+- batch shape: ``mapInPandas`` receives/yields ``pd.DataFrame`` chunks
+  bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` —
+  decode memory is bounded per task regardless of table size;
+- partitioning: pure map — no shuffle; co-partition with any
+  downstream join key beforehand.
+
+The codec itself is STUBBED (no image/audio libs in this container):
+``_fake_decode`` derives deterministic dimensions from the payload
+*length*, which makes even the stub oracle-checkable in SQL (payload =
+utf-8 text, so length(payload) == the fixture's single-byte text
+length). A real deployment swaps ``_fake_decode`` for PIL/ffmpeg and
+nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+DECODE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, width int, height int, n_frames int"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the multimodal fixture: text payload as binary plus a
+    media_type derived from the source id (deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media_type = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4", "src5"), "image")
+        .when(F.col("source").isin("src6", "src7", "src8", "src9"), "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        media_type.alias("media_type"),
+    )
+
+
+def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for a codec: dimensions from payload
+    length. Replace with PIL/librosa/ffmpeg in production —
+    NotImplementedError paths are marked."""
+    n = batch["payload"].map(len).astype("int32")
+    out = pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "media_type": batch["media_type"],
+            "n_bytes": n,
+            "width": (16 + (n % 320)).astype("int32"),
+            "height": (16 + (n % 240)).astype("int32"),
+            "n_frames": ((n % 32) + 1).astype("int32"),
+        }
+    )
+    out.loc[out["media_type"] != "video", "n_frames"] = 1
+    return out
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode stage: mapInPandas over Arrow batches. Narrow — fuses
+    with the scan; each task decodes only its own partition's rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield _fake_decode(batch)
+
+    return media.mapInPandas(fn, schema=DECODE_SCHEMA)
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queries surface: decode metadata for every media row."""
+    return decode_media(media_table(spark, sf_dir))
+
+
+MULTIMODAL_DECODE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN source IN ('src0','src1','src2','src3','src4','src5') THEN 'image'
+            WHEN source IN ('src6','src7','src8','src9') THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(length(text) AS INT) AS n_bytes,
+       CAST(16 + (length(text) % 320) AS INT) AS width,
+       CAST(16 + (length(text) % 240) AS INT) AS height,
+       CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')
+            THEN 1 ELSE CAST((length(text) % 32) + 1 AS INT) END AS n_frames
+FROM documents
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage (stubbed codec, real plumbing): target box 64x64,
+    aspect-preserving integer downscale factor."""
+    decoded = decode_media(media_table(spark, sf_dir))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            factor = (
+                pd.concat([b["width"] // 64, b["height"] // 64], axis=1).max(axis=1).clip(lower=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "out_w": (b["width"] // factor).astype("int32"),
+                    "out_h": (b["height"] // factor).astype("int32"),
+                }
+            )
+
+    return decoded.mapInPandas(fn, schema="doc_id long, out_w int, out_h int")
+
+
+MULTIMODAL_RESIZE_ORACLE = """
+WITH decoded AS (
+  SELECT doc_id,
+         CAST(16 + (length(text) % 320) AS INT) AS width,
+         CAST(16 + (length(text) % 240) AS INT) AS height
+  FROM documents
+),
+f AS (
+  SELECT doc_id, width, height,
+         greatest(greatest(width // 64, height // 64), 1) AS factor
+  FROM decoded
+)
+SELECT doc_id,
+       CAST(width // factor AS INT) AS out_w,
+       CAST(height // factor AS INT) AS out_h
+FROM f
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video rows: every 4th frame, exploded to one
+    row per sampled frame — the fan-out stage before per-frame feature
+    extraction. Column algebra (sequence + explode), no Python."""
+    decoded = decode_media(media_table(spark, sf_dir))
+    return (
+        decoded.filter(F.col("media_type") == "video")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(F.expr("sequence(0, n_frames - 1, 4)")).alias("frame_idx"),
+        )
+    )
+
+
+MULTIMODAL_FRAME_ORACLE = """
+WITH video AS (
+  SELECT doc_id, CAST((length(text) % 32) + 1 AS INT) AS n_frames
+  FROM documents
+  WHERE source NOT IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')
+)
+SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, 4)) AS INT) AS frame_idx
+FROM video
+"""
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature-extraction stage contract (STUB): real deployments run
+    the model here. Raises to make the stub boundary explicit."""
+    raise NotImplementedError(
+        "feature extraction requires codec/model libraries not present in this "
+        "container; decode_media/multimodal_resize demonstrate the identical "
+        "mapInPandas plumbing"
+    )
+
+
+QUERIES: dict = {
+    "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_ORACLE),
+    "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_ORACLE),
+    "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_ORACLE),
+}

@@ -1,0 +1,163 @@
+"""Similarity search over ``embeddings.embedding`` (array<float>).
+
+Two tiers, as a 100 TB ANN stack should be layered:
+
+- ``ann_cosine_topk``: exact brute-force top-k — broadcast the (small)
+  query set against the full corpus, score with JVM-side higher-order
+  functions, rank per query with a window. This is both the baseline
+  and the *verify/rerank* stage of any approximate scheme. Scales in
+  the corpus dimension (the corpus never shuffles — scoring is a
+  map-side broadcast join; only k rows per query survive the window).
+- ``ann_lsh_topk``: random-hyperplane LSH — deterministic seeded
+  hyperplanes, sign-bit bucket signature, candidates = bucket
+  equi-join, exact cosine rerank of candidates only. The all-pairs
+  product never exists; bucket width trades recall for cost.
+
+Cosine folds are ordered left-to-right in both engines (see
+functions/vectors.py), and ranking happens on the *rounded* score with
+vec_id tiebreaks, so the exact variant is fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import vectors
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: for each query vector (vec_id < 10), the 5
+    nearest corpus vectors (self excluded)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cos = F.round(vectors.cosine(F.col("q_vec"), F.col("embedding")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+ANN_TOPK_ORACLE = f"""
+WITH queries AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                    i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+  FROM queries q JOIN embeddings e ON e.vec_id != q.q_id
+)
+SELECT q_id, vec_id, cos,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes via a seeded
+    LCG (no numpy dependency in the plan: planes become literals)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(state / float(1 << 31) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id: bit i = 1 iff dot(plane_i, v) > 0."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(vectors.dot(arr, vec_col) > 0, F.expr(f"CAST(1 AS LONG) << {i}")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_planes: int = 6) -> DataFrame:
+    """LSH-bucketed ANN: candidates share a hyperplane sign bucket,
+    exact cosine reranks within bucket.
+
+    2^6 buckets at fixture scale; at 100 TB raise n_planes (buckets
+    ~ corpus/1e4) and add multi-probe. Rows-only check: recall is
+    probabilistic by design (verified against the exact baseline in
+    tests instead)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = 64
+    planes = _hyperplanes(dim, n_planes)
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = F.round(vectors.cosine(F.col("q_vec"), F.col("embedding")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        bucketed.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector column hygiene stats (norm distribution per label) — the
+    sanity probe every embedding pipeline runs before indexing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = vectors.norm(F.col("embedding"))
+    return (
+        emb.select("label", F.round(nrm, 4).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )
+
+
+EMBEDDING_NORM_ORACLE = """
+WITH norms AS (
+  SELECT label,
+         round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS nrm
+  FROM embeddings
+)
+SELECT label, count(*) AS n,
+       round(min(nrm), 4) AS min_norm,
+       round(max(nrm), 4) AS max_norm
+FROM norms GROUP BY label
+"""
+
+
+QUERIES: dict = {
+    "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_ORACLE),
+    "ann_lsh_topk": (ann_lsh_topk, None),
+    "embedding_norm_stats": (embedding_norm_stats, EMBEDDING_NORM_ORACLE),
+}

@@ -1,0 +1,194 @@
+"""Text-analysis operators over the ``documents`` table.
+
+LLM-training-pipeline surface (north-star extension — the reference
+has no string analytics): token counting, quality scoring, language-ID
+heuristic, document fingerprinting. Everything is built-in string /
+higher-order functions — fully codegen'd, zero Python on the hot path,
+embarrassingly parallel (no shuffle in any of these: they are pure
+per-row projections, so they scale to 100 TB as a single narrow stage
+fused with the scan).
+
+Oracle parity notes: token splitting uses a literal single-space split
+(the fixture text is single-space separated) rather than a regex, so
+Java-regex vs RE2 dialect differences can't bite; ratios divide exact
+integers so both engines produce bit-identical doubles before
+rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics: char count, token count,
+    average token length, unique-token ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.round((F.length("text") - n_tokens + 1) / n_tokens, 4).alias("avg_token_len"),
+        F.round(F.size(F.array_distinct(toks)) / n_tokens, 4).alias("uniq_ratio"),
+    )
+
+
+TEXT_STATS_ORACLE = """
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(string_split(text, ' ')) AS n_tokens,
+       round((length(text) - len(string_split(text, ' ')) + 1)
+             / len(string_split(text, ' ')), 4) AS avg_token_len,
+       round(len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' ')), 4) AS uniq_ratio
+FROM documents
+"""
+
+STOPWORDS = ("the", "a", "and", "of")
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + length-saturating score in
+    [0,1]. The shape every corpus-filtering pipeline needs; thresholds
+    on ``score`` become the pushed-down filter of a cleaning job."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = n_stop / n_tokens
+    score = F.round(F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (F.lit(1.0) - stop_ratio), 4)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        score.alias("score"),
+    )
+
+
+TEXT_QUALITY_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of')))
+             / len(string_split(text, ' ')), 4) AS stop_ratio,
+       round(least(1.0, len(string_split(text, ' ')) / 100.0)
+             * (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of')))
+               / len(string_split(text, ' '))), 4) AS score
+FROM documents
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by character-class frequency (n-gram-style heuristic).
+
+    The fixture text is synthetic word-soup, so no real-language signal
+    exists; what this operator demonstrates — and what the oracle
+    verifies — is a deterministic, engine-portable classifier: vowel
+    ratio computed from exact integer counts, bucketed into a label.
+    Swap the rule for real n-gram profiles when the corpus is real.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vowels = F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))
+    ratio = vowels / F.length("text")
+    pred = (
+        F.when(ratio < 0.20, "de")
+        .when(ratio < 0.24, "en")
+        .when(ratio < 0.28, "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 4).alias("vowel_ratio"),
+        pred.alias("lang_pred"),
+    )
+
+
+LANG_ID_ORACLE = """
+SELECT doc_id,
+       round((length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+             / length(text), 4) AS vowel_ratio,
+       CASE
+         WHEN (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+              / length(text) < 0.20 THEN 'de'
+         WHEN (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+              / length(text) < 0.24 THEN 'en'
+         WHEN (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+              / length(text) < 0.28 THEN 'fr'
+         ELSE 'es'
+       END AS lang_pred
+FROM documents
+"""
+
+
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: words, numbers, and punctuation runs
+    counted separately with a dialect-portable regex."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]+")).alias("n_words"),
+        F.regexp_count("text", F.lit("[0-9]+")).alias("n_numbers"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+")).alias("n_bpe_units"),
+    )
+
+
+TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_bpe_units
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting, two ways:
+
+    - ``fp_md5``: content hash via md5 — the portable exact-dedup
+      fingerprint (identical hex in any engine).
+    - ``fp_rolling``: order-sensitive polynomial rolling hash
+      (acc*31 + codepoint, mod 1e9+7) as a left fold over character
+      positions — the building block for shingle/winnowing schemes.
+
+    The rolling fold is O(len) per row via higher-order ``aggregate``;
+    at 100 TB scale prefer ``xxhash64`` (same shape, one JVM intrinsic)
+    — md5 here doubles as the cross-engine-checkable stand-in.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rolling = F.expr(
+        "aggregate(sequence(1, length(text)), 0L,"
+        " (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp_md5"),
+        rolling.alias("fp_rolling"),
+    )
+
+
+DOC_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(text) AS fp_md5,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(range(1, length(text) + 1),
+                          i -> ascii(substr(text, CAST(i AS INT), 1))::BIGINT)),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
+FROM documents
+"""
+
+
+QUERIES: dict = {
+    "text_stats": (text_stats, TEXT_STATS_ORACLE),
+    "text_quality_score": (text_quality_score, TEXT_QUALITY_ORACLE),
+    "lang_id_heuristic": (lang_id_heuristic, LANG_ID_ORACLE),
+    "token_count_regex": (token_count_regex, TOKEN_COUNT_ORACLE),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_ORACLE),
+}

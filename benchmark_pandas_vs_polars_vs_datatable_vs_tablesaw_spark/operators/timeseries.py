@@ -1,0 +1,195 @@
+"""Event-time operators over the ``events`` table (batch formulations).
+
+The reference is batch-only (SURVEY.md §2.10); these are the
+north-star time-series extensions: tumbling/sliding window aggregates,
+sessionization, JSON property extraction. The streaming formulations
+of the same windows live in ``streaming/windows.py`` — the batch
+versions double as their correctness oracles.
+
+Timestamps never appear raw in results: window boundaries are
+formatted to strings so the Spark (session-TZ UTC) and DuckDB
+(naive-UTC) values hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event type. date_trunc keeps the
+    group key computable map-side — one shuffle of |hours x types|."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), TS_FMT).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+
+
+EVENTS_HOURLY_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 2-hour width, 1-hour slide. Spark's ``window()``
+    assigns each event to width/slide = 2 windows; the oracle does the
+    same assignment by exploding the two candidate window starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            F.date_format(F.col("window.start"), TS_FMT).alias("win_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+EVENTS_SLIDING_ORACLE = """
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM (
+  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS win_start,
+         event_type, value
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split on >30-minute gaps
+    (lag + conditional cumsum — the canonical batch formulation).
+    Two windows over the same (user_id, ts) partitioning = ONE shuffle;
+    Catalyst reuses the exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer-microsecond arithmetic: floors/rounding on seconds
+    # would make engines disagree near gap boundaries
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    sessions = ev.withColumn(
+        "session_id", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000))
+            .cast("long")
+            .alias("duration_s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("duration_s").alias("max_session_s"),
+        )
+    )
+
+
+EVENTS_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+       max(duration_s) AS max_session_s
+FROM per_session GROUP BY user_id
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property extraction from the JSON ``props`` column. Uses a
+    dialect-portable regex capture (the oracle-parity form); at scale
+    with real JSON prefer ``from_json`` with an explicit schema so the
+    parse is vectorized and pushdown-friendly."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.round(F.avg("k"), 4).alias("k_mean"),
+        )
+    )
+
+
+EVENTS_JSON_ORACLE = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS k_sum,
+       round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)), 4) AS k_mean
+FROM events
+GROUP BY event_type
+"""
+
+
+def events_topk_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users per event type by event count — the grouped-top-k
+    pattern (window rank over an aggregate, SURVEY.md §2.6 extension)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "user_id", "n", "rank")
+    )
+
+
+EVENTS_TOPK_ORACLE = """
+SELECT event_type, user_id, n, CAST(rank AS INT) AS rank
+FROM (
+  SELECT event_type, user_id, count(*) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id ASC) AS rank
+  FROM events GROUP BY event_type, user_id
+)
+WHERE rank <= 3
+"""
+
+
+QUERIES: dict = {
+    "events_hourly_agg": (events_hourly_agg, EVENTS_HOURLY_ORACLE),
+    "events_sliding_window": (events_sliding_window, EVENTS_SLIDING_ORACLE),
+    "events_sessionization": (events_sessionization, EVENTS_SESSION_ORACLE),
+    "events_json_extract": (events_json_extract, EVENTS_JSON_ORACLE),
+    "events_topk_users_per_type": (events_topk_users_per_type, EVENTS_TOPK_ORACLE),
+}

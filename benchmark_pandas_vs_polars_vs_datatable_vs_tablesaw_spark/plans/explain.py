@@ -1,0 +1,71 @@
+"""Plan inspection — SURVEY.md §2.12 H6 (`describe_optimized_plan`,
+`main.rs:155-156`) plus the scale-posture assertions the tests use.
+
+``df.explain("formatted")`` is the Catalyst analogue of Polars'
+optimized-plan dump; the helpers below turn plan text into assertable
+facts (filter pushed? scan pruned? join broadcast? codegen fused?) so
+"the plan is the plan we want" is a test, not a hope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def plan_text(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as a string (what explain() prints)."""
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), mode
+        )
+    except Exception:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        return buf.getvalue()
+
+
+def has_pushed_filter(df: DataFrame, fragment: str = "") -> bool:
+    """True if the scan carries a pushed-down filter (optionally one
+    mentioning ``fragment``)."""
+    text = plan_text(df)
+    for line in text.splitlines():
+        if "PushedFilters" in line and "[]" not in line.replace(" ", ""):
+            if fragment in line:
+                return True
+    return False
+
+
+def scan_columns(df: DataFrame) -> list[str]:
+    """Columns actually read by the (first) parquet scan — the
+    column-pruning check: ReadSchema must be the used subset."""
+    text = plan_text(df)
+    for line in text.splitlines():
+        if "ReadSchema" in line:
+            schema = line.split("ReadSchema:", 1)[1].strip()
+            inner = schema[schema.find("<") + 1 : schema.rfind(">")]
+            return [c.split(":")[0].strip() for c in inner.split(",") if c.strip()]
+    return []
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in plan_text(df) or "BroadcastNestedLoopJoin" in plan_text(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of Exchange operators in the physical plan — the
+    shuffle-budget check (SURVEY.md 'minimize shuffles')."""
+    text = plan_text(df)
+    return sum(
+        1
+        for line in text.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line and "Reused" not in line
+    )
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """WholeStageCodegen span count — fewer, wider spans are better."""
+    return plan_text(df).count("WholeStageCodegen")

@@ -1,0 +1,54 @@
+"""SparkSession factory with pinned, scale-aware configuration.
+
+The reference engines are single-process and implicitly multithreaded
+(datatable fread, Polars kernels — SURVEY.md §4.2); the Spark analogue
+is one local JVM with N executor threads. Every config below is chosen
+so the same code runs unchanged on a 1000-executor cluster:
+
+- AQE on: runtime partition coalescing + skew-join splitting replace
+  hand-tuned shuffle partition counts at scale.
+- shuffle.partitions defaults to the local core count for fixture-scale
+  runs (SURVEY.md §7.5.5 — 200 default over-parallelizes tiny inputs);
+  on a real cluster AQE re-coalesces upward from the initial number.
+- Arrow enabled for every driver<->Python boundary (toPandas,
+  pandas_udf, mapInPandas).
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (naive-UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session. Idempotent via getOrCreate."""
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,148 @@
+"""Structured Streaming formulations over the ``events`` table.
+
+The reference is batch-only (SURVEY.md §2.10); this is the north-star
+streaming extension. Each query here reads the events parquet as a
+*file-source stream* (the same code runs against Kafka by swapping the
+reader), aggregates with event-time windows, and drains synchronously
+into a memory sink via ``processAllAvailable`` so the result is a
+normal DataFrame — which is exactly what lets the batch SQL in
+operators/timeseries.py act as the correctness oracle.
+
+Modes:
+- tumbling/sliding aggregates run in **complete** mode, so every
+  window is emitted and the result equals the batch computation
+  row-for-row;
+- the session-window query uses a watermark + append (the production
+  shape for unbounded state) and is therefore rows-only checked —
+  append withholds sessions newer than the final watermark by design.
+
+At scale: state lives in the state store keyed by (window, type);
+watermarks bound it. The fixture drive-through is single-batch, but
+the plan is the real incremental one (StateStoreSave in explain()).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import normalize_events_ts, read_raw
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw_schema = read_raw(spark, sf_dir, "events").schema
+    # file source wants a directory; the glob filter selects the events
+    # file from the shared fixture dir
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_events_ts(stream)
+
+
+def _drain(streaming_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Run the streaming query to completion on the fixture files and
+    return the materialized sink as a batch DataFrame."""
+    name = "sink_" + uuid.uuid4().hex[:12]
+    q = (
+        streaming_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the memory-sink table stays registered for the session lifetime
+    return spark.table(name)
+
+
+def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per type (complete mode —
+    result equals the batch events_hourly_agg)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            F.date_format(F.col("window.start"), TS_FMT).alias("hour_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    return _drain(agg, spark, "complete")
+
+
+STREAMING_HOURLY_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h event-time window (complete mode)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            F.date_format(F.col("window.start"), TS_FMT).alias("win_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    return _drain(agg, spark, "complete")
+
+
+STREAMING_SLIDING_ORACLE = """
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM (
+  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS win_start,
+         event_type, value
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user with a 1-hour watermark —
+    the production stateful shape: state bounded by the watermark,
+    append-mode emission of closed sessions only. Rows-only check
+    (append intentionally withholds sessions past the final watermark).
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("session_window.start"), TS_FMT).alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return _drain(agg, spark, "append")
+
+
+QUERIES: dict = {
+    "streaming_hourly_agg": (streaming_hourly_agg, STREAMING_HOURLY_ORACLE),
+    "streaming_sliding_agg": (streaming_sliding_agg, STREAMING_SLIDING_ORACLE),
+    "streaming_session_window": (streaming_session_window, None),
+}
