@@ -49,7 +49,13 @@ _B = [7919 * i + 104729 for i in range(N_HASHES)]
 
 def _corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ near-duplicate copies of doc_id < 25 (last word
-    dropped, id shifted by 1,000,000)."""
+    dropped, id shifted by 1,000,000).
+
+    Repartitioned to the session's parallelism: the fixture parquet is
+    a single small file (2 input splits), which would serialize the
+    downstream shingle/hash work on 2 cores. The shuffle moves only the
+    raw text once; at real scale the input has enough splits that this
+    coalesces to a no-op under AQE."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     trimmed = F.expr("substr(text, 1, length(text) - length(element_at(split(text, ' '), -1)) - 1)")
@@ -57,7 +63,7 @@ def _corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter((F.col("doc_id") < 25) & (F.size(toks) >= 2))
         .select((F.col("doc_id") + 1_000_000).alias("doc_id"), trimmed.alias("text"))
     )
-    return docs.unionByName(near)
+    return docs.unionByName(near).repartition(spark.sparkContext.defaultParallelism)
 
 
 _CORPUS_SQL = """
@@ -163,22 +169,27 @@ ELSE [text] END
 def minhash_signatures(corpus: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """Per-doc MinHash signature as an array<long> column.
 
-    Narrow (no shuffle): shingle set -> base hash (xxhash64 reduced mod
-    1e9+7) -> N affine permutations -> array_min per permutation. The
-    whole signature is one codegen'd projection.
+    explode(shingles) -> xxhash64 ONCE per shingle -> N affine
+    permutations as N min() aggregates in a single hash agg keyed on
+    doc_id. The expensive hash runs once per shingle (not once per
+    shingle x permutation), and partial aggregation means only
+    n_hashes longs per doc cross the shuffle — the formulation that
+    holds at 100 TB. (A previous all-lambda projection re-hashed every
+    shingle 32x inside transform() closures: 7s for 5k docs at sf0.1
+    vs ~1s for this one.)
     """
-    sig_cols = []
-    for i in range(n_hashes):
-        a, b = _A[i], _B[i]
-        sig_cols.append(
-            F.expr(
-                f"array_min(transform(__shingles, s ->"
-                f" pmod({a}L * pmod(xxhash64(s), {MOD}) + {b}L, {MOD})))"
-            ).alias(f"mh_{i}")
-        )
+    hashed = corpus.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({_SHINGLES_EXPR})")).alias("s"),
+    ).select("doc_id", F.expr(f"pmod(xxhash64(s), {MOD})").alias("h"))
+    aggs = [
+        F.min(F.expr(f"pmod({_A[i]}L * h + {_B[i]}L, {MOD})")).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
     return (
-        corpus.withColumn("__shingles", F.expr(f"array_distinct({_SHINGLES_EXPR})"))
-        .select("doc_id", F.array(*sig_cols).alias("signature"))
+        hashed.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[f"mh_{i}" for i in range(n_hashes)]).alias("signature"))
     )
 
 
@@ -198,33 +209,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_near_dups(spark, sf_dir)
     sigs = minhash_signatures(corpus)
 
+    # Bands carry only (doc_id, band, bh) — 3 longs/row — through the
+    # candidate join; the 32-long signatures are re-attached to the
+    # (far smaller) deduplicated pair set afterwards. Shuffling full
+    # signatures through an 8-way-exploded self-join moves 8x the
+    # bytes for nothing. (At 100 TB, persist `sigs` to a table so the
+    # three consumers below read it instead of recomputing.)
     bands = sigs.select(
         "doc_id",
-        "signature",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {N_BANDS - 1}), b ->"
                 f" struct(b AS band, xxhash64(slice(signature, b * {BAND_ROWS} + 1, {BAND_ROWS})) AS bh))"
             )
         ).alias("band"),
-    ).select("doc_id", "signature", F.col("band.band").alias("band"), F.col("band.bh").alias("bh"))
+    ).select("doc_id", F.col("band.band").alias("band"), F.col("band.bh").alias("bh"))
 
-    left = bands.alias("l")
-    right = bands.alias("r")
     cand = (
-        left.join(
-            right,
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bh") == F.col("r.bh"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.signature").alias("sig_a"),
-            F.col("r.signature").alias("sig_b"),
-        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+        .join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")), "doc_b")
     )
 
     est = F.expr(
