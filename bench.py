@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "dedup_exact_hash",         # exact dedup
     "dedup_minhash_lsh",        # MinHash LSH near-dup
     "ann_cosine_topk",          # brute-force cosine top-k
+    "ivf_ann_topk",             # IVF-Flat ANN (probed lists)
+    "asof_join_purchase_view",  # as-of join (union-and-carry)
     "text_stats",               # text analysis
 ]
 
@@ -70,6 +72,8 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
+        _force(fn(spark, SF_DIR))  # per-query warm-up rep (H4): JIT of
+        # this query's generated code out of the timed region
         times = []
         for _ in range(REPS):
             t0 = time.perf_counter()

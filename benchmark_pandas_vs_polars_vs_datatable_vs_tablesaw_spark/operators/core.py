@@ -272,6 +272,57 @@ FROM (
 """
 
 
+def median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — median as an engine aggregate (the reference computes
+    medians driver-side over benchmark reps, `Benchmark1.java:120-123`;
+    in-engine the analogue is exact percentile aggregation —
+    SURVEY.md §2.4 A4).
+
+    ``median``/``percentile`` are exact (sort-based within group);
+    at 100 TB swap to ``percentile_approx`` (t-digest sketch, mergeable
+    map-side) — same call shape, bounded memory.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("qty_median"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("price_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("price_p95"),
+    )
+
+
+MEDIAN_ORACLE = """
+SELECT l_returnflag,
+       round(median(l_quantity), 4) AS qty_median,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def matrix_col_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 at scale — the distributed to_np path: numeric-or-NaN matrix
+    view reduced per-column on the executors (see
+    :func:`matrix_partition_stats`); the driver receives one row."""
+    return matrix_partition_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+MATRIX_COL_MEANS_ORACLE = """
+SELECT round(avg(CAST(l_orderkey AS DOUBLE)), 4) AS l_orderkey_mean,
+       round(avg(CAST(l_partkey AS DOUBLE)), 4) AS l_partkey_mean,
+       round(avg(CAST(l_suppkey AS DOUBLE)), 4) AS l_suppkey_mean,
+       round(avg(CAST(l_linenumber AS DOUBLE)), 4) AS l_linenumber_mean,
+       round(avg(l_quantity), 4) AS l_quantity_mean,
+       round(avg(l_extendedprice), 4) AS l_extendedprice_mean,
+       round(avg(l_discount), 4) AS l_discount_mean,
+       round(avg(l_tax), 4) AS l_tax_mean,
+       CAST('NaN' AS DOUBLE) AS l_returnflag_mean,
+       CAST('NaN' AS DOUBLE) AS l_linestatus_mean,
+       CAST('NaN' AS DOUBLE) AS l_shipdate_mean
+FROM lineitem
+"""
+
+
 # --------------------------------------------------------------------------
 # S1/S3 — CSV round-trip; S5/S6 — generators
 # --------------------------------------------------------------------------
@@ -442,6 +493,8 @@ QUERIES: dict = {
         FROM orders GROUP BY o_orderpriority
         """,
     ),
+    "median_stats": (median_stats, MEDIAN_ORACLE),
+    "matrix_col_means": (matrix_col_means, MATRIX_COL_MEANS_ORACLE),
     "groupby_first": (groupby_first, GROUPBY_FIRST_ORACLE),
     "groupby_first_minby": (groupby_first_minby, GROUPBY_FIRST_ORACLE),
     "csv_roundtrip": (

@@ -127,6 +127,129 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_planes: int = 6) -> DataFra
     )
 
 
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: corpus partitioned into inverted lists by nearest
+    centroid; queries probe the N_PROBE nearest lists and rerank
+    exactly within them.
+
+    Centroids are data-sampled (vec_id 100..107) so the whole scheme
+    is deterministic and fully DuckDB-oracle-checked — unlike k-means
+    centroids, which would be float-iteration-order dependent. At
+    100 TB: centroids come from a sampled k-means job, the assignment
+    pass writes the corpus bucketed/partitioned BY list_id (one-time
+    cost), and each query then scans only nprobe/nlist of the data —
+    this query demonstrates exactly that read path, with both the
+    assignment join and the probe join broadcast (centroids and
+    queries are small by construction).
+
+    Scoring rounds to 4 dp before ranking with explicit tiebreaks, so
+    rank order is engine-portable (same convention as ann_cosine_topk).
+    """
+    # repartition: the single-file fixture parquet yields 2 input
+    # splits, which would serialize the 64-dim cosine assignment pass
+    # on 2 cores (same pattern as dedup._corpus_with_near_dups)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    cents = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)
+    ).select((F.col("vec_id") - 100).alias("cent_id"), F.col("embedding").alias("c_vec"))
+
+    # assignment pass: every corpus vector -> nearest centroid
+    assign_cos = F.round(vectors.cosine(F.col("embedding"), F.col("c_vec")), 4)
+    wa = Window.partitionBy("vec_id").orderBy(F.col("a_cos").desc(), F.col("cent_id").asc())
+    assigned = (
+        emb.join(F.broadcast(cents), F.lit(True))
+        .withColumn("a_cos", assign_cos)
+        .withColumn("a_rank", F.row_number().over(wa))
+        .filter(F.col("a_rank") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("list_id"))
+    )
+
+    # probe pass: each query -> its N_PROBE nearest centroids
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    probe_cos = F.round(vectors.cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    wp = Window.partitionBy("q_id").orderBy(F.col("p_cos").desc(), F.col("cent_id").asc())
+    probes = (
+        queries.join(F.broadcast(cents), F.lit(True))
+        .withColumn("p_cos", probe_cos)
+        .withColumn("p_rank", F.row_number().over(wp))
+        .filter(F.col("p_rank") <= N_PROBE)
+        .select("q_id", "q_vec", F.col("cent_id").alias("list_id"))
+    )
+
+    # scan only the probed lists, exact rerank
+    cos = F.round(vectors.cosine(F.col("q_vec"), F.col("embedding")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+_COS_SQL = """
+round(
+  list_sum(list_transform(range(1, len({a}) + 1),
+           i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))), 4)
+"""
+
+IVF_ANN_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id - 100 AS cent_id, embedding AS c_vec
+  FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS list_id
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.embedding', b='c.c_vec')} DESC,
+                      c.cent_id ASC) AS a_rank
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE a_rank = 1
+),
+probes AS (
+  SELECT q_id, q_vec, cent_id AS list_id
+  FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cent_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a='q.embedding', b='c.c_vec')} DESC,
+                      c.cent_id ASC) AS p_rank
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE p_rank <= {N_PROBE}
+)
+SELECT q_id, vec_id, cos, rank
+FROM (
+  SELECT p.q_id, a.vec_id,
+         {_COS_SQL.format(a='p.q_vec', b='a.embedding')} AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY p.q_id
+           ORDER BY {_COS_SQL.format(a='p.q_vec', b='a.embedding')} DESC,
+                    a.vec_id ASC) AS INT) AS rank
+  FROM assigned a JOIN probes p USING (list_id)
+  WHERE a.vec_id != p.q_id
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector column hygiene stats (norm distribution per label) — the
     sanity probe every embedding pipeline runs before indexing."""
@@ -159,5 +282,6 @@ FROM norms GROUP BY label
 QUERIES: dict = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_ORACLE),
     "ann_lsh_topk": (ann_lsh_topk, None),
+    "ivf_ann_topk": (ivf_ann_topk, IVF_ANN_ORACLE),
     "embedding_norm_stats": (embedding_norm_stats, EMBEDDING_NORM_ORACLE),
 }

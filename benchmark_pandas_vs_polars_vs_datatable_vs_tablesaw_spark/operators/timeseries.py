@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
 def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,8 +187,83 @@ WHERE rank <= 3
 """
 
 
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's latest view at or
+    before the purchase timestamp (attribution lookup).
+
+    Spark has no ASOF JOIN operator; the naive range-join formulation
+    (join on key + ts <= t, then pick max) explodes quadratically per
+    key. The scalable formulation used here is the union-and-carry
+    pattern: tag both streams, sort within user (ts, tag — views first
+    at equal ts, matching ASOF's >= semantics), and carry the last
+    non-null view timestamp forward with last(ignorenulls) over an
+    unbounded-preceding window. ONE shuffle on user_id, linear work,
+    state = one row per partition — the same shape an
+    applyInPandasWithState streaming as-of would use.
+
+    Oracle: DuckDB's native ASOF LEFT JOIN — a true cross-engine
+    differential check of as-of semantics (equal-ts matches, unmatched
+    purchases -> NULL).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # dedupe views to one per (user_id, ts) — keep max event_id — so
+    # equal-ts ties cannot make the as-of pick engine-dependent
+    wv = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("p_event_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("p_event_id"),
+        F.lit(None).cast("timestamp").alias("v_ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "tag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = views.unionByName(purchases).withColumn(
+        "asof_view_ts", F.last("v_ts", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        F.col("p_event_id").alias("event_id"),
+        "user_id",
+        F.date_format("ts", TS_FMT_US).alias("purchase_ts"),
+        F.date_format("asof_view_ts", TS_FMT_US).alias("view_ts"),
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros("asof_view_ts")) / F.lit(1_000_000)
+        ).alias("gap_s"),
+    )
+
+
+ASOF_JOIN_ORACLE = """
+WITH v0 AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'
+),
+v AS (SELECT user_id, ts FROM v0 WHERE rn = 1),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS gap_s
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 QUERIES: dict = {
     "events_hourly_agg": (events_hourly_agg, EVENTS_HOURLY_ORACLE),
+    "asof_join_purchase_view": (asof_join_purchase_view, ASOF_JOIN_ORACLE),
     "events_sliding_window": (events_sliding_window, EVENTS_SLIDING_ORACLE),
     "events_sessionization": (events_sessionization, EVENTS_SESSION_ORACLE),
     "events_json_extract": (events_json_extract, EVENTS_JSON_ORACLE),
