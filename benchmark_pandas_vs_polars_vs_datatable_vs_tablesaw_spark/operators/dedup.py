@@ -283,12 +283,20 @@ def simhash_fingerprints(corpus: DataFrame) -> DataFrame:
     return votes.select("doc_id", fp.alias("simhash"))
 
 
+HAMMING_MAX = 3  # Manku et al. (WWW'07) web-dedup operating point
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming distance <= 12 on 64-bit
+    """SimHash near-dup pairs: Hamming distance <= 3 on 64-bit
     fingerprints, candidates via 4 x 16-bit pigeonhole bands.
 
-    (Hamming <= 12 on word-soup near-dups: dropping one word flips a
-    minority of vote signs.) Rows-only check — xxhash64-dependent.
+    The banding is *complete* for this threshold: <=3 differing bits
+    cannot touch all 4 bands, so every qualifying pair shares at least
+    one exact band — candidate generation provably misses nothing
+    (the guarantee breaks above hamming = bands-1; wider thresholds
+    need more/narrower bands and quadratically larger candidate sets).
+    Rows-only check — xxhash64-dependent; tests/test_semantics.py
+    asserts found == {injected pairs with hamming<=3} exactly.
     """
     corpus = _corpus_with_near_dups(spark, sf_dir)
     fps = simhash_fingerprints(corpus)
@@ -319,7 +327,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.expr("bit_count(fp_a ^ fp_b)")
     return (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 12)
+        .filter(F.col("hamming") <= HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
 

@@ -56,9 +56,24 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of Exchange operators in the physical plan — the
-    shuffle-budget check (SURVEY.md 'minimize shuffles')."""
+    """Number of distinct Exchange operators in the physical plan — the
+    shuffle-budget check (SURVEY.md 'minimize shuffles').
+
+    Formatted plans print every operator twice (tree + detail section),
+    so count unique ``(n) Exchange`` detail headers; fall back to tree
+    lines halved is wrong for plans without details, so instead count
+    detail headers if present, else tree lines."""
     text = plan_text(df)
+    detail = [
+        line
+        for line in text.splitlines()
+        if line.strip().startswith("(")
+        and ") Exchange" in line
+        and "BroadcastExchange" not in line
+        and "Reused" not in line
+    ]
+    if detail:
+        return len(detail)
     return sum(
         1
         for line in text.splitlines()

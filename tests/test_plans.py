@@ -1,0 +1,60 @@
+"""Plan-shape assertions (SURVEY.md §4, 'the plan is the plan we
+want'): pushdown, pruning, broadcast choice, and shuffle budget are
+tested facts, not hopes. These run against sf0.001 — plan shape is
+scale-independent for these queries (AQE may coalesce partitions but
+does not add exchanges)."""
+
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import core, joins
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.plans import explain
+
+
+def test_flagship_filter_pushed_and_pruned(spark, sf_dir):
+    df = core.flagship_lazy_pipeline(spark, sf_dir)
+    assert explain.has_pushed_filter(df, "l_extendedprice"), "filter must reach the scan"
+    cols = explain.scan_columns(df)
+    assert set(cols) == {"l_returnflag", "l_quantity", "l_extendedprice"}, (
+        f"scan must be pruned to the 3 referenced columns, got {cols}"
+    )
+
+
+def test_flagship_single_shuffle(spark, sf_dir):
+    # one hash-partitioning exchange for the groupBy; the final orderBy
+    # on 3 rows adds a range exchange — budget is 2, not more
+    df = core.flagship_lazy_pipeline(spark, sf_dir)
+    assert explain.shuffle_count(df) <= 2
+
+
+def test_filter_scan_is_narrow(spark, sf_dir):
+    df = core.filter_numeric_gt(spark, sf_dir)
+    assert explain.has_pushed_filter(df, "l_extendedprice")
+    assert explain.shuffle_count(df) == 0, "a pure filter+project must not shuffle"
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    df = joins.q3_shipping_priority(spark, sf_dir)
+    assert explain.uses_broadcast_join(df), "dimension side must broadcast"
+
+
+def test_q5_bounded_shuffles(spark, sf_dir):
+    # all four dims broadcast; only orders x lineitem + final agg shuffle
+    df = joins.q5_revenue_by_nation(spark, sf_dir)
+    assert explain.uses_broadcast_join(df)
+    assert explain.shuffle_count(df) <= 4
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    df = core.topk_orders(spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain.plan_text(df), (
+        "orderBy().limit(k) must fuse into TakeOrderedAndProject (O(k) memory)"
+    )
+
+
+def test_groupby_minby_single_shuffle(spark, sf_dir):
+    df = core.groupby_first_minby(spark, sf_dir)
+    assert explain.shuffle_count(df) == 1, "min_by group-first is one hash agg exchange"
+
+
+def test_groupby_mean_partial_agg(spark, sf_dir):
+    # partial_avg before the exchange proves map-side combine
+    text = explain.plan_text(core.groupby_mean(spark, sf_dir))
+    assert "partial_avg" in text or "partial" in text.lower()
