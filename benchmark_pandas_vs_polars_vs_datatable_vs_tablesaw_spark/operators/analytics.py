@@ -1,0 +1,393 @@
+"""Analytics extensions — window analytics, cube/grouping sets, range
+joins, skew-mitigated aggregation, sketches, sampling, string/date
+scalar suites.
+
+The reference's operator surface stops at filter/sort/group-mean
+(SURVEY.md §2); these are the "free Spark extensions" §2.4/§2.5/§2.8
+reserve plus the scale-posture operators (salting, approximate
+sketches, deterministic sampling) a 100 TB pipeline needs. Every query
+keeps the §2 conventions: identical aliases on both sides, rounded
+doubles, explicit orders where order matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / cube
+# --------------------------------------------------------------------------
+
+
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping-set combinations
+    in ONE pass — Spark expands the grouping sets map-side, so the fact
+    table is scanned once regardless of how many subtotal levels the
+    cube implies (vs 4 separate scans if done naively)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("sum_price"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+CUBE_ORACLE = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       round(sum(o_totalprice), 2) AS sum_price,
+       count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# Window analytics (lag/lead/rank/ntile)
+# --------------------------------------------------------------------------
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order deltas: lag/lead/rank over one window spec.
+
+    All four analytics share a single Window (partition by customer,
+    order by date+key), so Spark shuffles and sorts ONCE and evaluates
+    every function in the same WindowExec pass.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2).alias(
+            "delta_prev"
+        ),
+        F.round(F.lead("o_totalprice", 1, 0.0).over(w), 2).alias("next_price"),
+        F.rank().over(w).alias("order_rank"),
+    )
+
+
+WINDOW_LAG_LEAD_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER w, 0.0), 2) AS delta_prev,
+       round(coalesce(lead(o_totalprice, 1) OVER w, 0.0), 2) AS next_price,
+       CAST(rank() OVER w AS INT) AS order_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile assignment over a global order, then per-tile
+    stats. The global window is a single-partition sort — fine for a
+    ranked summary this small; at 100 TB replace with percentile_approx
+    cut points + a broadcast join (no global sort)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )
+
+
+NTILE_ORACLE = """
+SELECT quartile, count(*) AS n,
+       round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+FROM (
+  SELECT c_acctbal,
+         CAST(ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INT) AS quartile
+  FROM customer
+)
+GROUP BY quartile
+"""
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates
+# --------------------------------------------------------------------------
+
+
+def corr_covar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / stddev in one partial-aggregable pass
+    (all three are algebraic: mergeable moment sketches map-side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+    )
+
+
+CORR_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+       round(stddev_samp(l_extendedprice), 2) AS price_sd,
+       round(var_samp(l_quantity), 4) AS qty_var
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via integer binning — a groupBy on a
+    derived key, so it partial-aggregates map-side; only |bins| rows
+    shuffle. The standard scale-out histogram (vs a driver-side
+    np.histogram, which would need a collect)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.floor(F.col("o_totalprice") / 50_000).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+HISTOGRAM_ORACLE = """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin, count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch vs exact distinct: emits the exact count
+    plus a boolean certifying the sketch landed within 5% (rsd=0.01).
+
+    The differential check is on the *bound*, not the raw sketch value,
+    because Spark's HLL++ and any oracle's HLL use different hash
+    streams. At 100 TB the sketch is the only viable option — it's
+    mergeable, constant-memory per partition, one pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.count_distinct("l_orderkey").alias("exact_keys"),
+        (
+            (
+                F.abs(
+                    F.approx_count_distinct("l_orderkey", 0.01) - F.count_distinct("l_orderkey")
+                )
+                / F.count_distinct("l_orderkey")
+            )
+            < 0.05
+        )
+        .cast("int")
+        .alias("hll_within_5pct"),
+    )
+
+
+APPROX_DISTINCT_ORACLE = """
+SELECT count(DISTINCT l_orderkey) AS exact_keys, 1 AS hll_within_5pct
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# Range join, salted aggregation, deterministic sampling
+# --------------------------------------------------------------------------
+
+_DISCOUNT_BANDS = [
+    ("none", 0.00, 0.02),
+    ("low", 0.02, 0.05),
+    ("mid", 0.05, 0.08),
+    ("high", 0.08, 1.01),
+]
+
+
+def range_join_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: every lineitem row lands in the discount
+    band whose [lo, hi) interval contains it.
+
+    The band table is tiny and broadcast, so the inequality join is a
+    BroadcastNestedLoopJoin over 4 rows — effectively a map-side lookup,
+    NOT the quadratic blowup a shuffled theta-join would be. This is
+    the correct shape for binning-by-interval at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_DISCOUNT_BANDS, ["band", "lo", "hi"])
+    cond = (F.col("l_discount") >= F.col("lo")) & (F.col("l_discount") < F.col("hi"))
+    return (
+        li.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+        )
+    )
+
+
+RANGE_JOIN_ORACLE = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('none', 0.00, 0.02), ('low', 0.02, 0.05),
+         ('mid', 0.05, 0.08), ('high', 0.08, 1.01)
+)
+SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS price_sum
+FROM lineitem JOIN bands ON l_discount >= lo AND l_discount < hi
+GROUP BY band
+"""
+
+
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated two-stage aggregation (salting).
+
+    Stage 1 groups by (key, salt) — a hot key's rows split across 8
+    salt buckets, so no single reducer owns the whole key. Stage 2
+    merges the 8 partials per key. Result is identical to a plain
+    groupBy (the oracle *is* the plain groupBy); the plan differs: two
+    small shuffles instead of one skewed one. sum/count are algebraic,
+    so the two-stage split is lossless (avg = merged sum / merged n).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", (F.col("l_orderkey") % 8).cast("int"))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum("l_quantity").alias("p_qty"),
+        F.count("*").alias("p_n"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("p_qty"), 2).alias("sum_qty"),
+        F.sum("p_n").alias("n"),
+    )
+
+
+SALTED_ORACLE = """
+SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def sample_modulo_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample via key modulo — reproducible across
+    engines and runs (unlike TABLESAMPLE/rand, whose streams differ per
+    engine). The predicate pushes to the scan; at 100 TB this is the
+    standard cheap-profiling pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.count("*").alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+SAMPLE_ORACLE = """
+SELECT count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar suites: strings, dates, unpivot
+# --------------------------------------------------------------------------
+
+
+def string_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar stack (F1/F5 analogues, SURVEY.md §2.8): case,
+    substring, regexp extraction, length, concat — all JVM built-ins
+    inside one codegen'd projection; zero Python in the hot path."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_extract("c_name", r"(\d+)$", 1).alias("name_num"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+    )
+
+
+STRING_FUNCS_ORACLE = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substring(c_name, 1, 8) AS name_prefix,
+       coalesce(regexp_extract(c_name, '(\\d+)$', 1), '') AS name_num,
+       CAST(length(c_name) AS INT) AS name_len,
+       c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR) AS seg_nation
+FROM customer
+"""
+
+
+def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar stack over the events fixture: truncation and
+    part extraction (year/month/dow) feeding a group-aggregate.
+    dayofweek is normalized to DuckDB's 0=Sunday convention."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            (F.dayofweek("ts") - 1).alias("dow"),
+            "value",
+        )
+        .groupBy("y", "m", "dow")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+    )
+
+
+DATE_PARTS_ORACLE = """
+SELECT CAST(extract(year FROM ts) AS INT) AS y,
+       CAST(extract(month FROM ts) AS INT) AS m,
+       CAST(extract(dow FROM ts) AS INT) AS dow,
+       count(*) AS n, round(sum(value), 2) AS value_sum
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long unpivot (melt) of three measure columns, then a
+    per-measure aggregate. Unpivot is a zero-shuffle expand (each input
+    row emits 3 output rows map-side); the only shuffle is the final
+    3-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("val"), 2).alias("total"),
+    )
+
+
+UNPIVOT_ORACLE = """
+SELECT measure, count(*) AS n, round(sum(val), 2) AS total
+FROM (
+  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', l_discount FROM lineitem
+)
+GROUP BY measure
+"""
+
+
+QUERIES: dict = {
+    "cube_priority_status": (cube_priority_status, CUBE_ORACLE),
+    "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_ORACLE),
+    "ntile_balance_quartiles": (ntile_balance_quartiles, NTILE_ORACLE),
+    "corr_covar_stats": (corr_covar_stats, CORR_ORACLE),
+    "histogram_totalprice": (histogram_totalprice, HISTOGRAM_ORACLE),
+    "approx_distinct_bounds": (approx_distinct_bounds, APPROX_DISTINCT_ORACLE),
+    "range_join_discount_bands": (range_join_discount_bands, RANGE_JOIN_ORACLE),
+    "salted_skew_agg": (salted_skew_agg, SALTED_ORACLE),
+    "sample_modulo_agg": (sample_modulo_agg, SAMPLE_ORACLE),
+    "string_funcs_suite": (string_funcs_suite, STRING_FUNCS_ORACLE),
+    "date_parts_agg": (date_parts_agg, DATE_PARTS_ORACLE),
+    "unpivot_lineitem_measures": (unpivot_lineitem_measures, UNPIVOT_ORACLE),
+}

@@ -14,11 +14,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import core, dedup, joins, multimodal, similarity, text, timeseries
+from .operators import analytics, core, dedup, joins, multimodal, similarity, text, timeseries
 from .shipping import ensure_package_on_workers
 from .streaming import windows as streaming_windows
 
-_MODULES = (core, joins, text, timeseries, dedup, similarity, multimodal, streaming_windows)
+_MODULES = (
+    core,
+    joins,
+    analytics,
+    text,
+    timeseries,
+    dedup,
+    similarity,
+    multimodal,
+    streaming_windows,
+)
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 for _m in _MODULES:
