@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "ivf_ann_topk",             # IVF-Flat ANN (probed lists)
     "asof_join_purchase_view",  # as-of join (union-and-carry)
     "text_stats",               # text analysis
+    "window_lag_lead",          # analytic window suite
+    "range_join_discount_bands",  # broadcast interval join
+    "salted_skew_agg",          # skew-mitigated two-stage agg
 ]
 
 

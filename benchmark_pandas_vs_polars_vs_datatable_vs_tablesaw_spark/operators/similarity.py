@@ -204,15 +204,28 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)
     ).select((F.col("vec_id") - 100).alias("cent_id"), F.col("embedding").alias("c_vec"))
 
-    # assignment pass: every corpus vector -> nearest centroid
+    # assignment pass: every corpus vector -> nearest centroid.
+    # max_by over an ordering struct (cos DESC, cent_id ASC via
+    # negation) instead of a row_number window: the 8 candidate rows
+    # per vector collapse map-side in the partial aggregate, so the
+    # shuffle carries one row per vector and nothing is ever sorted —
+    # the window form shuffles and sorts all 8N rows.
     assign_cos = F.round(vectors.cosine(F.col("embedding"), F.col("c_vec")), 4)
-    wa = Window.partitionBy("vec_id").orderBy(F.col("a_cos").desc(), F.col("cent_id").asc())
     assigned = (
         emb.join(F.broadcast(cents), F.lit(True))
         .withColumn("a_cos", assign_cos)
-        .withColumn("a_rank", F.row_number().over(wa))
-        .filter(F.col("a_rank") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("list_id"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cent_id"), F.col("embedding")),
+                F.struct(F.col("a_cos").alias("c"), (-F.col("cent_id")).alias("t")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.embedding").alias("embedding"),
+            F.col("best.cent_id").alias("list_id"),
+        )
     )
 
     # probe pass: each query -> its N_PROBE nearest centroids

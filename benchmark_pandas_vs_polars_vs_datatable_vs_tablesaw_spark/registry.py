@@ -16,12 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import analytics, core, dedup, joins, multimodal, similarity, text, timeseries
 from .shipping import ensure_package_on_workers
+from .sources import storage
 from .streaming import windows as streaming_windows
 
 _MODULES = (
     core,
     joins,
     analytics,
+    storage,
     text,
     timeseries,
     dedup,

@@ -141,8 +141,59 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, spark, "append")
 
 
+def _stateful_count(key, pdfs, state):
+    """Per-user running (count, value-sum) kept in the state store.
+
+    Arrow hands each micro-batch's rows for one key as pandas frames;
+    the state tuple survives across batches (and executors — it lives
+    in the checkpointed state store, not in Python memory)."""
+    import pandas as pd
+
+    (user_id,) = key
+    n, vsum = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        vsum += float(pdf["value"].sum())
+    state.update((n, vsum))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "value_sum": [round(vsum, 4)]}
+    )
+
+
+def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY.md §2.10 / north-star custom-operator path): arbitrary
+    per-key Python state beyond what built-in windows express.
+
+    The fixture drive-through is one micro-batch, so the final update
+    per user equals the batch group-aggregate — which is the oracle.
+    At scale the state store shards by key across executors and
+    checkpoints to the fault-tolerance log; a watermark + TTL timeout
+    (ProcessingTimeTimeout) would bound state for unbounded key spaces.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _stateful_count,
+        outputStructType="user_id bigint, n_events bigint, value_sum double",
+        stateStructType="n bigint, vsum double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain(out, spark, "update")
+
+
+STREAMING_STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES: dict = {
     "streaming_hourly_agg": (streaming_hourly_agg, STREAMING_HOURLY_ORACLE),
     "streaming_sliding_agg": (streaming_sliding_agg, STREAMING_SLIDING_ORACLE),
     "streaming_session_window": (streaming_session_window, None),
+    "streaming_stateful_counter": (streaming_stateful_counter, STREAMING_STATEFUL_ORACLE),
 }

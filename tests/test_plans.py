@@ -6,6 +6,7 @@ does not add exchanges)."""
 
 from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import core, joins
 from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.plans import explain
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.sources import storage
 
 
 def test_flagship_filter_pushed_and_pruned(spark, sf_dir):
@@ -58,3 +59,20 @@ def test_groupby_mean_partial_agg(spark, sf_dir):
     # partial_avg before the exchange proves map-side combine
     text = explain.plan_text(core.groupby_mean(spark, sf_dir))
     assert "partial_avg" in text or "partial" in text.lower()
+
+
+def test_bucketed_join_skips_join_shuffle(spark, sf_dir):
+    # both sides bucketed by the join key -> the only Exchange is the
+    # final 1-column groupBy; the SortMergeJoin itself reads co-located
+    # buckets with no exchange and no sort
+    df = storage.bucketed_join_revenue(spark, sf_dir)
+    assert "SortMergeJoin" in explain.plan_text(df)
+    assert explain.shuffle_count(df) <= 1, "bucketed join must not shuffle the join inputs"
+
+
+def test_partitioned_scan_prunes(spark, sf_dir):
+    df = storage.partition_pruned_scan(spark, sf_dir)
+    text = explain.plan_text(df)
+    assert "PartitionFilters" in text and "o_orderpriority" in text.split("PartitionFilters", 1)[1].split("]")[0], (
+        "filter on the partition column must become a PartitionFilter (directory pruning)"
+    )
