@@ -377,8 +377,40 @@ GROUP BY measure
 """
 
 
+def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna quantile sketch vs exact percentile: emits the
+    exact p50/p95 plus booleans certifying the sketch landed within 2%
+    relative error (accuracy=1000 => rank error <= 0.1%).
+
+    Same bound-not-value differential pattern as
+    :func:`approx_distinct_bounds`: sketches are the only mergeable,
+    bounded-memory option at 100 TB — exact percentile sorts every
+    group in full.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    exact50 = F.expr("percentile(o_totalprice, 0.5)")
+    exact95 = F.expr("percentile(o_totalprice, 0.95)")
+    approx50 = F.expr("percentile_approx(o_totalprice, 0.5, 1000)")
+    approx95 = F.expr("percentile_approx(o_totalprice, 0.95, 1000)")
+    return orders.select(
+        F.round(exact50, 2).alias("p50_exact"),
+        F.round(exact95, 2).alias("p95_exact"),
+        ((F.abs(approx50 - exact50) / exact50) < 0.02).cast("int").alias("p50_within_2pct"),
+        ((F.abs(approx95 - exact95) / exact95) < 0.02).cast("int").alias("p95_within_2pct"),
+    )
+
+
+APPROX_QUANTILE_ORACLE = """
+SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+       round(quantile_cont(o_totalprice, 0.95), 2) AS p95_exact,
+       1 AS p50_within_2pct, 1 AS p95_within_2pct
+FROM orders
+"""
+
+
 QUERIES: dict = {
     "cube_priority_status": (cube_priority_status, CUBE_ORACLE),
+    "approx_quantile_bounds": (approx_quantile_bounds, APPROX_QUANTILE_ORACLE),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_ORACLE),
     "ntile_balance_quartiles": (ntile_balance_quartiles, NTILE_ORACLE),
     "corr_covar_stats": (corr_covar_stats, CORR_ORACLE),

@@ -34,12 +34,27 @@ TOP_K = 5
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: for each query vector (vec_id < 10), the 5
-    nearest corpus vectors (self excluded)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    nearest corpus vectors (self excluded).
+
+    Norms are precomputed once per row on each side BEFORE the
+    broadcast join — inside the join each corpus norm would be
+    re-derived per query (and each query norm per corpus row), an
+    O(|Q|x|C|xdim) waste. sqrt is deterministic so dot/(nrm*q_nrm)
+    is bit-identical to the inlined cosine.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("nrm", vectors.norm(F.col("embedding")))
     )
-    cos = F.round(vectors.cosine(F.col("q_vec"), F.col("embedding")), 4)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = F.round(
+        vectors.dot(F.col("q_vec"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 4
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
@@ -129,6 +144,7 @@ def ann_lsh_topk(
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", vectors.norm(F.col("embedding")))
     )
     dim = 64
     tables = [
@@ -141,12 +157,15 @@ def ann_lsh_topk(
         ]
     )
     bucketed = emb.select(
-        "vec_id", "embedding", F.explode(sig).alias("s")
-    ).select("vec_id", "embedding", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+        "vec_id", "embedding", "nrm", F.explode(sig).alias("s")
+    ).select(
+        "vec_id", "embedding", "nrm", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket")
+    )
 
     queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
         F.col("tbl").alias("q_tbl"),
         F.col("bucket").alias("q_bucket"),
     )
@@ -157,10 +176,12 @@ def ann_lsh_topk(
             & (F.col("bucket") == F.col("q_bucket"))
             & (F.col("vec_id") != F.col("q_id")),
         )
-        .select("q_id", "q_vec", "vec_id", "embedding")
+        .select("q_id", "q_vec", "q_nrm", "vec_id", "embedding", "nrm")
         .dropDuplicates(["q_id", "vec_id"])
     )
-    cos = F.round(vectors.cosine(F.col("q_vec"), F.col("embedding")), 4)
+    cos = F.round(
+        vectors.dot(F.col("q_vec"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 4
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         cand.withColumn("cos", cos)
@@ -199,51 +220,67 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", vectors.norm(F.col("embedding")))
     )
     cents = emb.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)
-    ).select((F.col("vec_id") - 100).alias("cent_id"), F.col("embedding").alias("c_vec"))
+    ).select(
+        (F.col("vec_id") - 100).alias("cent_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
+    )
 
     # assignment pass: every corpus vector -> nearest centroid.
     # max_by over an ordering struct (cos DESC, cent_id ASC via
     # negation) instead of a row_number window: the 8 candidate rows
     # per vector collapse map-side in the partial aggregate, so the
     # shuffle carries one row per vector and nothing is ever sorted —
-    # the window form shuffles and sorts all 8N rows.
-    assign_cos = F.round(vectors.cosine(F.col("embedding"), F.col("c_vec")), 4)
+    # the window form shuffles and sorts all 8N rows. Norms are
+    # precomputed per side (not per candidate pair) — sqrt is
+    # deterministic, so dot/(nrm*c_nrm) is bit-identical.
+    assign_cos = F.round(
+        vectors.dot(F.col("embedding"), F.col("c_vec")) / (F.col("nrm") * F.col("c_nrm")), 4
+    )
     assigned = (
         emb.join(F.broadcast(cents), F.lit(True))
         .withColumn("a_cos", assign_cos)
         .groupBy("vec_id")
         .agg(
             F.max_by(
-                F.struct(F.col("cent_id"), F.col("embedding")),
+                F.struct(F.col("cent_id"), F.col("embedding"), F.col("nrm")),
                 F.struct(F.col("a_cos").alias("c"), (-F.col("cent_id")).alias("t")),
             ).alias("best")
         )
         .select(
             "vec_id",
             F.col("best.embedding").alias("embedding"),
+            F.col("best.nrm").alias("nrm"),
             F.col("best.cent_id").alias("list_id"),
         )
     )
 
     # probe pass: each query -> its N_PROBE nearest centroids
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
     )
-    probe_cos = F.round(vectors.cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    probe_cos = F.round(
+        vectors.dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 4
+    )
     wp = Window.partitionBy("q_id").orderBy(F.col("p_cos").desc(), F.col("cent_id").asc())
     probes = (
         queries.join(F.broadcast(cents), F.lit(True))
         .withColumn("p_cos", probe_cos)
         .withColumn("p_rank", F.row_number().over(wp))
         .filter(F.col("p_rank") <= N_PROBE)
-        .select("q_id", "q_vec", F.col("cent_id").alias("list_id"))
+        .select("q_id", "q_vec", "q_nrm", F.col("cent_id").alias("list_id"))
     )
 
     # scan only the probed lists, exact rerank
-    cos = F.round(vectors.cosine(F.col("q_vec"), F.col("embedding")), 4)
+    cos = F.round(
+        vectors.dot(F.col("q_vec"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 4
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         assigned.join(F.broadcast(probes), "list_id")

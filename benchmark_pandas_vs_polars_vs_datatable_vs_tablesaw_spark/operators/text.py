@@ -185,8 +185,61 @@ FROM documents
 """
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with per-document top-3 terms — the classic relevance /
+    keyword-extraction pipeline over a corpus.
+
+    Stages: explode tokens -> tf per (doc, term) -> document frequency
+    per term -> join -> score -> per-doc top-k window. The df table
+    derives from tf grouped by term, so the tf-df join is already
+    co-partitioned on term (no extra exchange for the probe side); the
+    corpus size joins in as a broadcast scalar. idf uses the smoothed
+    ln((N+1)/(df+1)) form; scoring and ranking happen on the ROUNDED
+    value with a term tiebreak so rank order is engine-portable.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+TFIDF_ORACLE = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.n_docs + 1.0) / (dfq.df + 1.0)), 4) AS tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln((n.n_docs + 1.0) / (dfq.df + 1.0)), 4) DESC,
+                    tf.term ASC) AS INT) AS rank
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+) WHERE rank <= 3
+"""
+
+
 QUERIES: dict = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_ORACLE),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_ORACLE),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_ORACLE),
     "token_count_regex": (token_count_regex, TOKEN_COUNT_ORACLE),
