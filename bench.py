@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "window_lag_lead",          # analytic window suite
     "range_join_discount_bands",  # broadcast interval join
     "salted_skew_agg",          # skew-mitigated two-stage agg
+    "tfidf_top_terms",          # TF-IDF keyword extraction
+    "bucketed_join_revenue",    # co-located bucketed join (no exchange)
+    "partition_pruned_scan",    # partition-pruned layout read
 ]
 
 
