@@ -191,8 +191,39 @@ GROUP BY user_id
 """
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` on the event key over
+    a watermarked stream — the ingest-side dedup stage of a streaming
+    training-data pipeline.
+
+    Duplicates are injected by unioning the stream with a copy of its
+    own event_id < 100 slice (same trick as the batch dedup corpus);
+    the operator must emit each event_id exactly once. Dedup state is
+    keyed by event_id in the state store; the watermark lets Spark
+    expire keys older than the lateness bound instead of holding every
+    key forever — THE knob that makes streaming dedup viable on an
+    unbounded stream. Oracle = the batch distinct (event_ids are unique
+    in the fixture, so that is just ``events`` itself).
+    """
+    ev = _events_stream(spark, sf_dir).select("event_id", "ts", "event_type")
+    dups = ev.filter(F.col("event_id") < 100)
+    deduped = (
+        ev.union(dups)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type")
+    )
+    return _drain(deduped, spark, "append")
+
+
+STREAMING_DEDUP_ORACLE = """
+SELECT event_id, event_type FROM events
+"""
+
+
 QUERIES: dict = {
     "streaming_hourly_agg": (streaming_hourly_agg, STREAMING_HOURLY_ORACLE),
+    "streaming_dedup_events": (streaming_dedup_events, STREAMING_DEDUP_ORACLE),
     "streaming_sliding_agg": (streaming_sliding_agg, STREAMING_SLIDING_ORACLE),
     "streaming_session_window": (streaming_session_window, None),
     "streaming_stateful_counter": (streaming_stateful_counter, STREAMING_STATEFUL_ORACLE),
