@@ -408,8 +408,66 @@ FROM orders
 """
 
 
+def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind rollup/cube:
+    exactly the (priority, status), (status), and () subtotal levels,
+    skipping the (priority) level a cube would also compute. One scan,
+    one expand, one aggregate — subtotal selection is free."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("sum_price"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       round(sum(o_totalprice), 2) AS sum_price,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+"""
+
+
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist over a per-segment window — relative
+    standing of each customer's balance within its market segment.
+    One shuffle on the partition key; both functions share the single
+    sorted WindowExec pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+WINDOW_DIST_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist() OVER w, 4) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
 QUERIES: dict = {
     "cube_priority_status": (cube_priority_status, CUBE_ORACLE),
+    "grouping_sets_custom": (grouping_sets_custom, GROUPING_SETS_ORACLE),
+    "window_distribution_funcs": (window_distribution_funcs, WINDOW_DIST_ORACLE),
     "approx_quantile_bounds": (approx_quantile_bounds, APPROX_QUANTILE_ORACLE),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_ORACLE),
     "ntile_balance_quartiles": (ntile_balance_quartiles, NTILE_ORACLE),

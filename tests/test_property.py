@@ -1,0 +1,94 @@
+"""Property-based differential testing (SURVEY.md §5.2 item 5):
+hypothesis draws operator parameters (filter thresholds, bucket
+widths, top-k sizes) and the Spark formulation must match DuckDB for
+EVERY draw, not just the fixtures pinned in the registry.
+
+Example counts are small (Spark round-trip per example ~0.5 s) but the
+parameters cover the interesting boundaries: empty results, full-table
+results, k larger than the table.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.catalog import load_table
+
+from .helpers import compare_frames
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _oracle(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+        )
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+@SETTINGS
+@given(threshold=st.floats(min_value=-100.0, max_value=5000.0, allow_nan=False))
+def test_filter_threshold_matches(spark, sf_dir, threshold):
+    got = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") > threshold)
+        .select(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty_sum"),
+        )
+        .toPandas()
+    )
+    want = _oracle(
+        sf_dir,
+        f"""SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty_sum
+            FROM lineitem WHERE l_extendedprice > {threshold!r}""",
+    )
+    assert not compare_frames(got, want)
+
+
+@SETTINGS
+@given(width=st.integers(min_value=1, max_value=500_000))
+def test_histogram_width_matches(spark, sf_dir, width):
+    got = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.floor(F.col("o_totalprice") / width).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+    )
+    want = _oracle(
+        sf_dir,
+        f"""SELECT CAST(floor(o_totalprice / {width}) AS BIGINT) AS bin, count(*) AS n
+            FROM orders GROUP BY 1""",
+    )
+    assert not compare_frames(got, want)
+
+
+@SETTINGS
+@given(k=st.integers(min_value=0, max_value=10_000))
+def test_topk_size_matches(spark, sf_dir, k):
+    got = (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(k)
+        .toPandas()
+    )
+    want = _oracle(
+        sf_dir,
+        f"""SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {k}""",
+    )
+    assert not compare_frames(got, want)
