@@ -191,6 +191,101 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def outer_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join with null-side accounting: every customer x
+    order relationship classified as matched / customer-only /
+    order-only in one pass. The outer join shuffles both sides on the
+    key exactly like an inner SMJ — null rows are emitted by the merge,
+    not by extra work."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    side = (
+        F.when(F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull(), "matched")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("order_only")
+    )
+    return joined.groupBy(side.alias("side")).agg(
+        F.count("*").alias("n"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("price_sum"),
+    )
+
+
+OUTER_JOIN_ORACLE = """
+SELECT CASE
+         WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'matched'
+         WHEN o_custkey IS NULL THEN 'customer_only'
+         ELSE 'order_only'
+       END AS side,
+       count(*) AS n,
+       round(coalesce(sum(o_totalprice), 0.0), 2) AS price_sum
+FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+def null_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics end-to-end: nulls injected with nullif, then
+    counted, defaulted (coalesce), and excluded (dropna) — the
+    null-discipline every ingest pipeline needs pinned. All three
+    treatments happen in one aggregate pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    with_nulls = cust.withColumn(
+        "bal", F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal"))
+    )
+    return with_nulls.select(
+        F.count("*").alias("n_rows"),
+        F.count("bal").alias("n_nonnull"),
+        F.sum(F.col("bal").isNull().cast("int")).alias("n_null"),
+        F.round(F.sum(F.coalesce("bal", F.lit(0.0))), 2).alias("sum_defaulted"),
+        F.round(F.avg("bal"), 4).alias("avg_ignoring_nulls"),
+    )
+
+
+NULL_HANDLING_ORACLE = """
+SELECT count(*) AS n_rows,
+       count(bal) AS n_nonnull,
+       sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS n_null,
+       round(sum(coalesce(bal, 0.0)), 2) AS sum_defaulted,
+       round(avg(bal), 4) AS avg_ignoring_nulls
+FROM (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal FROM customer)
+"""
+
+
+def array_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + element ops: per-priority sorted key array
+    (deterministic via sort_array), its size, first/last elements, and
+    a containment probe. collect_list order is partition-dependent in
+    Spark, so the DETERMINISTIC formulation is always
+    sort_array(collect_list(...)) — same rule as groupby-first."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("keys"))
+        .select(
+            "o_orderpriority",
+            F.size("keys").alias("n_keys"),
+            F.element_at("keys", 1).alias("first_key"),
+            F.element_at("keys", -1).alias("last_key"),
+            F.array_contains("keys", 7).cast("int").alias("has_key_7"),
+        )
+    )
+
+
+ARRAY_AGG_ORACLE = """
+SELECT o_orderpriority,
+       CAST(len(keys) AS INT) AS n_keys,
+       keys[1] AS first_key,
+       keys[-1] AS last_key,
+       CAST(list_contains(keys, 7) AS INT) AS has_key_7
+FROM (
+  SELECT o_orderpriority, list_sort(list(o_orderkey)) AS keys
+  FROM orders WHERE o_orderkey <= 200
+  GROUP BY o_orderpriority
+)
+"""
+
+
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window: per-customer running order total, ordered by
     date with the key as tiebreak. One shuffle on the partition key;
@@ -332,6 +427,9 @@ QUERIES: dict = {
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
     ),
+    "outer_join_coverage": (outer_join_coverage, OUTER_JOIN_ORACLE),
+    "null_handling_suite": (null_handling_suite, NULL_HANDLING_ORACLE),
+    "array_agg_suite": (array_agg_suite, ARRAY_AGG_ORACLE),
     "window_running_total": (window_running_total, WINDOW_RUNNING_ORACLE),
     "rollup_returnflag_linestatus": (rollup_returnflag_linestatus, ROLLUP_ORACLE),
     "pivot_linestatus": (pivot_linestatus, PIVOT_ORACLE),

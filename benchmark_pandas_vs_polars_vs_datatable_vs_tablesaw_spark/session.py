@@ -46,6 +46,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local-mode shuffle files go to tmpfs when available: a sort's
+        # shuffle write+fetch is pure disk I/O on /tmp otherwise (the
+        # single-node stand-in for a cluster's local NVMe shuffle dirs).
+        # Harmless off-box: env-overridable, falls back to /tmp.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
