@@ -464,8 +464,51 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """
 
 
+def _zscore_pdf(pdf):
+    """Grouped-map kernel: per-group z-score, vectorized numpy inside
+    one Arrow batch per group (module-level so workers re-import it by
+    name — see shipping.py)."""
+    m = pdf["l_quantity"].mean()
+    s = pdf["l_quantity"].std(ddof=1)
+    out = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
+    out["z"] = ((pdf["l_quantity"] - m) / s).round(4)
+    return out
+
+
+def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch grouped-map Pandas UDF (``applyInPandas``): per-group
+    z-score normalization — the API tier between built-ins and
+    ``mapInPandas`` for logic that genuinely needs the whole group in
+    one pandas frame.
+
+    Completes the Python-surface ladder (SURVEY.md §2.11): built-ins
+    everywhere possible > mapInPandas (multimodal codec, streaming
+    batches) > applyInPandas (this) > never row-at-a-time Python. One
+    shuffle on the group key; each group must fit one task's memory —
+    for unbounded groups prefer the pure-SQL window formulation the
+    oracle uses (which is also the 100 TB formulation; this operator
+    exists to exercise the grouped-map path itself).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        _zscore_pdf,
+        "l_orderkey long, l_linenumber long, l_returnflag string, z double",
+    )
+
+
+APPLYINPANDAS_ZSCORE_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       round((l_quantity - avg(l_quantity) OVER w) / stddev_samp(l_quantity) OVER w, 4) AS z
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag)
+"""
+
+
 QUERIES: dict = {
     "cube_priority_status": (cube_priority_status, CUBE_ORACLE),
+    "applyinpandas_zscore": (applyinpandas_zscore, APPLYINPANDAS_ZSCORE_ORACLE),
     "grouping_sets_custom": (grouping_sets_custom, GROUPING_SETS_ORACLE),
     "window_distribution_funcs": (window_distribution_funcs, WINDOW_DIST_ORACLE),
     "approx_quantile_bounds": (approx_quantile_bounds, APPROX_QUANTILE_ORACLE),

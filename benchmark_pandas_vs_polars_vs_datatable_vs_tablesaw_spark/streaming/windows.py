@@ -221,9 +221,60 @@ SELECT event_id, event_type FROM events
 """
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's view events in the preceding 30 minutes.
+
+    THE hard streaming operator: both sides are unbounded, so Spark
+    buffers each side in the state store and the JOIN CONDITION's time
+    bounds + watermarks are what let it evict — a view older than
+    30 min past the watermark can never match a future purchase and is
+    dropped. Without the interval bounds the state would grow forever
+    (Spark rejects unbounded stream-stream equi-joins in append mode
+    for exactly that reason). Oracle = the identical batch self-join.
+    """
+    ev = _events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("p_id", "v_id", "p_user")
+    return _drain(joined, spark, "append")
+
+
+STREAMING_INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id AS p_user
+FROM events p JOIN events v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+"""
+
+
 QUERIES: dict = {
     "streaming_hourly_agg": (streaming_hourly_agg, STREAMING_HOURLY_ORACLE),
     "streaming_dedup_events": (streaming_dedup_events, STREAMING_DEDUP_ORACLE),
+    "streaming_interval_join": (streaming_interval_join, STREAMING_INTERVAL_JOIN_ORACLE),
     "streaming_sliding_agg": (streaming_sliding_agg, STREAMING_SLIDING_ORACLE),
     "streaming_session_window": (streaming_session_window, None),
     "streaming_stateful_counter": (streaming_stateful_counter, STREAMING_STATEFUL_ORACLE),
