@@ -291,6 +291,50 @@ FROM orders WHERE o_orderkey % 10 = 0
 # --------------------------------------------------------------------------
 
 
+def stratified_sample_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``) with a bound
+    check: the observed fraction per segment must land within ±0.15 of
+    the requested fraction (seeded ⇒ deterministic per dataset; the
+    bound is the differential contract since Bernoulli draws are
+    engine-specific — same pattern as the sketch bound checks).
+
+    Scale note: sampleBy is a map-side filter on a seeded hash — no
+    shuffle, no state; the standard way to cut a stratified dev set
+    from a 100 TB corpus in one narrow pass.
+    """
+    fractions = {"BUILDING": 0.5, "MACHINERY": 0.3}
+    cust = load_table(spark, sf_dir, "customer")
+    sampled = (
+        cust.sampleBy("c_mktsegment", fractions, seed=42)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    totals = (
+        cust.filter(F.col("c_mktsegment").isin(*fractions))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_total"))
+    )
+    target = F.when(F.col("c_mktsegment") == "BUILDING", 0.5).otherwise(0.3)
+    return (
+        totals.join(sampled, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            target.alias("target_frac"),
+            (
+                F.abs(F.coalesce("n_sampled", F.lit(0)) / F.col("n_total") - target) < 0.15
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+    )
+
+
+STRATIFIED_SAMPLE_ORACLE = """
+SELECT * FROM (VALUES ('BUILDING', 0.5, 1), ('MACHINERY', 0.3, 1))
+  AS t(c_mktsegment, target_frac, within_bound)
+"""
+
+
 def string_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar stack (F1/F5 analogues, SURVEY.md §2.8): case,
     substring, regexp extraction, length, concat — all JVM built-ins
@@ -520,6 +564,7 @@ QUERIES: dict = {
     "range_join_discount_bands": (range_join_discount_bands, RANGE_JOIN_ORACLE),
     "salted_skew_agg": (salted_skew_agg, SALTED_ORACLE),
     "sample_modulo_agg": (sample_modulo_agg, SAMPLE_ORACLE),
+    "stratified_sample_bounds": (stratified_sample_bounds, STRATIFIED_SAMPLE_ORACLE),
     "string_funcs_suite": (string_funcs_suite, STRING_FUNCS_ORACLE),
     "date_parts_agg": (date_parts_agg, DATE_PARTS_ORACLE),
     "unpivot_lineitem_measures": (unpivot_lineitem_measures, UNPIVOT_ORACLE),
