@@ -261,8 +261,64 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 
+def events_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + resample: purchase events resampled to a dense hourly
+    grid — missing hours materialized from a generated time spine
+    (sequence + explode), counts zero-filled, the value sum carried
+    forward with last(ignorenulls) — the standard
+    regularize-an-irregular-series op every feature pipeline needs.
+
+    The spine generates from the aggregate min/max — one tiny row
+    exploded to |hours| rows, broadcast-joined against the hourly
+    aggregate. The carry-forward window here is a single global order
+    (fine for one series); the per-key version partitions the window by
+    series key, which is also what keeps it parallel at 100 TB (one
+    series' spine per key, never a global sort of all points).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("vs"),
+    )
+    bounds = ev.select(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(hourly, "h", "left")
+        .select(
+            F.date_format("h", TS_FMT).alias("hour_start"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.round(F.last("vs", ignorenulls=True).over(w), 4).alias("value_carry"),
+        )
+    )
+
+
+EVENTS_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n, round(sum(value), 4) AS vs
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events WHERE event_type = 'purchase'
+),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       coalesce(n, 0) AS n_events,
+       round(last_value(vs IGNORE NULLS) OVER (
+         ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_carry
+FROM spine LEFT JOIN hourly USING (h)
+"""
+
+
 QUERIES: dict = {
     "events_hourly_agg": (events_hourly_agg, EVENTS_HOURLY_ORACLE),
+    "events_gapfill_resample": (events_gapfill_resample, EVENTS_GAPFILL_ORACLE),
     "asof_join_purchase_view": (asof_join_purchase_view, ASOF_JOIN_ORACLE),
     "events_sliding_window": (events_sliding_window, EVENTS_SLIDING_ORACLE),
     "events_sessionization": (events_sessionization, EVENTS_SESSION_ORACLE),
