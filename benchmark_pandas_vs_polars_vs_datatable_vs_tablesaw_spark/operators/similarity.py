@@ -360,6 +360,51 @@ WHERE rank <= {TOP_K}
 """
 
 
+def mllib_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via MLlib's ``BucketedRandomProjectionLSH`` (Euclidean): the
+    library-provided counterpart to the hand-built hyperplane LSH —
+    fit hash tables over the corpus, ``approxSimilarityJoin`` the query
+    set within distance 1.3 (fixture embeddings are unit-norm; NN
+    distances sit at 1.0-1.25), exact-distance top-5 rerank.
+
+    Same plan shape as the custom LSH: candidates from a bucket
+    equi-join (OR across numHashTables), never an all-pairs product;
+    the join output carries the exact Euclidean distance for the
+    rerank. Seeded ⇒ deterministic per dataset, but hash-dependent ⇒
+    rows-only driver check; tests floor recall@5 vs the exact cosine
+    baseline (equivalent ordering for unit vectors: d² = 2-2cos).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=1.0,
+        numHashTables=8,
+        seed=42,
+    ).fit(emb)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    joined = model.approxSimilarityJoin(emb, queries, 1.3, distCol="dist")
+    pairs = joined.select(
+        F.col("datasetB.vec_id").alias("q_id"),
+        F.col("datasetA.vec_id").alias("vec_id"),
+        F.round(F.col("dist"), 4).alias("dist"),
+    ).filter(F.col("q_id") != F.col("vec_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "dist", "rank")
+    )
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector column hygiene stats (norm distribution per label) — the
     sanity probe every embedding pipeline runs before indexing."""
@@ -392,6 +437,7 @@ FROM norms GROUP BY label
 QUERIES: dict = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_ORACLE),
     "ann_lsh_topk": (ann_lsh_topk, None),
+    "mllib_lsh_ann_topk": (mllib_lsh_ann_topk, None),
     "ivf_ann_topk": (ivf_ann_topk, IVF_ANN_ORACLE),
     "embedding_norm_stats": (embedding_norm_stats, EMBEDDING_NORM_ORACLE),
 }

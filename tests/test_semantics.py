@@ -79,6 +79,20 @@ def test_lsh_ann_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.4, f"LSH recall@5 collapsed: {recall:.2f}"
 
 
+def test_mllib_lsh_recall_vs_exact(spark, sf_dir):
+    """The MLlib BucketedRandomProjectionLSH variant must also hold a
+    recall floor vs the exact baseline (unit-norm vectors make
+    Euclidean and cosine rankings equivalent: d^2 = 2 - 2cos)."""
+    exact = {
+        (r.q_id, r.vec_id) for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id) for r in similarity.mllib_lsh_ann_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"MLlib LSH recall@5 collapsed: {recall:.2f}"
+
+
 def test_streaming_session_window_subset_of_batch(spark, sf_dir):
     """Append-mode session windows withhold sessions past the final
     watermark, so the stream result must be a subset of (and most of)
