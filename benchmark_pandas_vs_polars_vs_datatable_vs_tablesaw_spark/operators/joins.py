@@ -258,6 +258,62 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert emulation (CDC apply): a change set (10% price
+    corrections + synthetic new rows) merged into the base table —
+    matched rows take the update, unmatched updates insert, everything
+    else carries over. One full-outer join on the key + coalesce
+    resolution, then a verification aggregate.
+
+    This is exactly the reconcile step a lakehouse MERGE INTO performs;
+    without a transactional table format the result is written as a new
+    snapshot (blind overwrite), which at 100 TB argues for key-bucketed
+    snapshots so the next merge's join is exchange-free (see
+    bucketed_join_revenue)."""
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    updates = base.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey", (F.col("o_totalprice") * 1.1).alias("u_price")
+    )
+    inserts = spark.range(5).select(
+        (F.col("id") + 900_000_000).alias("o_orderkey"),
+        F.lit(42.0).alias("u_price"),
+    )
+    changes = updates.unionByName(inserts)
+    merged = (
+        base.join(changes, "o_orderkey", "full_outer")
+        .select(
+            "o_orderkey",
+            F.round(F.coalesce("u_price", "o_totalprice"), 2).alias("price"),
+            F.when(F.col("o_totalprice").isNull(), "inserted")
+            .when(F.col("u_price").isNull(), "unchanged")
+            .otherwise("updated")
+            .alias("action"),
+        )
+    )
+    return merged.groupBy("action").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("price"), 2).alias("price_sum"),
+    )
+
+
+MERGE_UPSERT_ORACLE = """
+WITH changes AS (
+  SELECT o_orderkey, o_totalprice * 1.1 AS u_price
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT 900000000 + g AS o_orderkey, 42.0 AS u_price
+  FROM generate_series(0, 4) AS t(g)
+)
+SELECT CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+            WHEN c.u_price IS NULL THEN 'unchanged'
+            ELSE 'updated' END AS action,
+       count(*) AS n,
+       round(sum(round(coalesce(c.u_price, b.o_totalprice), 2)), 2) AS price_sum
+FROM orders b FULL OUTER JOIN changes c USING (o_orderkey)
+GROUP BY 1
+"""
+
+
 def outer_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer join with null-side accounting: every customer x
     order relationship classified as matched / customer-only /
@@ -496,6 +552,7 @@ QUERIES: dict = {
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
     ),
+    "merge_upsert_orders": (merge_upsert_orders, MERGE_UPSERT_ORACLE),
     "outer_join_coverage": (outer_join_coverage, OUTER_JOIN_ORACLE),
     "null_handling_suite": (null_handling_suite, NULL_HANDLING_ORACLE),
     "array_agg_suite": (array_agg_suite, ARRAY_AGG_ORACLE),

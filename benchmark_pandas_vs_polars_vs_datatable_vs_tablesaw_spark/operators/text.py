@@ -185,6 +185,41 @@ FROM documents
 """
 
 
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning / normalization pass (the pre-tokenization stage of
+    every corpus pipeline): digit-run scrubbing (the PII-redaction
+    shape), whitespace collapse, trim, lowercase — chained
+    regexp_replace built-ins in ONE codegen'd projection, zero shuffle,
+    plus before/after length accounting."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("text", r"[0-9]+", "<NUM>"), r"\s+", " "
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length("text").alias("len_raw"),
+        F.length(cleaned).alias("len_clean"),
+        F.regexp_count("text", F.lit("[0-9]+")).alias("n_scrubbed"),
+    )
+
+
+TEXT_CLEAN_ORACLE = """
+SELECT doc_id,
+       lower(trim(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                                 '\\s+', ' ', 'g'))) AS clean_text,
+       length(text) AS len_raw,
+       length(lower(trim(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                                        '\\s+', ' ', 'g')))) AS len_clean,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_scrubbed
+FROM documents
+"""
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF with per-document top-3 terms — the classic relevance /
     keyword-extraction pipeline over a corpus.
@@ -240,6 +275,7 @@ SELECT doc_id, term, tfidf, rank FROM (
 QUERIES: dict = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_ORACLE),
+    "text_clean_normalize": (text_clean_normalize, TEXT_CLEAN_ORACLE),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_ORACLE),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_ORACLE),
     "token_count_regex": (token_count_regex, TOKEN_COUNT_ORACLE),
