@@ -10,8 +10,9 @@ ONE JSON line to stdout:
 
 Methodology mirrors the reference harness (SURVEY.md §2.12): one
 un-timed warm-up pass (H4, `you_TablesawBenchmark1.java:67-69`),
-median of REPS timed runs per query (H2, `Benchmark1.java:18` RUNS=5 —
-we default to 3 to fit the round budget), each run forced through a
+median of REPS timed runs per query (H2, `Benchmark1.java:18` RUNS=5,
+matched here — the hosting VM shows ±40% run-to-run noise, which a
+median-of-5 absorbs far better than 3), each run forced through a
 full materialization. Forcing uses the `noop` sink so timing covers
 the complete distributed plan without driver-side collect overhead.
 """
@@ -30,7 +31,7 @@ from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark import registry
 from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
 # Headline set: the reference's five measured ops transposed (read/
 # write/group/sort/to_np, SURVEY.md §6) + the flagship lazy pipeline +

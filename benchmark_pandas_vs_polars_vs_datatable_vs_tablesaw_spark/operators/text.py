@@ -272,8 +272,48 @@ SELECT doc_id, term, tfidf, rank FROM (
 """
 
 
+def _doc_score_kernel(lengths, n_tokens):
+    """Vectorized scalar kernel (numpy over Arrow batches): a
+    deterministic integer score so the UDF path itself is
+    oracle-checkable bit-for-bit (module-level for worker re-import)."""
+    return (lengths * 31 + n_tokens * 7) % 1000
+
+
+def pandas_udf_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ``pandas_udf`` — the vectorized escape hatch
+    (SURVEY.md §2.11) demonstrated end-to-end: Arrow ships column
+    batches to Python, numpy computes, Arrow ships back. Integer-exact
+    math makes even the Python path fully DuckDB-differential.
+
+    Scale note: still a narrow map (no shuffle), but each batch pays
+    the Arrow serialize/compute/deserialize round-trip — which is why
+    everything expressible stays in built-ins (10-100x, SURVEY.md
+    §2.11) and the UDF tier is reserved for genuinely-Python logic.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def score(lengths, n_tokens):
+        return _doc_score_kernel(lengths, n_tokens)
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        score(F.length("text").cast("long"), F.size(toks).cast("long")).alias("score"),
+    )
+
+
+PANDAS_UDF_SCORE_ORACLE = """
+SELECT doc_id,
+       (length(text) * 31 + len(string_split(text, ' ')) * 7) % 1000 AS score
+FROM documents
+"""
+
+
 QUERIES: dict = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
+    "pandas_udf_doc_score": (pandas_udf_doc_score, PANDAS_UDF_SCORE_ORACLE),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_ORACLE),
     "text_clean_normalize": (text_clean_normalize, TEXT_CLEAN_ORACLE),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_ORACLE),
