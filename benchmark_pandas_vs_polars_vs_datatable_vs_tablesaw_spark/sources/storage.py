@@ -132,7 +132,88 @@ GROUP BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# format round-trips: every sink/source format Spark ships natively
+# --------------------------------------------------------------------------
+
+
+def _roundtrip_path(sf_dir: str, fmt: str) -> str:
+    return os.path.join(WAREHOUSE, f"rt_{fmt}_{_tag(sf_dir)}")
+
+
+_SUPPLIER_AGG_ORACLE = """
+SELECT count(*) AS n, count(DISTINCT s_suppkey) AS n_keys,
+       round(sum(s_acctbal), 2) AS bal_sum
+FROM supplier
+"""
+
+
+def _supplier_agg(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.count("*").alias("n"),
+        F.count_distinct("s_suppkey").alias("n_keys"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
+    )
+
+
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema'd source: the interchange format of
+    most ingestion pipelines. Read back with the WRITER's schema —
+    never inference at scale (inference is a full extra pass and can
+    widen types batch-to-batch)."""
+    src = load_table(spark, sf_dir, "supplier")
+    path = _roundtrip_path(sf_dir, "json")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src.write.mode("overwrite").json(path)
+    back = spark.read.schema(src.schema).json(path)
+    return _supplier_agg(back)
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source — the other columnar format Spark ships a
+    vectorized reader for; same pushdown/pruning properties as parquet."""
+    src = load_table(spark, sf_dir, "supplier")
+    path = _roundtrip_path(sf_dir, "orc")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src.write.mode("overwrite").orc(path)
+    return _supplier_agg(spark.read.orc(path))
+
+
+def parquet_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet with explicit zstd codec — codec choice is a first-order
+    cost knob at 100 TB (zstd ≈ snappy decode speed at ~30% smaller
+    files ⇒ proportionally less scan I/O)."""
+    src = load_table(spark, sf_dir, "supplier")
+    path = _roundtrip_path(sf_dir, "pq_zstd")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src.write.option("compression", "zstd").mode("overwrite").parquet(path)
+    return _supplier_agg(spark.read.parquet(path))
+
+
+def textfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line sink/source (one string column) — the format of
+    unprocessed corpus dumps; accounting on line count + total chars."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    path = _roundtrip_path(sf_dir, "text")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.select(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("n_chars"),
+    )
+
+
+TEXTFILE_ORACLE = """
+SELECT count(*) AS n_lines, sum(length(text)) AS n_chars FROM documents
+"""
+
+
 QUERIES: dict = {
     "bucketed_join_revenue": (bucketed_join_revenue, BUCKETED_JOIN_ORACLE),
     "partition_pruned_scan": (partition_pruned_scan, PARTITION_PRUNED_ORACLE),
+    "json_roundtrip": (json_roundtrip, _SUPPLIER_AGG_ORACLE),
+    "orc_roundtrip": (orc_roundtrip, _SUPPLIER_AGG_ORACLE),
+    "parquet_zstd_roundtrip": (parquet_zstd_roundtrip, _SUPPLIER_AGG_ORACLE),
+    "textfile_roundtrip": (textfile_roundtrip, TEXTFILE_ORACLE),
 }
