@@ -72,6 +72,21 @@ ORDER BY l_returnflag
 """
 
 
+def sql_api_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline through the OTHER front door: one
+    ``spark.sql`` string over registered views instead of DataFrame
+    combinators. Both forms parse to the same Catalyst logical plan
+    (SURVEY.md §3.2-3.3 — combinators and SQL are two syntaxes for one
+    IR), so pushdown/pruning/agg strategy are identical; this entry
+    exists to pin that the SQL surface is first-class. The oracle is
+    the very same string, making this a dialect-compatibility check
+    too."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(FLAGSHIP_ORACLE)
+
+
 # --------------------------------------------------------------------------
 # P1 / P2 / P4 — filters and projections
 # --------------------------------------------------------------------------
@@ -431,6 +446,7 @@ def matrix_partition_stats(df: DataFrame) -> DataFrame:
 
 QUERIES: dict = {
     "flagship_lazy_pipeline": (flagship_lazy_pipeline, FLAGSHIP_ORACLE),
+    "sql_api_flagship": (sql_api_flagship, FLAGSHIP_ORACLE),
     "filter_numeric_gt": (
         filter_numeric_gt,
         """

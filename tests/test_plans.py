@@ -61,6 +61,36 @@ def test_groupby_mean_partial_agg(spark, sf_dir):
     assert "partial_avg" in text or "partial" in text.lower()
 
 
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    # every Q6 predicate (date range, discount band, quantity bound)
+    # must reach the parquet scan as a PushedFilter
+    text = explain.plan_text(joins.q6_forecast_revenue(spark, sf_dir))
+    pushed = [line for line in text.splitlines() if "PushedFilters" in line]
+    assert pushed, "no PushedFilters line in plan"
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed[0], f"{col} predicate not pushed to scan"
+
+
+def test_sql_api_same_plan_as_dataframe(spark, sf_dir):
+    # spark.sql and the combinator chain must produce the same physical
+    # plan shape (same operator sequence; ids differ)
+    import re
+
+    def shape(df):
+        return [
+            re.sub(r"\(\d+\)\s*", "", line.strip())
+            for line in explain.plan_text(df).splitlines()
+            if line.strip().startswith("+-") or line.strip().startswith("(")
+        ][:8]
+
+    a = core.flagship_lazy_pipeline(spark, sf_dir)
+    b = core.sql_api_flagship(spark, sf_dir)
+    assert explain.shuffle_count(a) == explain.shuffle_count(b)
+    assert ("HashAggregate" in explain.plan_text(a)) == (
+        "HashAggregate" in explain.plan_text(b)
+    )
+
+
 def test_bucketed_join_skips_join_shuffle(spark, sf_dir):
     # both sides bucketed by the join key -> the only Exchange is the
     # final 1-column groupBy; the SortMergeJoin itself reads co-located
