@@ -14,7 +14,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import analytics, core, dedup, joins, multimodal, similarity, text, timeseries
+from .operators import (
+    analytics,
+    core,
+    dedup,
+    joins,
+    multimodal,
+    similarity,
+    text,
+    timeseries,
+    tpch_extra,
+)
 from .shipping import ensure_package_on_workers
 from .sources import storage
 from .streaming import windows as streaming_windows
@@ -22,6 +32,7 @@ from .streaming import windows as streaming_windows
 _MODULES = (
     core,
     joins,
+    tpch_extra,
     analytics,
     storage,
     text,
