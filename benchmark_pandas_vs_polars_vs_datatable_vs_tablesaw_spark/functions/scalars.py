@@ -65,6 +65,29 @@ def round2(col: Column) -> Column:
     return F.round(col, 2)
 
 
+def money_sum(expr: Column, scale: int = 10_000) -> Column:
+    """Order-independent, cross-engine-exact sum of decimal-quantized
+    doubles (see operators/tpch_extra.py for the full rationale).
+
+    Fixture prices/discounts/taxes are 2-decimal, so money products
+    are exact multiples of 1e-4 (1e-6 with a tax factor — pass
+    scale=1_000_000 there). Accumulating `round(expr * scale)` as
+    int64 makes the sum exact and independent of Spark's partial-agg
+    merge order AND of DuckDB's summation order, so both engines emit
+    bit-identical doubles with no output rounding. `round(sum(x), 2)`
+    of a float sum, by contrast, can split across a .xx5 boundary
+    between engines (observed at sf0.01).
+
+    Oracle twin: `sum(CAST(round(expr * {scale}) AS BIGINT)) / {scale}.0`.
+    int64 headroom: at 100 TB (~1e11 lineitem rows x ~1e5 price x 1e6
+    scale ≈ 1e22) per-group totals of a GLOBAL sum would overflow —
+    for global 100 TB rollups use scale=100 (cents, ≈1e18) or a
+    DECIMAL(38, 4) cast instead; per-key group sums stay far below
+    the limit at any SF.
+    """
+    return F.sum(F.round(expr * scale).cast("long")) / F.lit(float(scale))
+
+
 def numeric_or_nan(col: Column, data_type: T.DataType) -> Column:
     """F7 — numeric cells cast to double, non-numeric cells -> NaN.
 

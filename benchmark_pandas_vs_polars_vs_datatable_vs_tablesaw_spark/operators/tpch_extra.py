@@ -37,24 +37,9 @@ def _ts(s: str):
     return F.lit(s).cast("timestamp")
 
 
-def _money_sum(expr, scale: int = 10_000):
-    """Order-independent, cross-engine-exact sum of decimal-quantized
-    doubles.
-
-    Prices/balances are 2-decimal and discounts 2-decimal in the
-    fixtures, so money expressions are exact multiples of 1e-4. Binary
-    double sums reassociate differently between Spark partial
-    aggregation (shuffle-arrival merge order — nondeterministic run to
-    run) and DuckDB, which can flip a final `round(sum, 2)` across a
-    .xx5 boundary (observed at sf0.01). Summing
-    `round(expr * 1e4)` as int64 instead is exact and
-    order-independent (each scaled term is within ~1e-6 of its
-    integer, far from the .5 rounding boundary; totals stay far below
-    int64 range at any SF), and the final division yields bit-identical
-    doubles in both engines — no output rounding needed. Oracle twin:
-    `sum(CAST(round(expr * 10000) AS BIGINT)) / 10000.0`.
-    """
-    return F.sum(F.round(expr * scale).cast("long")) / F.lit(float(scale))
+# Shared exact-money-sum helper (docstring there explains the int64
+# ten-thousandths trick and its 100 TB overflow headroom).
+from ..functions.scalars import money_sum as _money_sum
 
 
 # ---------------------------------------------------------------------------
