@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
     analytics,
+    arrays,
     core,
     dedup,
     joins,
@@ -34,6 +35,7 @@ _MODULES = (
     joins,
     tpch_extra,
     analytics,
+    arrays,
     storage,
     text,
     timeseries,
