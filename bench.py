@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "range_join_discount_bands",  # broadcast interval join
     "salted_skew_agg",          # skew-mitigated two-stage agg
     "tfidf_top_terms",          # TF-IDF keyword extraction
+    "curation_pipeline",        # end-to-end corpus curation (score+gate+dedup+stats)
+    "q18_large_volume_customers",  # IN-over-HAVING fact self-aggregation
     "bucketed_join_revenue",    # co-located bucketed join (no exchange)
     "partition_pruned_scan",    # partition-pruned layout read
 ]

@@ -311,8 +311,91 @@ FROM documents
 """
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in ONE Catalyst plan:
+    score -> language-gate -> exact near-dup removal -> corpus stats.
+
+    The composition every 100 TB data pipeline runs nightly:
+
+    1. per-row quality score + language ID (pure projections, fused
+       with the parquet scan — zero shuffle);
+    2. gate on unrounded score/language (bit-identical doubles from
+       integer ratios in both engines, so the gate can't flap);
+    3. exact dedup on md5(text), keeping the lowest doc_id per
+       fingerprint (ONE shuffle, on the fingerprint — the window +
+       row_number form so survivor choice is deterministic);
+    4. per-(source, lang) corpus accounting (second, tiny shuffle).
+
+    At 100 TB: stage 3's shuffle is the cost center — the fingerprint
+    key is uniform (cryptographic hash) so it cannot skew, and AQE
+    coalesces the post-shuffle partitions.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = n_stop / n_tokens
+    score = F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (F.lit(1.0) - stop_ratio)
+    vowels = F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))
+    lang_pred = F.when(vowels / F.length("text") < 0.24, "en").otherwise("other")
+
+    scored = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        score.alias("score"),
+        lang_pred.alias("lang_pred"),
+        F.md5("text").alias("fp"),
+    ).filter((F.col("score") >= 0.3) & (F.col("lang_pred") == "en"))
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("source")
+    )
+
+
+CURATION_PIPELINE_ORACLE = """
+WITH scored AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           least(1.0, len(string_split(text, ' ')) / 100.0)
+             * (1.0 - len(list_filter(string_split(text, ' '),
+                                      t -> t IN ('the','a','and','of')))
+                      / len(string_split(text, ' '))) AS score,
+           CASE WHEN (length(text)
+                      - length(regexp_replace(text, '[aeiou]', '', 'g')))
+                     / length(text) < 0.24
+                THEN 'en' ELSE 'other' END AS lang_pred,
+           md5(text) AS fp
+    FROM documents),
+gated AS (
+    SELECT * FROM scored WHERE score >= 0.3 AND lang_pred = 'en'),
+deduped AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated)
+    WHERE rn = 1)
+SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(avg(score), 4) AS avg_score
+FROM deduped
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES: dict = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
+    "curation_pipeline": (curation_pipeline, CURATION_PIPELINE_ORACLE),
     "pandas_udf_doc_score": (pandas_udf_doc_score, PANDAS_UDF_SCORE_ORACLE),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_ORACLE),
     "text_clean_normalize": (text_clean_normalize, TEXT_CLEAN_ORACLE),
