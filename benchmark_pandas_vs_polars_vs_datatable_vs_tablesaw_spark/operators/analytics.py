@@ -550,8 +550,115 @@ WINDOW w AS (PARTITION BY l_returnflag)
 """
 
 
+def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide / try_cast / nullif — the ANSI-safe arithmetic
+    surface a production pipeline needs so malformed rows degrade to
+    NULL instead of failing the job (Spark ANSI mode is default-on in
+    4.x; the try_* family is the per-expression opt-out).
+
+    try_divide(x, q-25) nulls where quantity == 25; try_cast of a
+    non-numeric status nulls always; the aggregate counts both. NULL
+    division results are irregular reals (not decimal-aligned), so
+    avg at 4 dp is safely far from any cross-engine rounding boundary.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    div = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25)
+    status_num = F.col("l_linestatus").try_cast("int")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(div.isNull(), 1)).alias("n_div_null"),
+            F.round(F.avg(div), 4).alias("avg_safe_div"),
+            F.count(status_num).alias("n_cast_ok"),
+            F.count(F.when(F.nullif(F.col("l_quantity"), F.lit(25.0)).isNull(), 1)).alias(
+                "n_qty_25"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ANSI_SAFE_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n,
+       count(CASE WHEN l_quantity = 25 THEN 1 END) AS n_div_null,
+       round(avg(CASE WHEN l_quantity = 25 THEN NULL
+                      ELSE l_extendedprice / (l_quantity - 25) END), 4)
+           AS avg_safe_div,
+       count(TRY_CAST(l_linestatus AS INT)) AS n_cast_ok,
+       count(CASE WHEN nullif(l_quantity, 25.0) IS NULL THEN 1 END) AS n_qty_25
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def higher_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed skewness / kurtosis from raw power sums.
+
+    Spark's built-in skewness/kurtosis and DuckDB's use different
+    estimator conventions (population vs sample corrections), so both
+    sides compute the SAME population formula from raw moments
+    s1..s4 — each a single partial-aggregable sum, i.e. one shuffle of
+    4 doubles per group regardless of data size. Quantities are
+    integral doubles so the power sums are exact integers in binary
+    (< 2^53) and cross-engine identical; the final moment algebra then
+    runs on identical inputs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    m = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m * m
+    m3 = F.col("s3") / F.col("n") - 3 * m * F.col("s2") / F.col("n") + 2 * m * m * m
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m * F.col("s3") / F.col("n")
+        + 6 * m * m * F.col("s2") / F.col("n")
+        - 3 * m * m * m * m
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(m, 4).alias("mean_qty"),
+        F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness_pop"),
+        F.round(m4 / (m2 * m2) - 3, 4).alias("excess_kurtosis_pop"),
+    ).orderBy("l_returnflag")
+
+
+HIGHER_MOMENTS_ORACLE = """
+WITH sums AS (
+    SELECT l_returnflag,
+           CAST(count(*) AS DOUBLE) AS n,
+           sum(l_quantity) AS s1,
+           sum(l_quantity * l_quantity) AS s2,
+           sum(l_quantity * l_quantity * l_quantity) AS s3,
+           sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+    FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round(s1 / n, 4) AS mean_qty,
+       round((s3 / n - 3 * (s1 / n) * s2 / n + 2 * pow(s1 / n, 3))
+             / pow(s2 / n - pow(s1 / n, 2), 1.5), 4) AS skewness_pop,
+       round((s4 / n - 4 * (s1 / n) * s3 / n
+              + 6 * pow(s1 / n, 2) * s2 / n - 3 * pow(s1 / n, 4))
+             / pow(s2 / n - pow(s1 / n, 2), 2) - 3, 4) AS excess_kurtosis_pop
+FROM sums
+ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict = {
     "cube_priority_status": (cube_priority_status, CUBE_ORACLE),
+    "ansi_safe_arithmetic": (ansi_safe_arithmetic, ANSI_SAFE_ORACLE),
+    "higher_moments_stats": (higher_moments_stats, HIGHER_MOMENTS_ORACLE),
     "applyinpandas_zscore": (applyinpandas_zscore, APPLYINPANDAS_ZSCORE_ORACLE),
     "grouping_sets_custom": (grouping_sets_custom, GROUPING_SETS_ORACLE),
     "window_distribution_funcs": (window_distribution_funcs, WINDOW_DIST_ORACLE),

@@ -92,3 +92,31 @@ def test_topk_size_matches(spark, sf_dir, k):
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {k}""",
     )
     assert not compare_frames(got, want)
+
+
+@SETTINGS
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_money_sum_exact_and_partition_independent(spark, seed):
+    """money_sum must equal the exact Decimal sum of 2-decimal inputs
+    and be invariant to partitioning (partial-agg merge order) — the
+    property that makes the oracle hash deterministic."""
+    import decimal
+
+    import numpy as np
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.functions.scalars import (
+        money_sum,
+    )
+
+    rng = np.random.default_rng(seed)
+    cents = rng.integers(-10_000_000, 10_000_000, size=500)
+    values = [float(c) / 100.0 for c in cents]
+    exact = float(sum(decimal.Decimal(int(c)) for c in cents) / decimal.Decimal(100))
+
+    pdf = [(v,) for v in values]
+    results = set()
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(pdf, "v double").repartition(parts)
+        got = df.agg(money_sum(F.col("v"), scale=100).alias("s")).collect()[0]["s"]
+        results.add(got)
+    assert results == {exact}, f"{results} != {{{exact}}}"
