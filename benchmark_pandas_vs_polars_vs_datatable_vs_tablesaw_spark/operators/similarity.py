@@ -434,8 +434,81 @@ FROM norms GROUP BY label
 """
 
 
+def crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval: text-filtered semantic search — the RAG
+    / curation shape where document metadata gates the candidate set
+    BEFORE vector scoring.
+
+    documents (text modality) joins embeddings (vector modality) on
+    the shared id; the language + length gate prunes candidates at the
+    scan, so the cosine pass scores only survivors. Query vectors are
+    the first 3 embeddings; top-5 docs each.
+
+    At scale: the metadata gate is a pushed parquet filter (cheap);
+    the doc-embedding join is key-equal (co-partitionable/bucketable);
+    only the |Q| query vectors broadcast. Score work is
+    |survivors| x |Q| x dim — the gate is what makes 100 TB feasible,
+    which is the point of filtering before scoring.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cand = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "n_chars",
+        "embedding",
+        vectors.norm(F.col("embedding")).alias("nrm"),
+    )
+    queries = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            vectors.norm(F.col("embedding")).alias("q_nrm"),
+        )
+    )
+    cos = F.round(
+        vectors.dot(F.col("q_vec"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 4
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    return (
+        cand.join(F.broadcast(queries), F.col("doc_id") != F.col("q_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "doc_id", "n_chars", "cos", "rank")
+    )
+
+
+CROSSMODAL_ORACLE = """
+WITH cand AS (
+  SELECT d.doc_id, d.n_chars, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.lang = 'en' AND d.n_chars >= 200),
+queries AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, c.doc_id, c.n_chars,
+         round(
+           list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                    i -> q.q_vec[i]::DOUBLE * c.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(c.embedding,
+                                             x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+  FROM queries q JOIN cand c ON c.doc_id != q.q_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT q_id, doc_id, n_chars, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES: dict = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_ORACLE),
+    "crossmodal_retrieval": (crossmodal_retrieval, CROSSMODAL_ORACLE),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "mllib_lsh_ann_topk": (mllib_lsh_ann_topk, None),
     "ivf_ann_topk": (ivf_ann_topk, IVF_ANN_ORACLE),

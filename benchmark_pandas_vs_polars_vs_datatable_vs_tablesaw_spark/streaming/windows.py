@@ -271,8 +271,39 @@ FROM events p JOIN events v
 """
 
 
+def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode global aggregate + ORDER BY + LIMIT: the
+    continuously-maintained leaderboard. Sorting with a limit is only
+    legal in complete mode — the result each trigger is the full
+    top-10, which is what makes the batch twin an exact oracle.
+    Tie-break on user_id keeps the cut deterministic cross-engine.
+
+    At scale: per-user state is a single (count, sum) pair — the state
+    store holds |users| entries; the sort runs over the aggregated
+    (small) result, never the raw stream.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    return _drain(agg, spark, "complete")
+
+
+STREAMING_TOPK_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC
+LIMIT 10
+"""
+
+
 QUERIES: dict = {
     "streaming_hourly_agg": (streaming_hourly_agg, STREAMING_HOURLY_ORACLE),
+    "streaming_topk_users": (streaming_topk_users, STREAMING_TOPK_ORACLE),
     "streaming_dedup_events": (streaming_dedup_events, STREAMING_DEDUP_ORACLE),
     "streaming_interval_join": (streaming_interval_join, STREAMING_INTERVAL_JOIN_ORACLE),
     "streaming_sliding_agg": (streaming_sliding_agg, STREAMING_SLIDING_ORACLE),
