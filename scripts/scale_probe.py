@@ -31,6 +31,7 @@ def _force(df) -> None:
 
 def main() -> None:
     spark = get_spark("scale-probe")
+    globals()["spark"] = spark
     spark.sparkContext.setLogLevel("ERROR")
     path = f"/tmp/scale_probe_{N}.parquet"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -61,6 +62,33 @@ def main() -> None:
                     ).Window.partitionBy("category").orderBy("value1", "id")
                 ),
             ).filter(F.col("rn") <= 10)
+        ),
+        # Join shapes: dim = 100k keys derived from the fact (broadcast
+        # side), probing (a) broadcast hash join + agg, (b) the Q18
+        # IN-over-HAVING double pass on a high-cardinality key.
+        "broadcast_join_agg": lambda: _force(
+            df.join(
+                F.broadcast(
+                    spark.range(100_000).select(
+                        F.col("id").alias("d_id"),
+                        (F.col("id") % 7).alias("d_bucket"),
+                    )
+                ),
+                df.id % 100_000 == F.col("d_id"),
+            )
+            .groupBy("d_bucket")
+            .agg(F.avg("value1").alias("v1_mean"), F.count("*").alias("n"))
+        ),
+        "having_in_join": lambda: _force(
+            df.groupBy((F.col("id") % 1_000_000).alias("k"))
+            .agg(F.sum("value2").alias("tot"))
+            .filter(F.col("tot") > 5200)
+            .join(
+                df.withColumn("k", F.col("id") % 1_000_000),
+                "k",
+            )
+            .groupBy("category")
+            .agg(F.count("*").alias("n"), F.round(F.avg("tot"), 2).alias("avg_tot"))
         ),
     }
     print(f"rows={N:,}", file=sys.stderr)
