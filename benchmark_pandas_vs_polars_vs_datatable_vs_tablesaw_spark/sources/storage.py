@@ -132,6 +132,52 @@ GROUP BY o_orderstatus
 """
 
 
+def dpp_join_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the partition filter arrives at RUN
+    time from the other side of a join, not from a literal predicate.
+
+    A tiny derived dimension (priority -> urgency class) is filtered
+    on urgency; the fact side is the hive-partitioned orders layout
+    joined on the partition column. Catalyst injects a
+    dynamicpruning#... subquery into the fact scan's PartitionFilters
+    (reusing the dim broadcast), so only the matching priority
+    directories are read — the join-driven analogue of
+    partition_pruned_scan, and at 100 TB the mechanism that makes
+    star-schema queries read 1/5th of the fact table without the user
+    spelling the partition values into the query.
+    """
+    path = _ensure_partitioned_orders(spark, sf_dir)
+    orders = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "high"),
+            ("2-HIGH", "high"),
+            ("3-MEDIUM", "mid"),
+            ("4-NOT SPECIFIED", "low"),
+            ("5-LOW", "low"),
+        ],
+        "d_priority string, urgency string",
+    ).filter(F.col("urgency") == "high")
+    return (
+        orders.join(F.broadcast(dim), orders.o_orderpriority == dim.d_priority)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DPP_JOIN_ORACLE = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS price_sum
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 # --------------------------------------------------------------------------
 # format round-trips: every sink/source format Spark ships natively
 # --------------------------------------------------------------------------
@@ -212,6 +258,7 @@ SELECT count(*) AS n_lines, sum(length(text)) AS n_chars FROM documents
 QUERIES: dict = {
     "bucketed_join_revenue": (bucketed_join_revenue, BUCKETED_JOIN_ORACLE),
     "partition_pruned_scan": (partition_pruned_scan, PARTITION_PRUNED_ORACLE),
+    "dpp_join_pruned_scan": (dpp_join_pruned_scan, DPP_JOIN_ORACLE),
     "json_roundtrip": (json_roundtrip, _SUPPLIER_AGG_ORACLE),
     "orc_roundtrip": (orc_roundtrip, _SUPPLIER_AGG_ORACLE),
     "parquet_zstd_roundtrip": (parquet_zstd_roundtrip, _SUPPLIER_AGG_ORACLE),

@@ -106,3 +106,14 @@ def test_partitioned_scan_prunes(spark, sf_dir):
     assert "PartitionFilters" in text and "o_orderpriority" in text.split("PartitionFilters", 1)[1].split("]")[0], (
         "filter on the partition column must become a PartitionFilter (directory pruning)"
     )
+
+
+def test_dpp_join_injects_runtime_partition_filter(spark, sf_dir):
+    # the partition filter comes from the joined dimension at run time:
+    # the fact scan must carry a dynamicpruning expression in its
+    # PartitionFilters instead of a literal priority list
+    df = storage.dpp_join_pruned_scan(spark, sf_dir)
+    text = explain.plan_text(df)
+    assert "dynamicpruning" in text.lower(), (
+        "join-driven partition filter must appear as dynamic pruning in the scan"
+    )
