@@ -139,8 +139,56 @@ ORDER BY dim
 """
 
 
+def map_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: build per-returnflag {linestatus: n} maps
+    with map_from_entries over collected structs, then flatten back
+    with explode(map) — the round trip every feature-store export
+    uses. The map itself never crosses the oracle hash (engines render
+    maps differently); the exploded (key, value) rows do, which pins
+    the same content.
+
+    Scale: one shuffle for the (flag, status) aggregate, a second tiny
+    one for the per-flag map build; the explode is a narrow op.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_status = li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+    as_map = per_status.groupBy("l_returnflag").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_linestatus", "n")))
+        ).alias("status_counts")
+    )
+    exploded = as_map.select(
+        "l_returnflag",
+        F.map_keys("status_counts").alias("ks"),
+        F.explode("status_counts").alias("status", "n_lines"),
+    )
+    return exploded.select(
+        "l_returnflag",
+        F.size("ks").alias("n_statuses"),
+        "status",
+        "n_lines",
+    ).orderBy("l_returnflag", "status")
+
+
+MAP_FUNCS_ORACLE = """
+WITH per_status AS (
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus),
+per_flag AS (
+    SELECT l_returnflag, count(*) AS n_statuses
+    FROM per_status GROUP BY l_returnflag)
+SELECT s.l_returnflag,
+       f.n_statuses,
+       s.l_linestatus AS status,
+       s.n AS n_lines
+FROM per_status s JOIN per_flag f USING (l_returnflag)
+ORDER BY s.l_returnflag, status
+"""
+
+
 QUERIES: dict = {
     "array_hof_suite": (array_hof_suite, ARRAY_HOF_ORACLE),
+    "map_funcs_suite": (map_funcs_suite, MAP_FUNCS_ORACLE),
     "array_topk_elements": (array_topk_elements, ARRAY_TOPK_ORACLE),
     "array_dimension_stats": (array_dimension_stats, ARRAY_DIM_STATS_ORACLE),
 }
