@@ -655,9 +655,48 @@ ORDER BY l_returnflag
 """
 
 
+def exact_percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (sort-based) percentiles per group — the ground-truth
+    twin of approx_quantile_bounds' sketch. Spark's `percentile` and
+    DuckDB's `quantile_cont` both linearly interpolate over the same
+    sorted values, so the outputs agree to the last bit before
+    rounding.
+
+    Scale: exact percentiles shuffle the full column per group (unlike
+    the mergeable sketch) — this is the operator you DON'T run at
+    100 TB, and the pairing with approx_quantile_bounds documents the
+    trade: sketch error bound vs a full sort's shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(x, F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile(x, F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile(x, F.lit(0.75)), 4).alias("p75"),
+            F.round(F.percentile(x, F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+EXACT_PERCENTILES_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict = {
     "cube_priority_status": (cube_priority_status, CUBE_ORACLE),
     "ansi_safe_arithmetic": (ansi_safe_arithmetic, ANSI_SAFE_ORACLE),
+    "exact_percentiles_by_group": (exact_percentiles_by_group, EXACT_PERCENTILES_ORACLE),
     "higher_moments_stats": (higher_moments_stats, HIGHER_MOMENTS_ORACLE),
     "applyinpandas_zscore": (applyinpandas_zscore, APPLYINPANDAS_ZSCORE_ORACLE),
     "grouping_sets_custom": (grouping_sets_custom, GROUPING_SETS_ORACLE),
