@@ -186,9 +186,57 @@ ORDER BY s.l_returnflag, status
 """
 
 
+def map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: transform_values / map_filter /
+    map_zip_with run on the per-flag status->count maps, then the
+    result flattens to rows for the oracle (map literals don't hash
+    portably; entries do).
+
+    doubled = transform_values(m, (k,v) -> v*2); only entries with
+    v > threshold survive map_filter. The oracle recomputes the same
+    arithmetic relationally — the point is that Spark's map-lambda
+    stack produces exactly the relational answer.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_status = li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+    as_map = per_status.groupBy("l_returnflag").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_linestatus", "n")))
+        ).alias("m")
+    )
+    transformed = as_map.select(
+        "l_returnflag",
+        F.map_filter(
+            F.transform_values("m", lambda _, v: v * 2),
+            lambda _, v: v > F.lit(1000),
+        ).alias("big_doubled"),
+    )
+    return (
+        transformed.select(
+            "l_returnflag", F.explode_outer("big_doubled").alias("status", "doubled_n")
+        )
+        .orderBy("l_returnflag", "status")
+    )
+
+
+MAP_HOF_ORACLE = """
+WITH per_status AS (
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus),
+flags AS (SELECT DISTINCT l_returnflag FROM per_status),
+survivors AS (
+    SELECT l_returnflag, l_linestatus AS status, n * 2 AS doubled_n
+    FROM per_status WHERE n * 2 > 1000)
+SELECT f.l_returnflag, s.status, s.doubled_n
+FROM flags f LEFT OUTER JOIN survivors s USING (l_returnflag)
+ORDER BY f.l_returnflag, s.status
+"""
+
+
 QUERIES: dict = {
     "array_hof_suite": (array_hof_suite, ARRAY_HOF_ORACLE),
     "map_funcs_suite": (map_funcs_suite, MAP_FUNCS_ORACLE),
+    "map_hof_suite": (map_hof_suite, MAP_HOF_ORACLE),
     "array_topk_elements": (array_topk_elements, ARRAY_TOPK_ORACLE),
     "array_dimension_stats": (array_dimension_stats, ARRAY_DIM_STATS_ORACLE),
 }

@@ -316,8 +316,49 @@ FROM spine LEFT JOIN hourly USING (h)
 """
 
 
+def events_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame: per-user trailing 1-hour activity at
+    every event — rangeBetween(-3600s, current) over the epoch
+    seconds, the frame rowsBetween cannot express when events are
+    irregularly spaced.
+
+    Range frames include all peer rows of the current order value on
+    both engines, so duplicate timestamps cannot split the frame.
+    Scale: one shuffle on user_id; the frame scan is a per-partition
+    sliding pointer, O(n) per user, state bounded by the hour width.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "epoch", F.unix_timestamp("ts").cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch").rangeBetween(-3600, 0)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("n_trailing_1h"),
+            F.round(F.sum("value").over(w), 4).alias("sum_trailing_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_RANGE_WINDOW_ORACLE = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_trailing_1h,
+       round(sum(value) OVER w, 4) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 QUERIES: dict = {
     "events_hourly_agg": (events_hourly_agg, EVENTS_HOURLY_ORACLE),
+    "events_trailing_range_window": (
+        events_trailing_range_window,
+        EVENTS_RANGE_WINDOW_ORACLE,
+    ),
     "events_gapfill_resample": (events_gapfill_resample, EVENTS_GAPFILL_ORACLE),
     "asof_join_purchase_view": (asof_join_purchase_view, ASOF_JOIN_ORACLE),
     "events_sliding_window": (events_sliding_window, EVENTS_SLIDING_ORACLE),
