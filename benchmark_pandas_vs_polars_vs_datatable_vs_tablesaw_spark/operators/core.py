@@ -322,6 +322,65 @@ def matrix_col_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matrix_partition_stats(load_table(spark, sf_dir, "lineitem"))
 
 
+def mapinarrow_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 via mapInArrow: per-partition Arrow batches reduced to
+    (count, per-column sum) partials in Python at C speed, then a tiny
+    final aggregate — the to_np-at-100 TB recipe when the per-batch
+    math genuinely needs Python (numpy/scipy kernels): the matrix
+    never materializes anywhere; each task holds one Arrow batch.
+
+    Output equals matrix_col_means' numeric means (same oracle shape)
+    — which is the point: the Arrow escape hatch reproduces the
+    relational answer exactly, from sums of integral/2-decimal values
+    that survive Arrow round-tripping bit-identically.
+    """
+    import pyarrow as pa
+
+    li = load_table(spark, sf_dir, "lineitem")
+    num_cols = [
+        f.name for f in li.schema.fields if isinstance(f.dataType, T.NumericType)
+    ]
+    fields = [pa.field("n", pa.int64())] + [pa.field(c, pa.float64()) for c in num_cols]
+    out_schema = T.StructType(
+        [T.StructField("n", T.LongType())]
+        + [T.StructField(c, T.DoubleType()) for c in num_cols]
+    )
+
+    def partials(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            row = {"n": [batch.num_rows]}
+            for c in num_cols:
+                col = pc.cast(batch.column(c), pa.float64())
+                row[c] = [pc.sum(col, min_count=0).as_py() or 0.0]
+            yield pa.RecordBatch.from_pydict(row, schema=pa.schema(fields))
+
+    partial_df = li.select(num_cols).mapInArrow(partials, out_schema)
+    total = partial_df.agg(
+        F.sum("n").alias("n_rows"),
+        *[F.sum(c).alias(c) for c in num_cols],
+    )
+    return total.select(
+        "n_rows",
+        *[F.round(F.col(c) / F.col("n_rows"), 4).alias(f"{c}_mean") for c in num_cols],
+    )
+
+
+MAPINARROW_ORACLE = """
+SELECT count(*) AS n_rows,
+       round(avg(CAST(l_orderkey AS DOUBLE)), 4) AS l_orderkey_mean,
+       round(avg(CAST(l_partkey AS DOUBLE)), 4) AS l_partkey_mean,
+       round(avg(CAST(l_suppkey AS DOUBLE)), 4) AS l_suppkey_mean,
+       round(avg(CAST(l_linenumber AS DOUBLE)), 4) AS l_linenumber_mean,
+       round(avg(l_quantity), 4) AS l_quantity_mean,
+       round(avg(l_extendedprice), 4) AS l_extendedprice_mean,
+       round(avg(l_discount), 4) AS l_discount_mean,
+       round(avg(l_tax), 4) AS l_tax_mean
+FROM lineitem
+"""
+
+
 MATRIX_COL_MEANS_ORACLE = """
 SELECT round(avg(CAST(l_orderkey AS DOUBLE)), 4) AS l_orderkey_mean,
        round(avg(CAST(l_partkey AS DOUBLE)), 4) AS l_partkey_mean,
@@ -511,6 +570,7 @@ QUERIES: dict = {
     ),
     "median_stats": (median_stats, MEDIAN_ORACLE),
     "matrix_col_means": (matrix_col_means, MATRIX_COL_MEANS_ORACLE),
+    "mapinarrow_matrix_stats": (mapinarrow_matrix_stats, MAPINARROW_ORACLE),
     "groupby_first": (groupby_first, GROUPBY_FIRST_ORACLE),
     "groupby_first_minby": (groupby_first_minby, GROUPBY_FIRST_ORACLE),
     "csv_roundtrip": (

@@ -393,9 +393,65 @@ ORDER BY source
 """
 
 
+class _TokenExploderUDTF:
+    """Module-level so workers re-import it by name (shipping.py)."""
+
+    def eval(self, doc_id, text):  # noqa: ANN001 — UDTF signature
+        for i, tok in enumerate(text.split(" ")):
+            yield doc_id, i, tok
+
+
+def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) in a LATERAL join — the one API
+    surface where a Python function emits ROWS, not scalars. Each
+    document explodes to (doc_id, idx, token) rows, re-aggregated to
+    per-doc token accounting.
+
+    Deliberately the slow path: row-at-a-time Python, kept to 50 docs.
+    The production formulation of this exact query is
+    explode(split(...)) — pure codegen (see tfidf_top_terms); the UDTF
+    exists for logic that genuinely can't be expressed in built-ins
+    (custom tokenizers), and this query pins that the escape hatch
+    agrees with the relational answer.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("udtf_docs_v")
+    exploder = F.udtf(
+        _TokenExploderUDTF, returnType="doc_id bigint, idx int, token string"
+    )
+    spark.udtf.register("explode_tokens", exploder)
+    rows = spark.sql(
+        """
+        SELECT t.doc_id, t.idx, t.token
+        FROM udtf_docs_v d, LATERAL explode_tokens(d.doc_id, d.text) t
+        """
+    )
+    return (
+        rows.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.min(F.when(F.col("idx") == 0, F.col("token"))).alias("first_token"),
+            F.max("idx").alias("max_idx"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UDTF_TOKEN_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       string_split(text, ' ')[1] AS first_token,
+       len(string_split(text, ' ')) - 1 AS max_idx
+FROM documents
+WHERE doc_id < 50
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
     "curation_pipeline": (curation_pipeline, CURATION_PIPELINE_ORACLE),
+    "udtf_token_explode": (udtf_token_explode, UDTF_TOKEN_ORACLE),
     "pandas_udf_doc_score": (pandas_udf_doc_score, PANDAS_UDF_SCORE_ORACLE),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_ORACLE),
     "text_clean_normalize": (text_clean_normalize, TEXT_CLEAN_ORACLE),
