@@ -117,3 +117,21 @@ def test_dpp_join_injects_runtime_partition_filter(spark, sf_dir):
     assert "dynamicpruning" in text.lower(), (
         "join-driven partition filter must appear as dynamic pruning in the scan"
     )
+
+
+def test_cache_serves_second_query_from_memory(spark, sf_dir):
+    # interactive-analytics pattern: cache once, every subsequent plan
+    # over the same frame must read InMemoryTableScan, not the parquet
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.catalog import load_table
+
+    df = load_table(spark, sf_dir, "supplier").cache()
+    try:
+        df.count()  # materialize the cache
+        second = df.groupBy("s_nationkey").count()
+        text = explain.plan_text(second)
+        assert "InMemoryTableScan" in text, "cached input must serve follow-up queries"
+        assert "FileScan" not in text.split("InMemoryTableScan")[0], (
+            "the aggregate must sit on the cache, not rescan parquet"
+        )
+    finally:
+        df.unpersist()
