@@ -448,10 +448,144 @@ ORDER BY doc_id
 """
 
 
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex-redact email-shaped tokens and long digit
+    runs, with per-source redaction accounting — the compliance pass
+    every corpus release runs.
+
+    The fixture text is synthetic word-soup, so PII is PLANTED
+    deterministically inside the query (every 10th doc gets an email,
+    every 7th a phone-like digit run) — the redaction math is then
+    fully oracle-checkable. Patterns use only simple character
+    classes so Java regex (Spark) and RE2 (DuckDB) agree; DuckDB needs
+    the 'g' flag to match Java's replace-all default.
+
+    Scale: pure per-row projection fused with the scan; zero shuffle
+    before the tiny per-source rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit(" user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" call 55512"), (F.col("doc_id") % 10000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    email_re = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+    phone_re = "[0-9]{5,}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(planted, email_re, "<EMAIL>"), phone_re, "<NUM>"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            planted.alias("t"),
+            redacted.alias("clean"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.length("clean") - F.length(F.regexp_replace("clean", "<EMAIL>", ""))) / 7
+            ).cast("long").alias("n_emails"),
+            F.sum(
+                (F.length("clean") - F.length(F.regexp_replace("clean", "<NUM>", ""))) / 5
+            ).cast("long").alias("n_nums"),
+            F.sum(F.length("t") - F.length("clean")).alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_REDACTION_ORACLE = """
+WITH planted AS (
+    SELECT doc_id, source,
+           text
+           || CASE WHEN doc_id % 10 = 0
+                   THEN ' user' || doc_id || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' call 55512' || (doc_id % 10000) ELSE '' END AS t
+    FROM documents),
+red AS (
+    SELECT doc_id, source, t,
+           regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z0-9]+[.][a-z]+',
+                                         '<EMAIL>', 'g'),
+                          '[0-9]{5,}', '<NUM>', 'g') AS clean
+    FROM planted)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum((length(clean)
+                 - length(replace(clean, '<EMAIL>', ''))) / 7) AS BIGINT) AS n_emails,
+       CAST(sum((length(clean)
+                 - length(replace(clean, '<NUM>', ''))) / 5) AS BIGINT) AS n_nums,
+       sum(length(t) - length(clean)) AS chars_removed
+FROM red
+GROUP BY source
+ORDER BY source
+"""
+
+
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate (the Gopher-rule family): flag
+    documents whose most frequent token exceeds 12% of all tokens.
+
+    Implemented the scalable way — explode to (doc, token) rows, count
+    per pair, take the max per doc — NOT a per-row O(n_tokens^2)
+    lambda: the explode stream partial-aggregates before its shuffle,
+    so the wire carries (doc, token, count), and the per-doc max is a
+    second tiny aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok_counts = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = tok_counts.groupBy("doc_id").agg(
+        F.max("c").alias("max_tok_count"),
+        F.sum("c").alias("n_tokens"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "max_tok_count",
+            "n_tokens",
+            F.round(F.col("max_tok_count") / F.col("n_tokens"), 4).alias("top_tok_ratio"),
+            (F.col("max_tok_count") / F.col("n_tokens") > 0.12).cast("int").alias(
+                "flag_repetitive"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+counts AS (
+    SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+per_doc AS (
+    SELECT doc_id, max(c) AS max_tok_count, sum(c) AS n_tokens
+    FROM counts GROUP BY doc_id)
+SELECT doc_id, max_tok_count, n_tokens,
+       round(max_tok_count / n_tokens, 4) AS top_tok_ratio,
+       CAST(max_tok_count / n_tokens > 0.12 AS INT) AS flag_repetitive
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
     "curation_pipeline": (curation_pipeline, CURATION_PIPELINE_ORACLE),
     "udtf_token_explode": (udtf_token_explode, UDTF_TOKEN_ORACLE),
+    "pii_redaction": (pii_redaction, PII_REDACTION_ORACLE),
+    "text_repetition_filter": (text_repetition_filter, TEXT_REPETITION_ORACLE),
     "pandas_udf_doc_score": (pandas_udf_doc_score, PANDAS_UDF_SCORE_ORACLE),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_ORACLE),
     "text_clean_normalize": (text_clean_normalize, TEXT_CLEAN_ORACLE),
