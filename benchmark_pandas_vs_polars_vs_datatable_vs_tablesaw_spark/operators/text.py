@@ -580,12 +580,59 @@ ORDER BY doc_id
 """
 
 
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation in-engine: confusion matrix of the
+    vowel-ratio language heuristic against the fixture's ground-truth
+    ``lang`` label, plus per-class hit counts — the
+    model-eval-as-a-query pattern (no driver-side sklearn pass; the
+    matrix is one grouped count over the scored scan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vowels = F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))
+    ratio = vowels / F.length("text")
+    pred = (
+        F.when(ratio < 0.20, "de")
+        .when(ratio < 0.24, "en")
+        .when(ratio < 0.28, "fr")
+        .otherwise("es")
+    )
+    return (
+        docs.select(F.col("lang").alias("actual"), pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n"))
+        .withColumn("hit", (F.col("actual") == F.col("predicted")).cast("int"))
+        .orderBy("actual", "predicted")
+    )
+
+
+LANG_CONFUSION_ORACLE = """
+WITH scored AS (
+    SELECT lang AS actual,
+           CASE
+             WHEN (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+                  / length(text) < 0.20 THEN 'de'
+             WHEN (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+                  / length(text) < 0.24 THEN 'en'
+             WHEN (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+                  / length(text) < 0.28 THEN 'fr'
+             ELSE 'es'
+           END AS predicted
+    FROM documents)
+SELECT actual, predicted, count(*) AS n,
+       CAST(actual = predicted AS INT) AS hit
+FROM scored
+GROUP BY actual, predicted
+ORDER BY actual, predicted
+"""
+
+
 QUERIES: dict = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
     "curation_pipeline": (curation_pipeline, CURATION_PIPELINE_ORACLE),
     "udtf_token_explode": (udtf_token_explode, UDTF_TOKEN_ORACLE),
     "pii_redaction": (pii_redaction, PII_REDACTION_ORACLE),
     "text_repetition_filter": (text_repetition_filter, TEXT_REPETITION_ORACLE),
+    "lang_confusion_matrix": (lang_confusion_matrix, LANG_CONFUSION_ORACLE),
     "pandas_udf_doc_score": (pandas_udf_doc_score, PANDAS_UDF_SCORE_ORACLE),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_ORACLE),
     "text_clean_normalize": (text_clean_normalize, TEXT_CLEAN_ORACLE),

@@ -353,8 +353,86 @@ ORDER BY event_id
 """
 
 
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view -> click -> purchase, each stage strictly
+    after the previous, per user — product-analytics' core query.
+
+    Formulated as conditional per-user aggregates in ONE pass: the
+    earliest view, the earliest click AFTER that view, the earliest
+    purchase AFTER that click cannot be three self-joins at 100 TB —
+    instead stage 1 is a plain min, and stages 2-3 come from one
+    grouped collect of (type, ts) pairs filtered with array HOFs.
+    One shuffle on user_id; no self-join of the event stream.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("event_type").isin("click", "purchase"),
+                    F.struct("ts", "event_type"),
+                )
+            )
+        ).alias("later"),
+    )
+    t_click = F.array_min(
+        F.transform(
+            F.filter(
+                "later",
+                lambda s: (s["event_type"] == "click") & (s["ts"] > F.col("t_view")),
+            ),
+            lambda s: s["ts"],
+        )
+    )
+    per_user2 = per_user.select("user_id", "t_view", t_click.alias("t_click"), "later")
+    t_buy = F.array_min(
+        F.transform(
+            F.filter(
+                "later",
+                lambda s: (s["event_type"] == "purchase") & (s["ts"] > F.col("t_click")),
+            ),
+            lambda s: s["ts"],
+        )
+    )
+    stages = per_user2.select(
+        "user_id", "t_view", "t_click", t_buy.alias("t_buy")
+    )
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("reached_view"),
+        F.count("t_click").alias("reached_click"),
+        F.count("t_buy").alias("reached_purchase"),
+        F.round(F.count("t_buy") / F.count("t_view"), 4).alias("view_to_purchase_rate"),
+    )
+
+
+EVENTS_FUNNEL_ORACLE = """
+WITH v AS (
+    SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+    FROM events GROUP BY user_id),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY e.user_id),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t_buy
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY e.user_id)
+SELECT count(*) AS n_users,
+       count(t_view) AS reached_view,
+       count(t_click) AS reached_click,
+       count(t_buy) AS reached_purchase,
+       round(count(t_buy) / count(t_view), 4) AS view_to_purchase_rate
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
 QUERIES: dict = {
     "events_hourly_agg": (events_hourly_agg, EVENTS_HOURLY_ORACLE),
+    "events_funnel_conversion": (events_funnel_conversion, EVENTS_FUNNEL_ORACLE),
     "events_trailing_range_window": (
         events_trailing_range_window,
         EVENTS_RANGE_WINDOW_ORACLE,
