@@ -135,3 +135,23 @@ def test_cache_serves_second_query_from_memory(spark, sf_dir):
         )
     finally:
         df.unpersist()
+
+
+def test_aqe_coalesces_post_shuffle_partitions(spark, sf_dir):
+    # the 100 TB posture leans on AQE re-planning; prove it's live:
+    # after execution the adaptive plan must show a coalesced
+    # AQEShuffleRead (tiny fixture shuffle -> far fewer partitions
+    # than spark.sql.shuffle.partitions)
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, (
+        "adaptive execution must coalesce the post-shuffle partitions"
+    )
