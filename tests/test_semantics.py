@@ -3,6 +3,8 @@ queries that the DuckDB oracle cannot check: each one must still find
 the deterministically injected ground truth (SURVEY.md §5.2.2 —
 the weaker check still verifies semantics, not just row counts)."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.catalog import load_table
@@ -108,3 +110,43 @@ def test_streaming_session_window_subset_of_batch(spark, sf_dir):
         assert row["count"] <= batch[row.user_id], (
             f"user {row.user_id}: stream emitted more sessions than batch"
         )
+
+
+def test_range_clustered_write_produces_disjoint_files(spark, sf_dir, tmp_path):
+    """Write-path layout for time-range pruning: repartitionByRange +
+    sortWithinPartitions must yield parquet files whose l_shipdate
+    [min, max] spans are pairwise disjoint — the property that lets a
+    date-filtered scan skip whole files via footer stats at 100 TB."""
+    import pyarrow.parquet as pq
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "clustered")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .repartitionByRange(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    spans = []
+    for name in os.listdir(out):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(out, name))
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "l_shipdate"
+            )
+            st = col.statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        spans.append((lo, hi))
+    assert len(spans) >= 2, "range partitioning should emit multiple files"
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
