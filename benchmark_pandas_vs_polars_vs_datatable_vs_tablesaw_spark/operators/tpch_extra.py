@@ -21,8 +21,10 @@ Scale notes (100 TB posture) applied throughout:
   which would funnel every row through one task;
 - EXISTS / NOT EXISTS / IN / NOT IN compile to left-semi / left-anti
   joins, never to per-row probes;
-- doubles that cross the oracle hash are rounded in both engines
-  (floating-point sums reassociate differently across partitionings).
+- money sums accumulate as exact int64 ten-thousandths
+  (functions/scalars.py money_sum): float sums reassociate
+  differently across partitionings AND across engines, so both sides
+  sum scaled integers and divide once — bit-identical, no rounding.
 """
 
 from __future__ import annotations
