@@ -150,3 +150,93 @@ def test_range_clustered_write_produces_disjoint_files(spark, sf_dir, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
+    """foreachBatch sink with idempotent merge semantics: the batch
+    function dedups on event_id against what's already in the target,
+    so replaying the same source (restart-without-checkpoint, the
+    worst case) cannot double rows — the pattern for exactly-once
+    delivery onto non-transactional stores."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.catalog import (
+        normalize_events_ts,
+        read_raw,
+    )
+
+    target = str(tmp_path / "sink")
+
+    def run_once(checkpoint: str) -> None:
+        raw_schema = read_raw(spark, sf_dir, "events").schema
+        stream = normalize_events_ts(
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+        def merge_batch(batch_df, batch_id):
+            new = batch_df.select("event_id", "user_id", "value")
+            if os.path.exists(os.path.join(target, "_SUCCESS")):
+                seen = spark.read.parquet(target).select("event_id")
+                new = new.join(seen, "event_id", "left_anti")
+            new.write.mode("append").parquet(target)
+
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once(str(tmp_path / "ckpt1"))
+    n_first = spark.read.parquet(target).count()
+    # fresh checkpoint => the source replays from scratch; the
+    # idempotent merge must keep the target unchanged
+    run_once(str(tmp_path / "ckpt2"))
+    n_second = spark.read.parquet(target).count()
+    n_events = read_raw(spark, sf_dir, "events").count()
+    assert n_first == n_events
+    assert n_second == n_first, "replay must not duplicate rows"
+
+
+def test_dynamic_partition_overwrite_touches_only_matching(spark, sf_dir, tmp_path):
+    """INSERT OVERWRITE with partitionOverwriteMode=dynamic must
+    replace ONLY the partitions present in the incoming frame — the
+    nightly-restatement write pattern (static mode would wipe the
+    whole table)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "orders_part")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(target)
+    before = {
+        r["o_orderpriority"]: r["n"]
+        for r in spark.read.parquet(target).groupBy("o_orderpriority").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+
+    restated = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .limit(10)
+        .withColumn("o_totalprice", F.lit(0.0))
+    )
+    (
+        restated.write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(target)
+    )
+    after = {
+        r["o_orderpriority"]: r["n"]
+        for r in spark.read.parquet(target).groupBy("o_orderpriority").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert after["1-URGENT"] == 10, "restated partition must be replaced"
+    for prio, n in before.items():
+        if prio != "1-URGENT":
+            assert after[prio] == n, f"untouched partition {prio} changed"
