@@ -50,7 +50,8 @@ BENCH_QUERIES = [
     "q5_revenue_by_nation",     # TPC-H-lite Q5
     "dedup_exact_hash",         # exact dedup
     "dedup_minhash_lsh",        # MinHash LSH near-dup
-    "ann_cosine_topk",          # brute-force cosine top-k
+    "ann_cosine_topk",          # brute-force cosine top-k (expression fold)
+    "ann_cosine_topk_vectorized",  # same semantics, BLAS batch kernel
     "ivf_ann_topk",             # IVF-Flat ANN (probed lists)
     "asof_join_purchase_view",  # as-of join (union-and-carry)
     "text_stats",               # text analysis
