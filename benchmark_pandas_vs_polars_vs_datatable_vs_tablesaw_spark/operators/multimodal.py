@@ -180,8 +180,59 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction stage: each media row -> a dense 8-dim float
+    feature vector, computed vectorized in numpy over Arrow batches
+    (the CLIP/wav2vec stand-in; swap the arithmetic for a real model's
+    forward pass — batch shape, schema, and partitioning are what a
+    real extractor needs and what this pins).
+
+    Features are a deterministic function of payload bytes
+    (feature[j] = ((n_bytes * 31 + j * 7) % 97) / 97) so the DuckDB
+    oracle can recompute them exactly; l2 norm is emitted alongside
+    the vector since the array itself also crosses the hash.
+    """
+    import numpy as np
+
+    media = media_table(spark, sf_dir)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            n = batch["payload"].map(len).to_numpy(dtype=np.int64)
+            j = np.arange(8, dtype=np.int64)
+            feats = ((n[:, None] * 31 + j[None, :] * 7) % 97) / 97.0
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "media_type": batch["media_type"],
+                    "feature": [np.round(row, 6).tolist() for row in feats],
+                    "l2": np.round(np.sqrt((feats * feats).sum(axis=1)), 4),
+                }
+            )
+
+    return media.mapInPandas(
+        fn, schema="doc_id long, media_type string, feature array<double>, l2 double"
+    )
+
+
+MULTIMODAL_FEATURE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN source IN ('src0','src1','src2','src3','src4','src5') THEN 'image'
+            WHEN source IN ('src6','src7','src8','src9') THEN 'audio'
+            ELSE 'video' END AS media_type,
+       list_transform(range(0, 8),
+                      j -> round(((length(text) * 31 + j * 7) % 97) / 97.0, 6))
+           AS feature,
+       round(sqrt(list_sum(list_transform(range(0, 8),
+                  j -> pow(((length(text) * 31 + j * 7) % 97) / 97.0, 2)))), 4)
+           AS l2
+FROM documents
+"""
+
+
 QUERIES: dict = {
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_ORACLE),
+    "multimodal_feature_extract": (multimodal_feature_extract, MULTIMODAL_FEATURE_ORACLE),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_ORACLE),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_ORACLE),
 }
