@@ -162,6 +162,46 @@ GROUP BY event_type
 """
 
 
+def events_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type (Spark 4):
+    parse_json once into a binary variant, then typed path extraction
+    with variant_get — the schema-on-read path for ragged JSON where
+    from_json's fixed schema can't be known up front. DuckDB's native
+    JSON extraction is the oracle twin.
+
+    Scale: variant parse + path access are vectorized JVM expressions
+    (no UDF); the parsed variant column prunes like any other, and at
+    100 TB the parse cost amortizes by storing the variant column in
+    the table instead of raw strings.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") % 2 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_even"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n_even,
+       sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+       max(CAST(props->>'$.k' AS BIGINT)) AS k_max
+FROM events
+WHERE CAST(props->>'$.k' AS BIGINT) % 2 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def events_topk_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 users per event type by event count — the grouped-top-k
     pattern (window rank over an aggregate, SURVEY.md §2.6 extension)."""
@@ -442,5 +482,6 @@ QUERIES: dict = {
     "events_sliding_window": (events_sliding_window, EVENTS_SLIDING_ORACLE),
     "events_sessionization": (events_sessionization, EVENTS_SESSION_ORACLE),
     "events_json_extract": (events_json_extract, EVENTS_JSON_ORACLE),
+    "events_variant_json": (events_variant_json, EVENTS_VARIANT_ORACLE),
     "events_topk_users_per_type": (events_topk_users_per_type, EVENTS_TOPK_ORACLE),
 }
