@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .core import global_rank
 
 
 # --------------------------------------------------------------------------
@@ -88,13 +89,30 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 
 def ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) quartile assignment over a global order, then per-tile
-    stats. The global window is a single-partition sort — fine for a
-    ranked summary this small; at 100 TB replace with percentile_approx
-    cut points + a broadcast join (no global sort)."""
+    stats — WITHOUT the single-partition global window ``ntile``
+    compiles to. The distributed form: global rank via
+    :func:`core.global_rank` (range partition + local row_number +
+    broadcast offsets), then the exact ntile arithmetic from
+    ``(rank, total)``: the first ``n % k`` tiles get ``n//k + 1`` rows,
+    the rest ``n//k`` — bit-identical to the SQL ``ntile`` oracle while
+    every stage stays parallel.
+    """
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    ranked, n = global_rank(
+        cust.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+    )
+    k = 4
+    base, rem = n // k, n % k
+    cut = (base + 1) * rem
+    r = F.col("rank")
+    quartile = (
+        F.when(r <= cut, F.floor((r - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((r - cut - 1) / max(base, 1)) + 1)
+        .cast("int")
+    )
     return (
-        cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        ranked.select("c_acctbal", quartile.alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n"),
@@ -515,7 +533,10 @@ def _zscore_pdf(pdf):
     m = pdf["l_quantity"].mean()
     s = pdf["l_quantity"].std(ddof=1)
     out = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
-    out["z"] = ((pdf["l_quantity"] - m) / s).round(4)
+    if s and s == s:  # degenerate groups (1 row -> NaN std, constant -> 0)
+        out["z"] = ((pdf["l_quantity"] - m) / s).round(4)
+    else:  # match the oracle window form, which yields NULL there
+        out["z"] = None
     return out
 
 
@@ -538,7 +559,7 @@ def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.groupBy("l_returnflag").applyInPandas(
         _zscore_pdf,
-        "l_orderkey long, l_linenumber long, l_returnflag string, z double",
+        "l_orderkey long, l_linenumber int, l_returnflag string, z double",
     )
 
 

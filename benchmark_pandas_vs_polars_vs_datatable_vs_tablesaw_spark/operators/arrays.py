@@ -62,8 +62,8 @@ def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ARRAY_HOF_ORACLE = """
 SELECT vec_id,
-       len(embedding) AS n_dims,
-       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       CAST(len(embedding) AS INT) AS n_dims,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
        CAST(len(list_filter(embedding, x -> abs(x) > 0.5)) > 0 AS INT) AS has_large,
        CAST(len(list_filter(embedding, x -> abs(x) >= 1.0)) = 0 AS INT) AS all_small,
        round(list_sum(list_transform(embedding,
@@ -128,7 +128,7 @@ def array_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ARRAY_DIM_STATS_ORACLE = """
-SELECT i - 1 AS dim,
+SELECT CAST(i - 1 AS INT) AS dim,
        count(*) AS n,
        round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS avg_val,
        round(min(CAST(embedding[i] AS DOUBLE)), 4) AS min_val,
@@ -175,7 +175,7 @@ WITH per_status AS (
     SELECT l_returnflag, l_linestatus, count(*) AS n
     FROM lineitem GROUP BY l_returnflag, l_linestatus),
 per_flag AS (
-    SELECT l_returnflag, count(*) AS n_statuses
+    SELECT l_returnflag, CAST(count(*) AS INT) AS n_statuses
     FROM per_status GROUP BY l_returnflag)
 SELECT s.l_returnflag,
        f.n_statuses,

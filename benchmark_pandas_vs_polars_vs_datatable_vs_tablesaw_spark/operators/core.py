@@ -155,32 +155,80 @@ FROM lineitem
 # --------------------------------------------------------------------------
 
 
+def global_rank(df: DataFrame, order_cols: list, num_partitions: int | None = None):
+    """Distributed global ``row_number`` — the scale-safe replacement
+    for ``Window.orderBy(...)`` with no partitionBy (which Spark
+    executes by moving EVERY row to a single partition: one task sorts
+    the whole table — a 100 TB killer).
+
+    Two fully-parallel passes instead:
+
+    1. ``repartitionByRange`` on the order key (Exchange
+       rangepartitioning — the same sampled range sort a plain
+       ``orderBy`` uses) and tag each row with its range-partition id.
+    2. A tiny per-partition count (≤ num_partitions rows to the
+       driver) yields each partition's global rank offset; local
+       ``row_number`` partitioned by the range-partition id plus the
+       broadcast offset is the exact global rank.
+
+    Both jobs recompute the range exchange; Spark's RangePartitioner
+    samples with fixed seeds, so partition boundaries are deterministic
+    for the same input — the pids agree across passes. The explicit
+    ``num_partitions`` keeps AQE from re-coalescing one pass
+    differently from the other.
+
+    Returns ``(ranked_df, total_rows)``; rank column is ``rank``
+    (INT, matching the ``CAST(row_number() ... AS INT)`` oracles).
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = sorted(
+        (r["_pid"], r["n"]) for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets, "_pid INT, _offset BIGINT")
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("rank", (F.row_number().over(w_local) + F.col("_offset")).cast("int"))
+        .drop("_pid", "_offset")
+    )
+    return ranked, acc
+
+
 def sort_asc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 — full ascending sort on a numeric key (`datatable_benchmark.py:38`,
-    `main.rs:100-106`). Spark executes this as a range-partitioned
-    sample sort (Exchange rangepartitioning), which scales linearly —
-    no single-node bottleneck.
+    `main.rs:100-106`), with the sort order *verified* (not just
+    produced) by materializing the global rank, since the oracle hash
+    is order-insensitive.
 
-    The sort order is *verified* (not just produced) by materializing
-    ``row_number`` over the same order with a unique tiebreak, since the
-    oracle hash is order-insensitive.
+    Rank comes from :func:`global_rank` (range partition + per-range
+    local row_number + broadcast prefix offsets) — every stage
+    parallel, never a single-partition window.
     """
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return (
-        orders.select("o_orderkey", "o_totalprice")
-        .withColumn("rank", F.row_number().over(w))
+    ranked, _ = global_rank(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
     )
+    return ranked.select("o_orderkey", "o_totalprice", "rank")
 
 
 def sort_desc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2 — descending sort (`Benchmark1.java:53-54` sortDescendingOn)."""
+    """O2 — descending sort (`Benchmark1.java:53-54` sortDescendingOn).
+    Same two-pass distributed rank as :func:`sort_asc_rank`."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return (
-        cust.select("c_custkey", "c_acctbal")
-        .withColumn("rank", F.row_number().over(w))
+    ranked, _ = global_rank(
+        cust.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
     )
+    return ranked.select("c_custkey", "c_acctbal", "rank")
 
 
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -218,8 +218,8 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_ORACLE = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -366,17 +366,20 @@ def null_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.count("bal").alias("n_nonnull"),
         F.sum(F.col("bal").isNull().cast("int")).alias("n_null"),
-        F.round(F.sum(F.coalesce("bal", F.lit(0.0))), 2).alias("sum_defaulted"),
-        F.round(F.avg("bal"), 4).alias("avg_ignoring_nulls"),
+        money_sum(F.coalesce("bal", F.lit(0.0)), scale=100).alias("sum_defaulted"),
+        F.round(
+            money_sum(F.col("bal"), scale=100) / F.count("bal"), 4
+        ).alias("avg_ignoring_nulls"),
     )
 
 
 NULL_HANDLING_ORACLE = """
 SELECT count(*) AS n_rows,
        count(bal) AS n_nonnull,
-       sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS n_null,
-       round(sum(coalesce(bal, 0.0)), 2) AS sum_defaulted,
-       round(avg(bal), 4) AS avg_ignoring_nulls
+       CAST(sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       sum(CAST(round(coalesce(bal, 0.0) * 100) AS BIGINT)) / 100.0 AS sum_defaulted,
+       round((sum(CAST(round(bal * 100) AS BIGINT)) / 100.0) / count(bal), 4)
+           AS avg_ignoring_nulls
 FROM (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal FROM customer)
 """
 

@@ -499,8 +499,8 @@ scored AS (
                                              x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
   FROM queries q JOIN cand c ON c.doc_id != q.q_id),
 ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY q_id
-                               ORDER BY cos DESC, doc_id ASC) AS rank
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, doc_id ASC) AS INT) AS rank
   FROM scored)
 SELECT q_id, doc_id, n_chars, cos, rank FROM ranked WHERE rank <= 5
 """

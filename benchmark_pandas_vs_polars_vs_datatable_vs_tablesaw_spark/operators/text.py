@@ -43,8 +43,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_STATS_ORACLE = """
 SELECT doc_id,
-       length(text) AS n_chars_calc,
-       len(string_split(text, ' ')) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_calc,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
        round((length(text) - len(string_split(text, ' ')) + 1)
              / len(string_split(text, ' ')), 4) AS avg_token_len,
        round(len(list_distinct(string_split(text, ' ')))
@@ -75,7 +75,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_QUALITY_ORACLE = """
 SELECT doc_id,
-       len(string_split(text, ' ')) AS n_tokens,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
        round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of')))
              / len(string_split(text, ' ')), 4) AS stop_ratio,
        round(least(1.0, len(string_split(text, ' ')) / 100.0)
@@ -212,9 +212,9 @@ TEXT_CLEAN_ORACLE = """
 SELECT doc_id,
        lower(trim(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
                                  '\\s+', ' ', 'g'))) AS clean_text,
-       length(text) AS len_raw,
-       length(lower(trim(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
-                                        '\\s+', ' ', 'g')))) AS len_clean,
+       CAST(length(text) AS INT) AS len_raw,
+       CAST(length(lower(trim(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                                             '\\s+', ' ', 'g')))) AS INT) AS len_clean,
        CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_scrubbed
 FROM documents
 """
@@ -385,7 +385,7 @@ deduped AS (
         SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
         FROM gated)
     WHERE rn = 1)
-SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(score), 4) AS avg_score
 FROM deduped
 GROUP BY source
@@ -441,7 +441,7 @@ UDTF_TOKEN_ORACLE = """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
        string_split(text, ' ')[1] AS first_token,
-       len(string_split(text, ' ')) - 1 AS max_idx
+       CAST(len(string_split(text, ' ')) - 1 AS INT) AS max_idx
 FROM documents
 WHERE doc_id < 50
 ORDER BY doc_id
@@ -523,7 +523,7 @@ SELECT source,
                  - length(replace(clean, '<EMAIL>', ''))) / 7) AS BIGINT) AS n_emails,
        CAST(sum((length(clean)
                  - length(replace(clean, '<NUM>', ''))) / 5) AS BIGINT) AS n_nums,
-       sum(length(t) - length(clean)) AS chars_removed
+       CAST(sum(length(t) - length(clean)) AS BIGINT) AS chars_removed
 FROM red
 GROUP BY source
 ORDER BY source
@@ -570,7 +570,7 @@ WITH tok AS (
 counts AS (
     SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
 per_doc AS (
-    SELECT doc_id, max(c) AS max_tok_count, sum(c) AS n_tokens
+    SELECT doc_id, max(c) AS max_tok_count, CAST(sum(c) AS BIGINT) AS n_tokens
     FROM counts GROUP BY doc_id)
 SELECT doc_id, max_tok_count, n_tokens,
        round(max_tok_count / n_tokens, 4) AS top_tok_ratio,

@@ -129,7 +129,7 @@ WITH flagged AS (
          (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
   FROM numbered GROUP BY user_id, session_id
 )
-SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
        max(duration_s) AS max_session_s
 FROM per_session GROUP BY user_id
 """
@@ -155,7 +155,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_ORACLE = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS k_sum,
+       CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
        round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)), 4) AS k_mean
 FROM events
 GROUP BY event_type
@@ -193,7 +193,7 @@ def events_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_VARIANT_ORACLE = """
 SELECT event_type,
        count(*) AS n_even,
-       sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
        max(CAST(props->>'$.k' AS BIGINT)) AS k_max
 FROM events
 WHERE CAST(props->>'$.k' AS BIGINT) % 2 = 0

@@ -30,19 +30,24 @@ from .shipping import ensure_package_on_workers
 from .sources import storage
 from .streaming import windows as streaming_windows
 
+# Registration order == driver correctness-check order (the driver
+# verifies the first N registry entries per round). Round 1 proved
+# core/joins/tpch green, so round 2 fronts the families the driver has
+# not yet reached: dedup, similarity, multimodal, text, timeseries,
+# streaming, arrays, storage.
 _MODULES = (
+    dedup,
+    similarity,
+    multimodal,
+    text,
+    timeseries,
+    streaming_windows,
+    arrays,
+    storage,
     core,
     joins,
     tpch_extra,
     analytics,
-    arrays,
-    storage,
-    text,
-    timeseries,
-    dedup,
-    similarity,
-    multimodal,
-    streaming_windows,
 )
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -251,7 +251,7 @@ def textfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXTFILE_ORACLE = """
-SELECT count(*) AS n_lines, sum(length(text)) AS n_chars FROM documents
+SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS n_chars FROM documents
 """
 
 

@@ -38,6 +38,24 @@ def _values_equal(a, b) -> bool:
     return str(a) == str(b)
 
 
+def _dtype_kind(dtype) -> str:
+    """Canonical dtype class for the driver's type-sensitive hash:
+    integer width matters (HUGEINT/object vs int64 hash-mismatches even
+    when values are identical — CORRECTNESS_r01 q12/null_handling), but
+    datetime unit (ns vs us) and nullable-vs-numpy float boxing do not.
+    """
+    kind = dtype.kind if hasattr(dtype, "kind") else "O"
+    if kind in "iu":
+        return f"int{dtype.itemsize * 8}"
+    if kind == "f":
+        return "float"
+    if kind == "M":
+        return "timestamp"
+    if kind == "b":
+        return "bool"
+    return "object"
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Returns a list of mismatch descriptions (empty == match)."""
     problems: list[str] = []
@@ -46,6 +64,10 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
             f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
         )
         return problems
+    for c in sorted(spark_pdf.columns):
+        ka, kb = _dtype_kind(spark_pdf[c].dtype), _dtype_kind(oracle_pdf[c].dtype)
+        if ka != kb:
+            problems.append(f"col {c}: dtype kind differs: spark={ka} oracle={kb}")
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
         return problems

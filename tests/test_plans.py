@@ -43,6 +43,26 @@ def test_q5_bounded_shuffles(spark, sf_dir):
     assert explain.shuffle_count(df) <= 4
 
 
+def test_global_rank_is_range_partitioned_not_single_partition(spark, sf_dir):
+    # the distributed rank must range-partition on the sort key and
+    # window per range partition — never Spark's single-partition
+    # global-order window (one task sorting the whole table)
+    for fn in (core.sort_asc_rank, core.sort_desc_rank):
+        text = explain.plan_text(fn(spark, sf_dir))
+        assert "rangepartitioning" in text, "rank must shuffle via Exchange rangepartitioning"
+        assert "SinglePartition" not in text, (
+            "global-order window would move every row to ONE partition"
+        )
+
+
+def test_ntile_quartiles_no_single_partition(spark, sf_dir):
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import analytics
+
+    text = explain.plan_text(analytics.ntile_balance_quartiles(spark, sf_dir))
+    assert "rangepartitioning" in text
+    assert "SinglePartition" not in text
+
+
 def test_topk_compiles_to_take_ordered(spark, sf_dir):
     df = core.topk_orders(spark, sf_dir)
     assert "TakeOrderedAndProject" in explain.plan_text(df), (
