@@ -155,51 +155,79 @@ FROM lineitem
 # --------------------------------------------------------------------------
 
 
-def global_rank(df: DataFrame, order_cols: list, num_partitions: int | None = None):
+def global_rank(df: DataFrame, order_cols: list, num_partitions: int | None = None) -> DataFrame:
     """Distributed global ``row_number`` — the scale-safe replacement
     for ``Window.orderBy(...)`` with no partitionBy (which Spark
     executes by moving EVERY row to a single partition: one task sorts
     the whole table — a 100 TB killer).
 
-    Two fully-parallel passes instead:
+    Single lazy job, fully parallel:
 
     1. ``repartitionByRange`` on the order key (Exchange
        rangepartitioning — the same sampled range sort a plain
        ``orderBy`` uses) and tag each row with its range-partition id.
-    2. A tiny per-partition count (≤ num_partitions rows to the
-       driver) yields each partition's global rank offset; local
-       ``row_number`` partitioned by the range-partition id plus the
-       broadcast offset is the exact global rank.
+    2. Per-partition counts aggregate into a ≤ num_partitions-row side
+       table whose running sum (a window over those few rows) is each
+       partition's global rank offset; broadcast-join it back onto the
+       locally-sorted data and add the per-partition row index (from
+       ``monotonically_increasing_id``'s low 33 bits — no Window over
+       the data, no extra exchange).
 
-    Both jobs recompute the range exchange; Spark's RangePartitioner
-    samples with fixed seeds, so partition boundaries are deterministic
-    for the same input — the pids agree across passes. The explicit
-    ``num_partitions`` keeps AQE from re-coalescing one pass
-    differently from the other.
+    Both consumers of the range exchange sit in ONE query plan, so
+    Spark's exchange reuse (ReusedExchange / AQE stage cache) computes
+    the shuffle once and both branches read the SAME shuffle output —
+    partition ids agree by construction, with no cross-job
+    RangePartitioner-resampling determinism assumption and no eager
+    ``collect()`` (construction is lazy; benchmarks time the full
+    cost). The explicit ``num_partitions`` (REPARTITION_BY_NUM) keeps
+    AQE from coalescing the two read sides differently.
 
-    Returns ``(ranked_df, total_rows)``; rank column is ``rank``
-    (INT, matching the ``CAST(row_number() ... AS INT)`` oracles).
+    Returns the ranked DataFrame with two extra columns: ``rank``
+    (BIGINT — never wraps at 100 TB row counts; callers cast to INT
+    only at an oracle-matching boundary) and ``_total`` (BIGINT total
+    row count, for ntile-style arithmetic; drop if unused).
     """
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = df.repartitionByRange(n_part, *order_cols)
+    # Offsets branch: counts are sort-independent, so it reads the bare
+    # exchange (no local sort) — ReusedExchange shares the shuffle with
+    # the main branch below. The windows run over the ≤ n_part count
+    # rows (partition METADATA), never the data.
+    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    counts = sorted(
-        (r["_pid"], r["n"]) for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    off_df = (
+        ranged.select(F.spark_partition_id().alias("_pid"))
+        .groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "_pid",
+            (F.sum("_n").over(w_cum) - F.col("_n")).alias("_offset"),
+            F.sum("_n").over(w_all).alias("_total"),
+        )
     )
-    offsets, acc = [], 0
-    for pid, c in counts:
-        offsets.append((pid, acc))
-        acc += c
-    off_df = spark.createDataFrame(offsets, "_pid INT, _offset BIGINT")
-    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
-    ranked = (
-        ranged.join(F.broadcast(off_df), "_pid")
-        .withColumn("rank", (F.row_number().over(w_local) + F.col("_offset")).cast("int"))
-        .drop("_pid", "_offset")
+    # Main branch: local sort inside each range partition, then the
+    # per-partition row index straight from monotonically_increasing_id
+    # — its documented layout is partition id in the upper 31 bits and
+    # a 0-based per-partition record counter in the lower 33 (wraps
+    # only past 2^33 ≈ 8.6e9 rows PER PARTITION — size partitions
+    # accordingly). Evaluated in the projection above the local sort,
+    # the counter IS the sorted position, so no Window over the data
+    # and no hashpartitioning(_pid) exchange is ever needed: the only
+    # full-data shuffle in the whole plan is the range exchange itself.
+    mid = F.monotonically_increasing_id()
+    local = ranged.sortWithinPartitions(*order_cols).select(
+        "*",
+        F.spark_partition_id().alias("_pid"),
+        mid.bitwiseAND(F.lit((1 << 33) - 1)).alias("_lrn"),
     )
-    return ranked, acc
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn("rank", F.col("_offset") + F.col("_lrn") + F.lit(1))
+        .drop("_pid", "_offset", "_lrn")
+    )
 
 
 def sort_asc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,22 +241,27 @@ def sort_asc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel, never a single-partition window.
     """
     orders = load_table(spark, sf_dir, "orders")
-    ranked, _ = global_rank(
+    ranked = global_rank(
         orders.select("o_orderkey", "o_totalprice"),
         [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
     )
-    return ranked.select("o_orderkey", "o_totalprice", "rank")
+    # INT cast only at the oracle-matching boundary; rank is BIGINT inside.
+    return ranked.select(
+        "o_orderkey", "o_totalprice", F.col("rank").cast("int").alias("rank")
+    )
 
 
 def sort_desc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 — descending sort (`Benchmark1.java:53-54` sortDescendingOn).
     Same two-pass distributed rank as :func:`sort_asc_rank`."""
     cust = load_table(spark, sf_dir, "customer")
-    ranked, _ = global_rank(
+    ranked = global_rank(
         cust.select("c_custkey", "c_acctbal"),
         [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
     )
-    return ranked.select("c_custkey", "c_acctbal", "rank")
+    return ranked.select(
+        "c_custkey", "c_acctbal", F.col("rank").cast("int").alias("rank")
+    )
 
 
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

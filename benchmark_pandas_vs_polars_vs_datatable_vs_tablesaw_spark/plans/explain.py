@@ -81,6 +81,37 @@ def shuffle_count(df: DataFrame) -> int:
     )
 
 
+def _tree_depth(line: str) -> int:
+    """Indentation depth of a plan-tree line (position of its +-/:-
+    marker); non-tree lines sort deepest so they never break a subtree."""
+    for marker in ("+-", ":-"):
+        pos = line.find(marker)
+        if pos >= 0:
+            return pos
+    return 1 << 30
+
+
+def single_partition_subtrees(df: DataFrame) -> list[str]:
+    """The child subtree (as text) of every ``Exchange SinglePartition``
+    node in the simple-mode plan. Used to assert that any single-
+    partition shuffle moves aggregated partition METADATA (an
+    Aggregate sits below it), never data rows — the scale-safety
+    contract of global_rank's offsets branch."""
+    lines = plan_text(df, "simple").splitlines()
+    subtrees = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        depth = _tree_depth(line)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if _tree_depth(nxt) <= depth:
+                break
+            sub.append(nxt)
+        subtrees.append("\n".join(sub))
+    return subtrees
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """WholeStageCodegen span count — fewer, wider spans are better."""
     return plan_text(df).count("WholeStageCodegen")

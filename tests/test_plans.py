@@ -43,24 +43,52 @@ def test_q5_bounded_shuffles(spark, sf_dir):
     assert explain.shuffle_count(df) <= 4
 
 
-def test_global_rank_is_range_partitioned_not_single_partition(spark, sf_dir):
-    # the distributed rank must range-partition on the sort key and
-    # window per range partition — never Spark's single-partition
-    # global-order window (one task sorting the whole table)
-    for fn in (core.sort_asc_rank, core.sort_desc_rank):
-        text = explain.plan_text(fn(spark, sf_dir))
-        assert "rangepartitioning" in text, "rank must shuffle via Exchange rangepartitioning"
-        assert "SinglePartition" not in text, (
-            "global-order window would move every row to ONE partition"
+def _assert_distributed_rank_plan(df, data_cols):
+    text = explain.plan_text(df)
+    assert "rangepartitioning" in text, "rank must shuffle via Exchange rangepartitioning"
+    # No Window over the data: the local rank comes from the
+    # per-partition record counter, so any Window in the plan is the
+    # offsets cumsum over partition counts — it must never mention the
+    # data sort columns.
+    for line in text.splitlines():
+        if "windowspecdefinition" in line:
+            assert not any(c in line for c in data_cols), (
+                f"data-side window detected (single-partition sort risk): {line}"
+            )
+    # Any SinglePartition exchange may only move aggregated partition
+    # metadata (an Aggregate below it), never data rows.
+    for sub in explain.single_partition_subtrees(df):
+        assert "HashAggregate" in sub or "SortAggregate" in sub, (
+            f"SinglePartition exchange over non-aggregated input:\n{sub}"
         )
+
+
+def test_global_rank_is_range_partitioned_not_single_partition(spark, sf_dir):
+    # the distributed rank must range-partition on the sort key with
+    # per-partition local sorts — never Spark's single-partition
+    # global-order window (one task sorting the whole table)
+    _assert_distributed_rank_plan(core.sort_asc_rank(spark, sf_dir), ["o_totalprice"])
+    _assert_distributed_rank_plan(core.sort_desc_rank(spark, sf_dir), ["c_acctbal"])
+
+
+def test_global_rank_reuses_range_exchange(spark, sf_dir):
+    # both consumers (data branch + offsets branch) must read ONE
+    # shuffle: after execution the adaptive final plan shows the second
+    # consumer as a ReusedExchange of the range exchange — the
+    # determinism guarantee (same shuffle output => same partition ids)
+    df = core.sort_asc_rank(spark, sf_dir)
+    df.collect()
+    text = explain.plan_text(df, "simple")
+    assert "isFinalPlan=true" in text
+    assert "ReusedExchange" in text, "range exchange must be computed once and reused"
 
 
 def test_ntile_quartiles_no_single_partition(spark, sf_dir):
     from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import analytics
 
-    text = explain.plan_text(analytics.ntile_balance_quartiles(spark, sf_dir))
-    assert "rangepartitioning" in text
-    assert "SinglePartition" not in text
+    _assert_distributed_rank_plan(
+        analytics.ntile_balance_quartiles(spark, sf_dir), ["c_acctbal"]
+    )
 
 
 def test_topk_compiles_to_take_ordered(spark, sf_dir):
