@@ -28,6 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark import registry
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.harness import memory
 from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,16 +81,28 @@ def main() -> None:
     _force(qs["flagship_lazy_pipeline"](spark, SF_DIR))
 
     per_query: dict[str, float] = {}
+    per_query_mem: dict[str, dict[str, float]] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         _force(fn(spark, SF_DIR))  # per-query warm-up rep (H4): JIT of
         # this query's generated code out of the timed region
+        # H3 memory probes around the timed reps — the reference
+        # publishes time + memory delta per op (datatable_benchmark.py
+        # psutil RSS, updated.rs working-set, Benchmark1.java JVM
+        # total-free); Spark splits memory across the Python driver
+        # and the JVM, so both are reported, never a pretend-sum.
+        rss_before = memory.python_rss_mb()
+        jvm_before = memory.jvm_heap_mb(spark)
         times = []
         for _ in range(REPS):
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
             times.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(times), 4)
+        per_query_mem[name] = {
+            "delta_py_rss_mb": round(memory.python_rss_mb() - rss_before, 1),
+            "delta_jvm_heap_mb": round(memory.jvm_heap_mb(spark) - jvm_before, 1),
+        }
         print(f"  {name}: {per_query[name]:.3f}s", file=sys.stderr)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
@@ -100,6 +113,11 @@ def main() -> None:
                 "value": round(sum(per_query.values()), 4),
                 "unit": "sec",
                 "queries": per_query,
+                "memory": {
+                    "python_rss_mb": round(memory.python_rss_mb(), 1),
+                    "jvm_heap_mb": round(memory.jvm_heap_mb(spark), 1),
+                    "per_query": per_query_mem,
+                },
                 "sf": sf,
             }
         )

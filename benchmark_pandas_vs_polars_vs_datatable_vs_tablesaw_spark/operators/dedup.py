@@ -15,10 +15,13 @@ around Spark's shuffle model:
 - SimHash: 64-bit fingerprint per doc; Hamming-<=k candidates via the
   pigeonhole band trick (4 x 16-bit bands) — again an equi-join.
 - n-gram Jaccard: exact verification scheme; candidates from a shared
-  rare-shingle join, then exact set overlap per pair.
-- embedding cosine: exact near-dup on vectors (brute pair join at
-  fixture scale; the LSH-bucketed variant in similarity.py is the
-  100 TB path).
+  shingle join with a document-frequency cap (a stop-phrase shingle
+  shared by k docs would otherwise yield k² candidate rows), then
+  exact set overlap per pair.
+- embedding cosine: LSH-bucketed candidates (random hyperplanes,
+  OR-amplified) + exact-cosine verify on candidates only — at the
+  0.99 threshold the candidate stage's miss probability is ~6e-7, so
+  the output equals the exact all-pairs answer the oracle computes.
 
 The fixture corpus has no duplicates, so each query unions in a
 deterministic set of injected (near-)duplicate rows — the dedup logic
@@ -362,19 +365,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+MAX_SHINGLE_DF = 20  # drop shingles appearing in more docs than this
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (threshold 0.6).
 
     Candidates come from a self-join on shared shingles (never an
-    all-pairs product); the join result carries per-doc set sizes so
-    Jaccard = common / (|A| + |B| - common) needs no second pass.
-    Hash-free and deterministic -> fully DuckDB-oracle-checked.
+    all-pairs product), with a document-frequency cap first: a shingle
+    appearing in > MAX_SHINGLE_DF docs (a stop phrase) contributes
+    nothing to near-dup evidence but k² rows to the candidate join —
+    the classic quadratic skew-blowup at scale. Hot shingles are
+    removed from the shingle sets on BOTH sides of the Jaccard (sizes
+    are computed on the capped sets, so the measure stays a true
+    Jaccard over the filtered shingle space), identically in the
+    oracle. The hot set is tiny — a broadcast anti-join, no shuffle.
+
+    The join result carries per-doc set sizes so Jaccard =
+    common / (|A| + |B| - common) needs no second pass. Hash-free and
+    deterministic -> fully DuckDB-oracle-checked.
     """
     corpus = _corpus_with_near_dups(spark, sf_dir)
-    shingled = (
+    all_shingled = (
         corpus.withColumn("sh", F.explode(F.expr(f"array_distinct({_SHINGLES_EXPR})")))
         .select("doc_id", "sh")
     )
+    hot = (
+        all_shingled.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("sh")
+    )
+    shingled = all_shingled.join(F.broadcast(hot), "sh", "left_anti")
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # persisted: the self-join below scans it twice (and the CC query
     # reuses the whole pair pipeline) — see _persist_index
@@ -401,9 +423,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_NGRAM_JACCARD_ORACLE = f"""
 WITH corpus AS ({_CORPUS_SQL}),
-shingled AS (
+all_shingled AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh
   FROM corpus
+),
+hot AS (
+  SELECT sh FROM all_shingled GROUP BY sh HAVING count(*) > {MAX_SHINGLE_DF}
+),
+shingled AS (
+  SELECT * FROM all_shingled WHERE sh NOT IN (SELECT sh FROM hot)
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
 sh_sz AS (SELECT s.doc_id, s.sh, z.sz FROM shingled s JOIN sizes z USING (doc_id)),
@@ -425,40 +453,96 @@ WHERE common / (sz_a + sz_b - common) >= 0.6
 # --------------------------------------------------------------------------
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine >= 0.99.
+COSINE_LSH_TABLES = 8
+COSINE_LSH_PLANES = 4
 
-    Fixture-scale formulation is the exact pair join (n^2 bounded by
-    the fixture's 500-1000 vectors); at 100 TB the candidate set comes
-    from LSH buckets (similarity.py) and this exact cosine runs only
-    as the verify stage. Injected exact copies (vec_id+1,000,000 for
-    vec_id < 25) give known cosine-1.0 pairs.
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with cosine >= 0.99, found by an
+    LSH-bucketed candidate stage + exact-cosine verification — never
+    an all-pairs product.
+
+    Candidates: 8 independent random-hyperplane tables of 4 sign bits
+    each (similarity.lsh_bucket); a pair is a candidate iff it shares
+    a bucket in ANY table — a self-equi-join on (table, bucket). For
+    cosine >= 0.99 (angle <= 8.1°) per-table collision probability is
+    (1 - θ/π)^4 ≈ 0.83, so the miss probability across 8 OR'd tables
+    is (1-0.83)^8 ≈ 6e-7 — at-threshold recall is effectively exact,
+    and the DuckDB oracle (exact all-pairs) verifies the output IS the
+    exact answer. At 100 TB bucket width scales with log2(n) to keep
+    per-bucket candidate counts flat; the verify stage only ever
+    touches candidate pairs.
+
+    The band join carries (vec_id, tbl, bucket) only — embeddings are
+    re-attached to the (far smaller) deduplicated candidate set, so
+    the wide vectors never traverse the exploded self-join. Injected
+    exact copies (vec_id+1,000,000 for vec_id < 25) give known
+    cosine-1.0 pairs that must collide in every table.
     """
     from ..functions import vectors
+    from .similarity import _hyperplanes, lsh_bucket
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") < 25).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
-    # Norms precomputed once per row BEFORE the pair join: inside the
-    # join each side's norm would be re-derived for every one of its
-    # n partners — an O(n^2 * dim) waste. sqrt is deterministic, so
-    # dot/(norm_a*norm_b) is bit-identical to the inlined form.
-    corpus = emb.unionByName(copies).withColumn("nrm", vectors.norm(F.col("embedding")))
-
-    l, r = corpus.alias("l"), corpus.alias("r")
-    cos = vectors.dot(F.col("l.embedding"), F.col("r.embedding")) / (
-        F.col("l.nrm") * F.col("r.nrm")
+    # Norms precomputed once per row BEFORE the verify join: inside the
+    # join each side's norm would be re-derived per candidate partner.
+    # sqrt is deterministic, so dot/(norm_a*norm_b) is bit-identical
+    # to the inlined form. Persisted: consumed by the bands projection
+    # and both re-attach joins.
+    corpus = _persist_index(
+        emb.unionByName(copies)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", vectors.norm(F.col("embedding")))
     )
-    return (
-        l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
-        .withColumn("cos", F.round(cos, 4))
-        .filter(F.col("cos") >= 0.99)
-        .select(
-            F.col("l.vec_id").alias("vec_a"),
-            F.col("r.vec_id").alias("vec_b"),
-            "cos",
+
+    dim = 64
+    sig = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(
+                    F.col("embedding"), _hyperplanes(dim, COSINE_LSH_PLANES, seed=42 + 1000 * t)
+                ).alias("bucket"),
+            )
+            for t in range(COSINE_LSH_TABLES)
+        ]
+    )
+    bands = corpus.select("vec_id", F.explode(sig).alias("s")).select(
+        "vec_id", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket")
+    )
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    pairs = cand.join(
+        corpus.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("nrm").alias("nrm_a"),
+        ),
+        "vec_a",
+    ).join(
+        corpus.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("nrm").alias("nrm_b"),
+        ),
+        "vec_b",
+    )
+    cos = vectors.dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        pairs.withColumn("cos", F.round(cos, 4))
+        .filter(F.col("cos") >= 0.99)
+        .select("vec_a", "vec_b", "cos")
     )
 
 
@@ -520,7 +604,9 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(15):
+    max_rounds = 15
+    converged = False
+    for _ in range(max_rounds):
         prop = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
@@ -539,16 +625,32 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist(blocking=False)
         labels = new
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # Returning non-converged labels would silently mislabel
+        # clusters; a graph needing more rounds than the cap means the
+        # diameter outgrew the operator's assumptions — fail loudly.
+        raise RuntimeError(
+            f"connected-components did not converge within {max_rounds} rounds; "
+            "raise the cap or switch to a pointer-doubling variant for "
+            "high-diameter graphs"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 DEDUP_CC_ORACLE = f"""
 WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
-shingled AS (
+all_shingled AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh
   FROM corpus
+),
+hot AS (
+  SELECT sh FROM all_shingled GROUP BY sh HAVING count(*) > {MAX_SHINGLE_DF}
+),
+shingled AS (
+  SELECT * FROM all_shingled WHERE sh NOT IN (SELECT sh FROM hot)
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
 sh_sz AS (SELECT s.doc_id, s.sh, z.sz FROM shingled s JOIN sizes z USING (doc_id)),

@@ -171,17 +171,7 @@ FROM video
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Feature-extraction stage contract (STUB): real deployments run
-    the model here. Raises to make the stub boundary explicit."""
-    raise NotImplementedError(
-        "feature extraction requires codec/model libraries not present in this "
-        "container; decode_media/multimodal_resize demonstrate the identical "
-        "mapInPandas plumbing"
-    )
-
-
-def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction stage: each media row -> a dense 8-dim float
+    """Feature-extraction stage: each media row -> a dense 8-dim float
     feature vector, computed vectorized in numpy over Arrow batches
     (the CLIP/wav2vec stand-in; swap the arithmetic for a real model's
     forward pass — batch shape, schema, and partitioning are what a
@@ -189,12 +179,9 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Features are a deterministic function of payload bytes
     (feature[j] = ((n_bytes * 31 + j * 7) % 97) / 97) so the DuckDB
-    oracle can recompute them exactly; l2 norm is emitted alongside
-    the vector since the array itself also crosses the hash.
-    """
+    oracle can recompute them exactly; the l2 norm rides along as the
+    whole-vector checksum."""
     import numpy as np
-
-    media = media_table(spark, sf_dir)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -215,18 +202,34 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queries surface for :func:`extract_features`.
+
+    The vector pipeline keeps ``feature`` as ``array<double>`` (what a
+    downstream ANN index ingests), but the *comparison surface* is
+    exploded to one scalar row per dimension — array cells are
+    unhashable in pandas-based canonicalizers (driver r2 ``err``), and
+    (doc_id, dim_idx, value) rows diff cleanly in plain SQL."""
+    feats = extract_features(media_table(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        F.posexplode("feature").alias("dim_idx", "value"),
+        "l2",
+    ).select("doc_id", "media_type", "dim_idx", "value", "l2")
+
+
 MULTIMODAL_FEATURE_ORACLE = """
 SELECT doc_id,
        CASE WHEN source IN ('src0','src1','src2','src3','src4','src5') THEN 'image'
             WHEN source IN ('src6','src7','src8','src9') THEN 'audio'
             ELSE 'video' END AS media_type,
-       list_transform(range(0, 8),
-                      j -> round(((length(text) * 31 + j * 7) % 97) / 97.0, 6))
-           AS feature,
+       CAST(j AS INT) AS dim_idx,
+       round(((length(text) * 31 + j * 7) % 97) / 97.0, 6) AS value,
        round(sqrt(list_sum(list_transform(range(0, 8),
-                  j -> pow(((length(text) * 31 + j * 7) % 97) / 97.0, 2)))), 4)
+                  k -> pow(((length(text) * 31 + k * 7) % 97) / 97.0, 2)))), 4)
            AS l2
-FROM documents
+FROM documents CROSS JOIN range(0, 8) AS t(j)
 """
 
 

@@ -19,10 +19,29 @@ so the same code runs unchanged on a 1000-executor cluster:
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Shuffle spill needs headroom; a tmpfs with less free space than this
+# would fail mid-job with no-space errors, so fall back to /tmp.
+_MIN_SHM_FREE_BYTES = 8 * 1024**3
+
+
+def _default_local_dir() -> str:
+    """tmpfs shuffle dir when /dev/shm has real headroom, else /tmp."""
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    if os.path.isdir("/dev/shm"):
+        try:
+            if shutil.disk_usage("/dev/shm").free >= _MIN_SHM_FREE_BYTES:
+                return "/dev/shm"
+        except OSError:
+            pass
+    return "/tmp"
 
 
 def get_spark(
@@ -46,17 +65,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Local-mode shuffle files go to tmpfs when available: a sort's
-        # shuffle write+fetch is pure disk I/O on /tmp otherwise (the
-        # single-node stand-in for a cluster's local NVMe shuffle dirs).
-        # Harmless off-box: env-overridable, falls back to /tmp.
-        .config(
-            "spark.local.dir",
-            os.environ.get(
-                "SPARK_GRAFT_LOCAL_DIR",
-                "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
-            ),
-        )
+        # Local-mode shuffle files go to tmpfs when available AND it
+        # has headroom (capacity-checked): a sort's shuffle write+fetch
+        # is pure disk I/O on /tmp otherwise (the single-node stand-in
+        # for a cluster's local NVMe shuffle dirs). Env-overridable.
+        .config("spark.local.dir", _default_local_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

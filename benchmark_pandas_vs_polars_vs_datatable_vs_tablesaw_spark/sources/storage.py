@@ -13,6 +13,7 @@ oracle-checked results.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 import tempfile
@@ -27,8 +28,32 @@ WAREHOUSE = os.path.join(tempfile.gettempdir(), "sparkbench_warehouse")
 N_BUCKETS = 8
 
 
-def _tag(sf_dir: str) -> str:
-    return re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/")).strip("_")
+def _fixture_fingerprint(sf_dir: str, name: str) -> str:
+    """Content fingerprint (8 hex chars) of the fixture files backing
+    table ``name``: (relative path, size, mtime_ns) of every file.
+
+    Cached layouts are keyed on this, so regenerating a fixture
+    invalidates the derived bucketed/partitioned/round-trip copies
+    automatically — without it, Spark would silently read a stale
+    warehouse snapshot while the DuckDB oracle reads the fresh
+    parquet, producing false differentials either way."""
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    paths = []
+    if os.path.isdir(src):
+        for root, _, files in os.walk(src):
+            paths.extend(os.path.join(root, f) for f in files)
+    elif os.path.exists(src):
+        paths = [src]
+    h = hashlib.md5()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:8]
+
+
+def _tag(sf_dir: str, name: str) -> str:
+    base = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/")).strip("_")
+    return f"{base}_{_fixture_fingerprint(sf_dir, name)}"
 
 
 def _ensure_bucketed(
@@ -43,14 +68,21 @@ def _ensure_bucketed(
     across every downstream consumer, which is exactly how a 100 TB
     fact table should be laid out.
     """
-    tbl = f"{name}_bkt_{_tag(sf_dir)}"
+    tbl = f"{name}_bkt_{_tag(sf_dir, name)}"
+    path = os.path.join(WAREHOUSE, tbl)
+    # A catalog entry whose backing files are gone (warehouse wiped
+    # between sessions) must not be trusted: drop and rewrite.
+    if spark.catalog.tableExists(tbl) and not os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if not spark.catalog.tableExists(tbl):
         (
             load_table(spark, sf_dir, name)
             .select(*cols)
             .write.bucketBy(N_BUCKETS, bucket_col)
             .sortBy(bucket_col)
-            .option("path", os.path.join(WAREHOUSE, tbl))
+            .option("path", path)
             .mode("overwrite")
             .format("parquet")
             .saveAsTable(tbl)
@@ -95,7 +127,7 @@ def _ensure_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     """Write orders hive-partitioned by o_orderpriority once; return
     the path. Partition values become directories, so a filter on the
     partition column prunes whole directories at planning time."""
-    path = os.path.join(WAREHOUSE, f"orders_part_{_tag(sf_dir)}")
+    path = os.path.join(WAREHOUSE, f"orders_part_{_tag(sf_dir, 'orders')}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         (
@@ -183,8 +215,8 @@ ORDER BY o_orderstatus
 # --------------------------------------------------------------------------
 
 
-def _roundtrip_path(sf_dir: str, fmt: str) -> str:
-    return os.path.join(WAREHOUSE, f"rt_{fmt}_{_tag(sf_dir)}")
+def _roundtrip_path(sf_dir: str, fmt: str, src_table: str) -> str:
+    return os.path.join(WAREHOUSE, f"rt_{fmt}_{_tag(sf_dir, src_table)}")
 
 
 _SUPPLIER_AGG_ORACLE = """
@@ -208,7 +240,7 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     never inference at scale (inference is a full extra pass and can
     widen types batch-to-batch)."""
     src = load_table(spark, sf_dir, "supplier")
-    path = _roundtrip_path(sf_dir, "json")
+    path = _roundtrip_path(sf_dir, "json", "supplier")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         src.write.mode("overwrite").json(path)
     back = spark.read.schema(src.schema).json(path)
@@ -219,7 +251,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink/source — the other columnar format Spark ships a
     vectorized reader for; same pushdown/pruning properties as parquet."""
     src = load_table(spark, sf_dir, "supplier")
-    path = _roundtrip_path(sf_dir, "orc")
+    path = _roundtrip_path(sf_dir, "orc", "supplier")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         src.write.mode("overwrite").orc(path)
     return _supplier_agg(spark.read.orc(path))
@@ -230,7 +262,7 @@ def parquet_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost knob at 100 TB (zstd ≈ snappy decode speed at ~30% smaller
     files ⇒ proportionally less scan I/O)."""
     src = load_table(spark, sf_dir, "supplier")
-    path = _roundtrip_path(sf_dir, "pq_zstd")
+    path = _roundtrip_path(sf_dir, "pq_zstd", "supplier")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         src.write.option("compression", "zstd").mode("overwrite").parquet(path)
     return _supplier_agg(spark.read.parquet(path))
@@ -240,7 +272,7 @@ def textfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw text-line sink/source (one string column) — the format of
     unprocessed corpus dumps; accounting on line count + total chars."""
     docs = load_table(spark, sf_dir, "documents").select("text")
-    path = _roundtrip_path(sf_dir, "text")
+    path = _roundtrip_path(sf_dir, "text", "documents")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs.write.mode("overwrite").text(path)
     back = spark.read.text(path)

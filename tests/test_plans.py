@@ -203,3 +203,26 @@ def test_aqe_coalesces_post_shuffle_partitions(spark, sf_dir):
     assert "AQEShuffleRead" in plan and "coalesced" in plan, (
         "adaptive execution must coalesce the post-shuffle partitions"
     )
+
+
+def test_dedup_embedding_cosine_no_all_pairs_join(spark, sf_dir):
+    # the registered embedding near-dup must be the LSH-candidate
+    # pipeline: every join an equi-join (hash/sort-merge), never the
+    # O(n^2) cartesian / broadcast-nested-loop pair product
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import dedup
+
+    text = explain.plan_text(dedup.dedup_embedding_cosine(spark, sf_dir))
+    assert "CartesianProduct" not in text, "all-pairs cartesian join is a 100 TB killer"
+    assert "BroadcastNestedLoopJoin" not in text, (
+        "non-equi pair join (vec_id < vec_id alone) is the all-pairs product"
+    )
+
+
+def test_jaccard_caps_shingle_document_frequency(spark, sf_dir):
+    # the shingle self-join must be preceded by the hot-shingle
+    # anti-join (document-frequency cap) — without it one stop-phrase
+    # shingle shared by k docs yields k^2 candidate rows at scale
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import dedup
+
+    text = explain.plan_text(dedup.dedup_ngram_jaccard(spark, sf_dir))
+    assert "LeftAnti" in text, "hot-shingle document-frequency cap must gate the join"
