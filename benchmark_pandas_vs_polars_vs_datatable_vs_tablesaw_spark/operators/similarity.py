@@ -553,6 +553,112 @@ def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS): for each query vector the
+    top-5 corpus vectors by RAW dot product — the recommendation /
+    retrieval scoring mode where vector magnitude carries signal
+    (unlike cosine, which normalizes it away).
+
+    Same scale posture as ann_cosine_topk: corpus never shuffles
+    (broadcast queries + per-partition top-k via the rank window on
+    q_id — |Q| partitions, each holding |corpus| candidate rows only
+    until the window's local sort prunes to k). No norms needed at
+    all — MIPS is one fold per (query, candidate).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    ip = F.round(vectors.dot(F.col("q_vec"), F.col("embedding")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.col("ip").desc(), F.col("vec_id").asc())
+    return (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .withColumn("ip", ip)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "ip", "rank")
+    )
+
+
+MIPS_TOPK_ORACLE = f"""
+WITH queries AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                        i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE)), 4) AS ip
+  FROM queries q JOIN embeddings e ON e.vec_id != q.q_id
+)
+SELECT q_id, vec_id, ip,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, vec_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth
+    lever for vector corpora at scale (4x smaller than float32, 8x
+    smaller than float64; IVF/HNSW serving tiers are routinely int8).
+
+    scale = max|v| / 127; q_i = round(v_i / scale); the emitted
+    per-vector stats (scale, quantized L1 mass, mean reconstruction
+    error) are the quality metrics a quantization sweep monitors.
+    Pure higher-order-function column algebra — codegen'd, zero
+    shuffle, trivially parallel at any corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vabs = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    max_abs = F.array_max(vabs)
+    scale = max_abs / F.lit(127.0)
+    quant = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") / F.col("scale")).cast("int")
+    )
+    recon_err = F.zip_with(
+        F.col("embedding"),
+        F.col("quant"),
+        lambda x, q: F.abs(x.cast("double") - q.cast("double") * F.col("scale")),
+    )
+    return (
+        emb.withColumn("scale", scale)
+        .withColumn("quant", quant)
+        .select(
+            "vec_id",
+            F.round(F.col("scale"), 6).alias("q_scale"),
+            F.aggregate(
+                F.col("quant"), F.lit(0).cast("long"), lambda acc, q: acc + F.abs(q)
+            ).alias("q_l1"),
+            F.round(
+                F.aggregate(recon_err, F.lit(0.0), lambda acc, e: acc + e)
+                / F.size(F.col("embedding")),
+                6,
+            ).alias("mean_abs_err"),
+        )
+    )
+
+
+EMBEDDING_QUANTIZE_ORACLE = """
+WITH scaled AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS q_scale
+  FROM embeddings
+),
+quantized AS (
+  SELECT vec_id, embedding, q_scale,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE / q_scale) AS INT)) AS quant
+  FROM scaled
+)
+SELECT vec_id,
+       round(q_scale, 6) AS q_scale,
+       CAST(list_sum(list_transform(quant, q -> CAST(abs(q) AS BIGINT))) AS BIGINT) AS q_l1,
+       round(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> abs(embedding[i]::DOUBLE - quant[i]::DOUBLE * q_scale)))
+             / len(embedding), 6) AS mean_abs_err
+FROM quantized
+"""
+
+
 QUERIES: dict = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_ORACLE),
     "ann_cosine_topk_vectorized": (ann_cosine_topk_vectorized, ANN_TOPK_ORACLE),
@@ -561,4 +667,6 @@ QUERIES: dict = {
     "mllib_lsh_ann_topk": (mllib_lsh_ann_topk, None),
     "ivf_ann_topk": (ivf_ann_topk, IVF_ANN_ORACLE),
     "embedding_norm_stats": (embedding_norm_stats, EMBEDDING_NORM_ORACLE),
+    "mips_topk": (mips_topk, MIPS_TOPK_ORACLE),
+    "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_ORACLE),
 }

@@ -17,7 +17,7 @@ rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -626,6 +626,104 @@ ORDER BY actual, predicted
 """
 
 
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/holdout split — the assignment
+    every training pipeline needs to be (a) reproducible across runs
+    and engines and (b) stable under corpus growth (a doc's split
+    never changes when other docs are added, unlike row_number % k).
+
+    The split key is the first hex digit of md5(text): digits 0-c
+    (13/16 = 81.25%) train, d-f holdout. Content-keyed rather than
+    id-keyed, so exact duplicates land in the SAME split — no
+    train/holdout leakage through dup pairs. Pure projection + one
+    2-group aggregate: embarrassingly parallel at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr("instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1")
+    split = F.when(bucket < 13, "train").otherwise("holdout")
+    return (
+        docs.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
+
+
+SPLIT_TRAIN_HOLDOUT_ORACLE = """
+WITH assigned AS (
+  SELECT CASE WHEN instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 13
+              THEN 'train' ELSE 'holdout' END AS split,
+         n_chars, lang
+  FROM documents
+)
+SELECT split, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       count(DISTINCT lang) AS n_langs
+FROM assigned
+GROUP BY split
+"""
+
+
+PACK_WINDOW_TOKENS = 2048
+
+
+def sequence_pack_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate documents (in doc_id order
+    within each source) into fixed token-budget bins — the
+    context-window packing step before LLM pretraining, where short
+    docs are packed together to avoid padding waste.
+
+    A doc goes in the bin its running-token START offset falls in:
+    bin = floor((cumsum_tokens - n_tokens) / budget). The window
+    partitions by ``source`` — parallelism = |sources|, never a
+    global-order single-partition window; at 100 TB sources (or
+    shards) are the natural pack boundary and each packs
+    independently. Output: per-(source, bin) doc count + token fill,
+    the packing-efficiency report.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    packed = toks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_WINDOW_TOKENS),
+    )
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
+
+
+SEQUENCE_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {PACK_WINDOW_TOKENS}) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT source, bin, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM packed
+GROUP BY source, bin
+"""
+
+
 QUERIES: dict = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
     "curation_pipeline": (curation_pipeline, CURATION_PIPELINE_ORACLE),
@@ -640,4 +738,6 @@ QUERIES: dict = {
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_ORACLE),
     "token_count_regex": (token_count_regex, TOKEN_COUNT_ORACLE),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_ORACLE),
+    "split_train_holdout": (split_train_holdout, SPLIT_TRAIN_HOLDOUT_ORACLE),
+    "sequence_pack_by_source": (sequence_pack_by_source, SEQUENCE_PACK_ORACLE),
 }

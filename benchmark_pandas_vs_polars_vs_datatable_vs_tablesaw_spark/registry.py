@@ -102,6 +102,11 @@ _PRIORITY = (
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "dedup_clusters_cc",
+    # new in round 3 — need their first driver row
+    "mips_topk",
+    "embedding_quantize_int8",
+    "split_train_holdout",
+    "sequence_pack_by_source",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
