@@ -479,34 +479,45 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact copies (vec_id+1,000,000 for vec_id < 25) give known
     cosine-1.0 pairs that must collide in every table.
     """
-    from ..functions import vectors
-    from .similarity import _hyperplanes, lsh_bucket
-
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") < 25).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
+    corpus = emb.unionByName(copies).repartition(spark.sparkContext.defaultParallelism)
+    return embedding_cosine_pairs(corpus, threshold=0.99)
+
+
+def embedding_cosine_pairs(
+    raw_corpus: DataFrame,
+    threshold: float = 0.99,
+    dim: int = 64,
+    n_tables: int = COSINE_LSH_TABLES,
+    n_planes: int = COSINE_LSH_PLANES,
+) -> DataFrame:
+    """The LSH-candidate + exact-verify pair pipeline over any
+    (vec_id, embedding) DataFrame — shared by the registered fixture
+    query and the scale probes (scripts/embdedup_scale_probe.py)."""
+    from ..functions import vectors
+    from .similarity import _hyperplanes, lsh_bucket
+
     # Norms precomputed once per row BEFORE the verify join: inside the
     # join each side's norm would be re-derived per candidate partner.
     # sqrt is deterministic, so dot/(norm_a*norm_b) is bit-identical
     # to the inlined form. Persisted: consumed by the bands projection
     # and both re-attach joins.
     corpus = _persist_index(
-        emb.unionByName(copies)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("nrm", vectors.norm(F.col("embedding")))
+        raw_corpus.withColumn("nrm", vectors.norm(F.col("embedding")))
     )
 
-    dim = 64
     sig = F.array(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
                 lsh_bucket(
-                    F.col("embedding"), _hyperplanes(dim, COSINE_LSH_PLANES, seed=42 + 1000 * t)
+                    F.col("embedding"), _hyperplanes(dim, n_planes, seed=42 + 1000 * t)
                 ).alias("bucket"),
             )
-            for t in range(COSINE_LSH_TABLES)
+            for t in range(n_tables)
         ]
     )
     bands = corpus.select("vec_id", F.explode(sig).alias("s")).select(
@@ -541,7 +552,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = vectors.dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         pairs.withColumn("cos", F.round(cos, 4))
-        .filter(F.col("cos") >= 0.99)
+        .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
 
