@@ -659,6 +659,72 @@ FROM quantized
 """
 
 
+KMEANS_K = 8
+
+
+def kmeans_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step against k = 8 fixed centroids
+    (the embeddings with vec_id < 8) — the Lloyd-iteration inner loop
+    as a distributed query, and the assignment stage of semantic
+    clustering / semdedup pipelines.
+
+    The centroid table is k rows — it BROADCASTS, so assignment is a
+    map-side nested-loop over the corpus scan: the corpus never
+    shuffles, and at 100 TB each executor scores its partitions
+    against the in-memory centroid block. Squared L2 is computed as
+    an ordered zip_with fold (JVM codegen, bit-matching the oracle's
+    ordered list fold); the argmin ranks on the ROUNDED distance with
+    centroid-id tiebreak so both engines resolve near-ties the same
+    way. A full Lloyd loop is this query + a k-row mean update per
+    round (see dedup_clusters_cc for the iterate-with-scalar-feedback
+    pattern).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("c_vec"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("centroid_id").asc())
+    return (
+        emb.join(F.broadcast(cents))
+        .withColumn("dist2", d2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id", "dist2")
+    )
+
+
+KMEANS_ASSIGN_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c_vec
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
+                    * (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE))), 4) AS dist2
+  FROM embeddings e CROSS JOIN cents c
+)
+SELECT vec_id, centroid_id, dist2
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dist2 ASC, centroid_id ASC) = 1
+"""
+
+
 QUERIES: dict = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_ORACLE),
     "ann_cosine_topk_vectorized": (ann_cosine_topk_vectorized, ANN_TOPK_ORACLE),
@@ -669,4 +735,5 @@ QUERIES: dict = {
     "embedding_norm_stats": (embedding_norm_stats, EMBEDDING_NORM_ORACLE),
     "mips_topk": (mips_topk, MIPS_TOPK_ORACLE),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_ORACLE),
+    "kmeans_assign_fixed": (kmeans_assign_fixed, KMEANS_ASSIGN_ORACLE),
 }

@@ -724,6 +724,224 @@ GROUP BY source, bin
 """
 
 
+# word 3-gram shingles, mirrored from operators/dedup.py so the
+# contamination check measures the same shingle space the dedup
+# operators use. Guarded CASE keeps element_at in-range under ANSI.
+_SHINGLES_EXPR = """
+CASE WHEN size(split(text, ' ')) >= 3 THEN
+  transform(sequence(1, size(split(text, ' ')) - 2),
+            i -> concat_ws(' ', element_at(split(text, ' '), i),
+                                element_at(split(text, ' '), i + 1),
+                                element_at(split(text, ' '), i + 2)))
+ELSE array(text) END
+"""
+
+_SHINGLES_SQL = """
+CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+  list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i + 1] || ' ' ||
+                      string_split(text, ' ')[i + 2])
+ELSE [text] END
+"""
+
+CONTAMINATION_THRESHOLD = 0.5
+
+
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: word-3-gram overlap between the
+    training corpus and a held-out benchmark set — the decontamination
+    step every pretraining pipeline runs before training (a benchmark
+    document leaked into the corpus invalidates the eval).
+
+    Benchmark = docs with doc_id % 17 == 0; corpus = the rest, plus
+    injected leaks (exact copies of every third benchmark doc under
+    new ids) so the detector provably fires. The benchmark shingle
+    vocabulary is small by construction (evals are MBs, corpora are
+    TBs), so it BROADCASTS: the corpus-side scan streams past it
+    map-side with no shuffle of corpus text. Per corpus doc we report
+    distinct-shingle overlap ratio and flag docs above the threshold.
+    Only overlapping docs are emitted — at 100 TB the output is the
+    (tiny) quarantine list, never the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    leaks = docs.filter(F.col("doc_id") % 51 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 17 != 0).unionByName(leaks)
+
+    bench_sh = (
+        bench.select(F.explode(F.expr(f"array_distinct({_SHINGLES_EXPR})")).alias("sh"))
+        .distinct()
+    )
+    corpus_sh = corpus.select(
+        "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES_EXPR})")).alias("sh")
+    )
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    shared = (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ratio = F.col("n_shared") / F.col("n_shingles")
+    return (
+        shared.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(ratio, 4).alias("overlap_ratio"),
+            (ratio > CONTAMINATION_THRESHOLD).cast("int").alias("flag_contaminated"),
+        )
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+bench AS (SELECT * FROM docs WHERE doc_id % 17 = 0),
+corpus AS (
+  SELECT * FROM docs WHERE doc_id % 17 != 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM docs WHERE doc_id % 51 = 0
+),
+bench_sh AS (
+  SELECT DISTINCT unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM bench
+),
+corpus_sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM corpus
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus_sh GROUP BY doc_id),
+shared AS (
+  SELECT doc_id, count(*) AS n_shared
+  FROM corpus_sh JOIN bench_sh USING (sh)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_shared,
+       round(n_shared / n_shingles, 4) AS overlap_ratio,
+       CAST(n_shared / n_shingles > {CONTAMINATION_THRESHOLD} AS INT)
+         AS flag_contaminated
+FROM shared JOIN sizes USING (doc_id)
+"""
+
+
+BPE_TOP_PAIRS = 20
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training inner loop: corpus-wide adjacent-token-pair
+    frequencies, top 20 — one merge-candidate scoring round of BPE /
+    WordPiece training lifted to the cluster (the step that must see
+    ALL the data, which is why tokenizer training is a distributed
+    count job before it is anything else).
+
+    Pairs are built per-row with a higher-order transform (no
+    posexplode + self-join on position — that shape shuffles the
+    token table twice and joins it to itself; this one never shuffles
+    anything except the final (pair, count) aggregate, which combines
+    map-side). Top-k is orderBy+limit = distributed TakeOrdered, not
+    a global window. Ties are impossible at the (n, pair) level, so
+    the limit is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs_expr = """
+    CASE WHEN size(split(text, ' ')) >= 2 THEN
+      transform(sequence(0, size(split(text, ' ')) - 2),
+                i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1]))
+    ELSE array() END
+    """
+    return (
+        docs.select(F.explode(F.expr(pairs_expr)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+BPE_PAIR_ORACLE = f"""
+WITH pairs AS (
+  SELECT unnest(
+    CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+      list_transform(range(1, len(string_split(text, ' '))),
+                     i -> string_split(text, ' ')[i] || ' ' ||
+                          string_split(text, ' ')[i + 1])
+    ELSE [] END) AS pair
+  FROM documents
+)
+SELECT pair, count(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+# per-language keep thresholds out of 256 md5 buckets: downsample
+# overrepresented languages, keep the rest whole — the data-mixture
+# step of corpus assembly. 256ths so the rule is exact in integers.
+MIXTURE_KEEP_256: dict[str, int] = {"en": 128, "fr": 205, "es": 230, "de": 256, "zh": 256}
+
+
+def data_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture resampling: downsample each language
+    to a target rate with a content-hash keep rule — how a corpus is
+    rebalanced before pretraining (e.g. cap English at 50%) while
+    staying reproducible across runs, engines, and corpus growth.
+
+    Keep rule: first two hex digits of md5(text) form a bucket in
+    [0, 256); a doc survives iff bucket < threshold(lang). Content-
+    keyed (not id- or rand()-keyed) so exact duplicates get one fate,
+    and adding docs never flips earlier decisions. Pure projection +
+    one |langs|-group aggregate: no shuffle of the corpus itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hexd = "0123456789abcdef"
+    bucket = F.expr(
+        f"(instr('{hexd}', substring(md5(text), 1, 1)) - 1) * 16"
+        f" + (instr('{hexd}', substring(md5(text), 2, 1)) - 1)"
+    )
+    thr = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in MIXTURE_KEEP_256.items()],
+        F.lit(256),
+    )
+    kept = (bucket < thr).cast("int")
+    return (
+        docs.select("lang", kept.alias("kept"), "n_chars", thr.alias("thr"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept") / F.count("*"), 4).alias("kept_rate"),
+            F.round(F.first("thr") / F.lit(256.0), 4).alias("target_rate"),
+            F.sum(F.col("kept") * F.col("n_chars")).alias("kept_chars"),
+        )
+    )
+
+
+_MIXTURE_CASE_SQL = " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in MIXTURE_KEEP_256.items()
+)
+
+DATA_MIXTURE_ORACLE = f"""
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                   + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+                   < (CASE {_MIXTURE_CASE_SQL} ELSE 256 END)
+              THEN 1 ELSE 0 END AS kept,
+         (CASE {_MIXTURE_CASE_SQL} ELSE 256 END) AS thr
+  FROM documents
+)
+SELECT lang, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept,
+       round(sum(kept) / count(*), 4) AS kept_rate,
+       round(any_value(thr) / 256.0, 4) AS target_rate,
+       CAST(sum(kept * n_chars) AS BIGINT) AS kept_chars
+FROM assigned
+GROUP BY lang
+"""
+
+
 QUERIES: dict = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
     "curation_pipeline": (curation_pipeline, CURATION_PIPELINE_ORACLE),
@@ -740,4 +958,7 @@ QUERIES: dict = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_ORACLE),
     "split_train_holdout": (split_train_holdout, SPLIT_TRAIN_HOLDOUT_ORACLE),
     "sequence_pack_by_source": (sequence_pack_by_source, SEQUENCE_PACK_ORACLE),
+    "contamination_ngram_overlap": (contamination_ngram_overlap, CONTAMINATION_ORACLE),
+    "bpe_pair_counts": (bpe_pair_counts, BPE_PAIR_ORACLE),
+    "data_mixture_resample": (data_mixture_resample, DATA_MIXTURE_ORACLE),
 }

@@ -107,6 +107,10 @@ _PRIORITY = (
     "embedding_quantize_int8",
     "split_train_holdout",
     "sequence_pack_by_source",
+    "contamination_ngram_overlap",
+    "bpe_pair_counts",
+    "data_mixture_resample",
+    "kmeans_assign_fixed",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

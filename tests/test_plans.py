@@ -226,3 +226,43 @@ def test_jaccard_caps_shingle_document_frequency(spark, sf_dir):
 
     text = explain.plan_text(dedup.dedup_ngram_jaccard(spark, sf_dir))
     assert "LeftAnti" in text, "hot-shingle document-frequency cap must gate the join"
+
+
+def test_contamination_broadcasts_benchmark_shingles(spark, sf_dir):
+    # the benchmark shingle vocabulary is the small side by
+    # construction (evals are MBs, corpora TBs): it must broadcast so
+    # the corpus-side scan never shuffles its shingles for the join
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import text
+
+    df = text.contamination_ngram_overlap(spark, sf_dir)
+    assert explain.uses_broadcast_join(df), "benchmark shingle set must broadcast"
+
+
+def test_bpe_pair_counts_no_self_join(spark, sf_dir):
+    # pairs are built per-row with a transform, so the plan must have
+    # no join at all and the top-k must be TakeOrdered (distributed),
+    # never a global-order window
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import text
+
+    t = explain.plan_text(text.bpe_pair_counts(spark, sf_dir))
+    assert "Join" not in t, "pair construction must not self-join the token table"
+    assert "TakeOrderedAndProject" in t, "top-k must compile to TakeOrdered"
+    assert "Window" not in t
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    # k=8 centroid rows broadcast; the corpus never shuffles for the
+    # scoring join (the only exchange is the per-vec_id argmin window)
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import similarity
+
+    df = similarity.kmeans_assign_fixed(spark, sf_dir)
+    assert explain.uses_broadcast_join(df), "centroid block must broadcast"
+
+
+def test_data_mixture_no_shuffle_of_corpus(spark, sf_dir):
+    # content-hash keep rule is a pure projection; the only exchange
+    # is the |langs|-group final aggregate
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import text
+
+    df = text.data_mixture_resample(spark, sf_dir)
+    assert explain.shuffle_count(df) <= 1, "mixture resampling must be map-side + one agg"
