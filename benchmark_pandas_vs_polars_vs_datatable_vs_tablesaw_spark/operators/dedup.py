@@ -35,7 +35,7 @@ before multiplication so nothing overflows int64.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -577,6 +577,143 @@ WHERE round(cos_raw, 4) >= 0.99
 """
 
 
+SEMDEDUP_K = 8
+SEMDEDUP_THRESHOLD = 0.99
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space, then look for near-duplicate pairs only WITHIN
+    each cluster — the third candidate-generation strategy next to
+    hyperplane LSH (dedup_embedding_cosine) and banded MinHash.
+
+    Stage 1 assigns every vector to its nearest of k broadcast
+    centroids (argmin on ROUNDED squared L2 with centroid-id tiebreak,
+    the kmeans_assign_fixed kernel — the corpus never shuffles for
+    assignment). Stage 2 self-joins on centroid_id, so candidate count
+    is sum over clusters of |c|² instead of n² — at 100 TB k grows
+    with n (the paper uses k ≈ √n) to keep clusters bounded, and the
+    equi-join on centroid_id is an ordinary hash shuffle, never a
+    cartesian. Exact cosine verifies candidates; injected exact copies
+    (vec_id+1,000,000 for vec_id < 25) land in their original's
+    cluster by construction (identical vectors ⇒ identical argmin), so
+    known cosine-1.0 pairs must survive.
+    """
+    from ..functions import vectors
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = _persist_index(
+        emb.unionByName(copies)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", vectors.norm(F.col("embedding")))
+    )
+    cents = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("c_vec"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("centroid_id").asc())
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("dist2", d2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    cand = (
+        assigned.alias("l")
+        .join(
+            assigned.alias("r"),
+            (F.col("l.centroid_id") == F.col("r.centroid_id"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.centroid_id").alias("centroid_id"),
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+        )
+    )
+    pairs = cand.join(
+        corpus.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("nrm").alias("nrm_a"),
+        ),
+        "vec_a",
+    ).join(
+        corpus.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("nrm").alias("nrm_b"),
+        ),
+        "vec_b",
+    )
+    cos = vectors.dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        pairs.withColumn("cos", F.round(cos, 4))
+        .filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
+        .select("centroid_id", "vec_a", "vec_b", "cos")
+    )
+
+
+DEDUP_SEMANTIC_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25
+),
+cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c_vec
+  FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
+                    * (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE))), 4) AS dist2
+  FROM corpus e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist2 ASC, centroid_id ASC) = 1
+),
+cand AS (
+  SELECT l.centroid_id, l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM assigned l JOIN assigned r
+    ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+),
+pairs AS (
+  SELECT cand.centroid_id, cand.vec_a, cand.vec_b,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+           AS cos_raw
+  FROM cand
+  JOIN corpus a ON a.vec_id = cand.vec_a
+  JOIN corpus b ON b.vec_id = cand.vec_b
+)
+SELECT centroid_id, vec_a, vec_b, round(cos_raw, 4) AS cos
+FROM pairs
+WHERE round(cos_raw, 4) >= {SEMDEDUP_THRESHOLD}
+"""
+
+
 # --------------------------------------------------------------------------
 # connected components: near-dup pairs -> dedup clusters
 # --------------------------------------------------------------------------
@@ -698,4 +835,5 @@ QUERIES: dict = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE),
     "dedup_clusters_cc": (dedup_clusters_cc, DEDUP_CC_ORACLE),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_ORACLE),
+    "dedup_semantic_clusters": (dedup_semantic_clusters, DEDUP_SEMANTIC_ORACLE),
 }

@@ -942,6 +942,121 @@ GROUP BY lang
 """
 
 
+RARE_TOKEN_DF = 2
+
+
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score from corpus token statistics
+    (the CCNet-style LM filter, made integer-exact): per document, the
+    share of token occurrences whose corpus-wide frequency is <= 2,
+    and the mean corpus frequency of its tokens. Gibberish scores
+    rare-heavy, boilerplate scores common-heavy — the two tails a
+    corpus filter trims.
+
+    Same two-aggregate shape as TF-IDF: a (token, count) vocabulary
+    aggregate (map-side combined — vocabulary-sized, not corpus-
+    sized), re-joined to the exploded token stream ON the token key
+    (the join reuses the vocabulary partitioning), then a per-doc
+    aggregate. Every measure is derived from exact integer counts, so
+    both engines produce bit-identical doubles before rounding.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum((F.col("c") <= RARE_TOKEN_DF).cast("int")).alias("n_rare"),
+            F.round(
+                F.sum((F.col("c") <= RARE_TOKEN_DF).cast("int")) / F.count("*"), 4
+            ).alias("rarity_ratio"),
+            F.round(F.sum("c") / F.count("*"), 4).alias("mean_tok_freq"),
+        )
+    )
+
+
+TOKEN_RARITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN c <= {RARE_TOKEN_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       round(sum(CASE WHEN c <= {RARE_TOKEN_DF} THEN 1 ELSE 0 END) / count(*), 4)
+         AS rarity_ratio,
+       round(sum(c) / count(*), 4) AS mean_tok_freq
+FROM toks JOIN vocab USING (tok)
+GROUP BY doc_id
+"""
+
+
+def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing (alpha = 0.5): each
+    language keeps rate sqrt(min_lang_count / lang_count) — the
+    multilingual-pretraining upweighting rule where the rarest
+    language keeps everything and overrepresented ones are downsampled
+    toward balance. Unlike data_mixture_resample the weights are
+    COMPUTED from corpus statistics, not configured: a |langs|-row
+    aggregate feeds back into the keep rule, broadcast as a scalar
+    join — the same one-small-aggregate-then-rescan shape as TF-IDF's
+    document count or a Lloyd mean update.
+
+    Float parity: sqrt and division are IEEE correctly-rounded (unlike
+    pow/log), and bucket/256 thresholds multiply by a power of two, so
+    both engines decide every keep identically from exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hexd = "0123456789abcdef"
+    bucket = F.expr(
+        f"(instr('{hexd}', substring(md5(text), 1, 1)) - 1) * 16"
+        f" + (instr('{hexd}', substring(md5(text), 2, 1)) - 1)"
+    )
+    lang_counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    min_count = lang_counts.agg(F.min("n_lang").alias("min_lang"))
+    rates = lang_counts.crossJoin(F.broadcast(min_count)).select(
+        "lang", "n_lang", F.sqrt(F.col("min_lang") / F.col("n_lang")).alias("rate")
+    )
+    kept = (bucket < F.col("rate") * 256).cast("int")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select("lang", "n_lang", "rate", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.first("n_lang").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept") / F.first("n_lang"), 4).alias("kept_rate"),
+            F.round(F.first("rate"), 4).alias("target_rate"),
+        )
+    )
+
+
+MIXTURE_TEMPERATURE_ORACLE = """
+WITH lang_counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+rates AS (
+  SELECT lang, n_lang,
+         sqrt((SELECT min(n_lang) FROM lang_counts) / n_lang) AS rate
+  FROM lang_counts
+),
+assigned AS (
+  SELECT d.lang, r.n_lang, r.rate,
+         CASE WHEN (instr('0123456789abcdef', substr(md5(d.text), 1, 1)) - 1) * 16
+                   + (instr('0123456789abcdef', substr(md5(d.text), 2, 1)) - 1)
+                   < r.rate * 256
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN rates r USING (lang)
+)
+SELECT lang, any_value(n_lang) AS n_total,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       round(sum(kept) / any_value(n_lang), 4) AS kept_rate,
+       round(any_value(rate), 4) AS target_rate
+FROM assigned
+GROUP BY lang
+"""
+
+
 QUERIES: dict = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
     "curation_pipeline": (curation_pipeline, CURATION_PIPELINE_ORACLE),
@@ -961,4 +1076,9 @@ QUERIES: dict = {
     "contamination_ngram_overlap": (contamination_ngram_overlap, CONTAMINATION_ORACLE),
     "bpe_pair_counts": (bpe_pair_counts, BPE_PAIR_ORACLE),
     "data_mixture_resample": (data_mixture_resample, DATA_MIXTURE_ORACLE),
+    "token_rarity_score": (token_rarity_score, TOKEN_RARITY_ORACLE),
+    "mixture_temperature_resample": (
+        mixture_temperature_resample,
+        MIXTURE_TEMPERATURE_ORACLE,
+    ),
 }

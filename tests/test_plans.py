@@ -266,3 +266,36 @@ def test_data_mixture_no_shuffle_of_corpus(spark, sf_dir):
 
     df = text.data_mixture_resample(spark, sf_dir)
     assert explain.shuffle_count(df) <= 1, "mixture resampling must be map-side + one agg"
+
+
+def test_semdedup_candidates_are_cluster_bounded(spark, sf_dir):
+    # assignment broadcasts the k centroids; the pair stage must be an
+    # equi-join on centroid_id — never a cartesian pair product over
+    # the corpus (the BroadcastNestedLoopJoin present is the k-row
+    # centroid scoring block, not an all-pairs join)
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import dedup
+
+    df = dedup.dedup_semantic_clusters(spark, sf_dir)
+    text = explain.plan_text(df)
+    assert "CartesianProduct" not in text
+    assert explain.uses_broadcast_join(df), "centroid block must broadcast"
+    assert "SortMergeJoin" in text or "ShuffledHashJoin" in text, (
+        "within-cluster pair join must be an equi-join on centroid_id"
+    )
+
+
+def test_token_rarity_no_window(spark, sf_dir):
+    # two aggregates + one key-reusing join; no global window anywhere
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import text
+
+    t = explain.plan_text(text.token_rarity_score(spark, sf_dir))
+    assert "Window" not in t
+
+
+def test_mixture_temperature_broadcasts_rates(spark, sf_dir):
+    # the |langs|-row computed-rate table must broadcast back onto the
+    # corpus scan — the corpus itself shuffles only for the final agg
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import text
+
+    df = text.mixture_temperature_resample(spark, sf_dir)
+    assert explain.uses_broadcast_join(df), "rate table must broadcast"
