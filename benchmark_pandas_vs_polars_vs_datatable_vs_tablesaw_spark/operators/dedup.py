@@ -35,7 +35,7 @@ before multiplication so nothing overflows int64.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -600,6 +600,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     known cosine-1.0 pairs must survive.
     """
     from ..functions import vectors
+    from .similarity import _argmin_assign
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") < 25).select(
@@ -613,27 +614,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
     )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.col("c_vec"),
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        4,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("centroid_id").asc())
-    assigned = (
-        corpus.join(F.broadcast(cents))
-        .withColumn("dist2", d2)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "centroid_id")
-    )
+    assigned = _argmin_assign(corpus, cents, "centroid_id")
     cand = (
         assigned.alias("l")
         .join(

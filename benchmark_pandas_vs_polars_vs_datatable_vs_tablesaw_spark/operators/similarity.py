@@ -683,27 +683,7 @@ def kmeans_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
     )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.col("c_vec"),
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        4,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("centroid_id").asc())
-    return (
-        emb.join(F.broadcast(cents))
-        .withColumn("dist2", d2)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "centroid_id", "dist2")
-    )
+    return _argmin_assign(emb, cents, "centroid_id", keep_dist=True)
 
 
 KMEANS_ASSIGN_ORACLE = f"""
@@ -725,6 +705,135 @@ QUALIFY row_number() OVER (PARTITION BY vec_id
 """
 
 
+def _argmin_assign(
+    emb: DataFrame, cents: DataFrame, out_col: str, keep_dist: bool = False
+) -> DataFrame:
+    """Assign each (vec_id, embedding) row to the nearest centroid in
+    the broadcast (centroid_id, c_vec) table: argmin on ROUNDED
+    squared L2 with centroid-id tiebreak (both engines resolve
+    near-ties identically). The corpus never shuffles for scoring —
+    the only exchange is the per-vec_id argmin window. Shared by
+    kmeans_assign_fixed, kmeans_lloyd_two_rounds, and
+    dedup.dedup_semantic_clusters."""
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("c_vec"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("centroid_id").asc())
+    cols = ["vec_id", F.col("centroid_id").alias(out_col)]
+    if keep_dist:
+        cols.append(F.col("dist2"))
+    return (
+        emb.join(F.broadcast(cents))
+        .withColumn("dist2", d2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(*cols)
+    )
+
+
+def kmeans_lloyd_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd iterations — assignment, centroid-mean update,
+    reassignment — as one declarative plan: the iterative-refinement
+    algorithm class (k-means, EM, PageRank) on Spark, where each round
+    is a bounded-size aggregate fed back via broadcast, never a
+    driver-side loop over rows.
+
+    The update step computes per-(cluster, dim) means on the exploded
+    dimension table (map-side combined; k x dim = 512 result rows),
+    ROUNDS them to 6 decimals — the one place cross-engine float-sum
+    order could drift — and reassembles ordered arrays, so round-2
+    scoring is again a deterministic ordered fold against broadcast
+    centroids. The output surface is integer-only (vec_id, round-1
+    cluster, round-2 cluster, moved flag): zero float-hash exposure.
+    At 100 TB each extra round adds one scan + one k x dim aggregate;
+    centroids always broadcast.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents0 = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    a1 = _argmin_assign(emb, cents0, "c1")
+
+    dims = (
+        emb.join(a1, "vec_id")
+        .select("c1", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("c1", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+    )
+    cents1 = dims.groupBy(F.col("c1").alias("centroid_id")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("c_vec")
+    )
+    a2 = _argmin_assign(emb, cents1, "c2")
+
+    return (
+        a1.join(a2, "vec_id")
+        .select(
+            "vec_id",
+            "c1",
+            "c2",
+            (F.col("c1") != F.col("c2")).cast("int").alias("moved"),
+        )
+    )
+
+
+KMEANS_LLOYD_ORACLE = f"""
+WITH cents0 AS (
+  SELECT vec_id AS centroid_id, embedding AS c_vec
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+scored1 AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
+                    * (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE))), 4) AS dist2
+  FROM embeddings e CROSS JOIN cents0 c
+),
+a1 AS (
+  SELECT vec_id, centroid_id AS c1 FROM scored1
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist2 ASC, centroid_id ASC) = 1
+),
+exploded AS (
+  SELECT a1.c1, unnest(range(1, len(e.embedding) + 1)) AS i, e.embedding
+  FROM embeddings e JOIN a1 USING (vec_id)
+),
+dim_means AS (
+  SELECT c1, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS m
+  FROM exploded GROUP BY c1, i
+),
+cents1 AS (
+  SELECT c1 AS centroid_id, list(m ORDER BY dim) AS c_vec
+  FROM dim_means GROUP BY c1
+),
+scored2 AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (e.embedding[i]::DOUBLE - c.c_vec[i])
+                    * (e.embedding[i]::DOUBLE - c.c_vec[i]))), 4) AS dist2
+  FROM embeddings e CROSS JOIN cents1 c
+),
+a2 AS (
+  SELECT vec_id, centroid_id AS c2 FROM scored2
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist2 ASC, centroid_id ASC) = 1
+)
+SELECT vec_id, c1, c2, CAST(c1 != c2 AS INT) AS moved
+FROM a1 JOIN a2 USING (vec_id)
+"""
+
+
 QUERIES: dict = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_ORACLE),
     "ann_cosine_topk_vectorized": (ann_cosine_topk_vectorized, ANN_TOPK_ORACLE),
@@ -736,4 +845,5 @@ QUERIES: dict = {
     "mips_topk": (mips_topk, MIPS_TOPK_ORACLE),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_ORACLE),
     "kmeans_assign_fixed": (kmeans_assign_fixed, KMEANS_ASSIGN_ORACLE),
+    "kmeans_lloyd_two_rounds": (kmeans_lloyd_two_rounds, KMEANS_LLOYD_ORACLE),
 }

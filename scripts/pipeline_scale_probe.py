@@ -62,6 +62,30 @@ def main() -> None:
     t_bpe = time.perf_counter() - t0
     print(f"bpe_pair_counts: top={top[0].n:,} wall={t_bpe:.1f}s", flush=True)
 
+    # --- BPE pair counts, Zipf-ish vocabulary: real corpora concentrate
+    # pair mass in few keys, so map-side combine collapses the exchange.
+    # Token id = h^2/VOCAB (square-mapping uniform h concentrates mass
+    # at low ids: P(id <= x) ~ sqrt(x/V)).
+    t0 = time.perf_counter()
+    zipf = spark.range(N).select(
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 31),"
+            " t -> concat('w', CAST(pmod(xxhash64(id * 131 + t), 50000)"
+            "                        * pmod(xxhash64(id * 131 + t), 50000)"
+            "                        DIV 50000 AS BIGINT))))"
+        ).alias("text")
+    )
+    top_z = (
+        zipf.select(F.explode(F.expr(pairs_expr)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+        .collect()
+    )
+    t_zipf = time.perf_counter() - t0
+    print(f"bpe_pair_counts_zipf: top={top_z[0].n:,} wall={t_zipf:.1f}s", flush=True)
+
     # --- decontamination: 1/33 of docs are "benchmark", leaks planted
     t0 = time.perf_counter()
     sh_expr = """

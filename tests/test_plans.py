@@ -299,3 +299,16 @@ def test_mixture_temperature_broadcasts_rates(spark, sf_dir):
 
     df = text.mixture_temperature_resample(spark, sf_dir)
     assert explain.uses_broadcast_join(df), "rate table must broadcast"
+
+
+def test_kmeans_lloyd_centroids_broadcast_both_rounds(spark, sf_dir):
+    # both assignment rounds must broadcast their centroid block (k
+    # rows, fixed then recomputed); the corpus never shuffles for
+    # scoring in either round
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import similarity
+
+    t = explain.plan_text(similarity.kmeans_lloyd_two_rounds(spark, sf_dir))
+    assert t.count("BroadcastNestedLoopJoin") >= 2 or (
+        "BroadcastNestedLoopJoin" in t and "BroadcastHashJoin" in t
+    ), "both rounds must score against broadcast centroids"
+    assert "CartesianProduct" not in t

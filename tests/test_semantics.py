@@ -240,3 +240,52 @@ def test_dynamic_partition_overwrite_touches_only_matching(spark, sf_dir, tmp_pa
     for prio, n in before.items():
         if prio != "1-URGENT":
             assert after[prio] == n, f"untouched partition {prio} changed"
+
+
+def test_mixture_keep_decisions_subset_invariant(spark, sf_dir):
+    # data_mixture_resample's configured-weight keep rule is content-
+    # keyed with NO global state: dropping half the corpus must not
+    # flip any surviving doc's fate (the reproducibility property that
+    # rand()/row_number-based sampling lacks). The temperature variant
+    # intentionally differs — its rates recompute from corpus counts.
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        MIXTURE_KEEP_256,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hexd = "0123456789abcdef"
+    bucket = F.expr(
+        f"(instr('{hexd}', substring(md5(text), 1, 1)) - 1) * 16"
+        f" + (instr('{hexd}', substring(md5(text), 2, 1)) - 1)"
+    )
+    thr = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in MIXTURE_KEEP_256.items()],
+        F.lit(256),
+    )
+    full = {
+        r.doc_id: r.kept
+        for r in docs.select("doc_id", (bucket < thr).cast("int").alias("kept")).collect()
+    }
+    half = {
+        r.doc_id: r.kept
+        for r in docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", (bucket < thr).cast("int").alias("kept"))
+        .collect()
+    }
+    assert half and all(full[d] == k for d, k in half.items())
+
+
+def test_temperature_rates_rebalance_toward_rare(spark, sf_dir):
+    # alpha=0.5 temperature: the rarest language keeps rate 1.0, and
+    # keep rates are anti-monotone in language frequency
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        mixture_temperature_resample,
+    )
+
+    rows = mixture_temperature_resample(spark, sf_dir).collect()
+    by_lang = {r.lang: r for r in rows}
+    rarest = min(rows, key=lambda r: r.n_total)
+    assert by_lang[rarest.lang].target_rate == 1.0
+    ordered = sorted(rows, key=lambda r: r.n_total)
+    rates = [r.target_rate for r in ordered]
+    assert rates == sorted(rates, reverse=True)
