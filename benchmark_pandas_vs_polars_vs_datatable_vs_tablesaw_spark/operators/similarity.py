@@ -711,10 +711,16 @@ def _argmin_assign(
     """Assign each (vec_id, embedding) row to the nearest centroid in
     the broadcast (centroid_id, c_vec) table: argmin on ROUNDED
     squared L2 with centroid-id tiebreak (both engines resolve
-    near-ties identically). The corpus never shuffles for scoring —
-    the only exchange is the per-vec_id argmin window. Shared by
-    kmeans_assign_fixed, kmeans_lloyd_two_rounds, and
-    dedup.dedup_semantic_clusters."""
+    near-ties identically). Shared by kmeans_assign_fixed,
+    kmeans_lloyd_two_rounds, and dedup.dedup_semantic_clusters.
+
+    The argmin is min(struct(dist2, centroid_id)) — lexicographic
+    struct ordering IS the tiebreak — rather than a per-vec_id
+    row_number window: the aggregate combines map-side (the broadcast
+    join leaves all k scored rows of a vector in one partition), so
+    the exchange carries n rows, not n×k. At k=1024 that is a 1024×
+    smaller shuffle than the window formulation for identical output.
+    """
     d2 = F.round(
         F.aggregate(
             F.zip_with(
@@ -728,17 +734,16 @@ def _argmin_assign(
         ),
         4,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("centroid_id").asc())
-    cols = ["vec_id", F.col("centroid_id").alias(out_col)]
-    if keep_dist:
-        cols.append(F.col("dist2"))
-    return (
+    best = (
         emb.join(F.broadcast(cents))
-        .withColumn("dist2", d2)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(*cols)
+        .select("vec_id", F.struct(d2.alias("dist2"), "centroid_id").alias("sc"))
+        .groupBy("vec_id")
+        .agg(F.min("sc").alias("sc"))
     )
+    cols = ["vec_id", F.col("sc.centroid_id").alias(out_col)]
+    if keep_dist:
+        cols.append(F.col("sc.dist2").alias("dist2"))
+    return best.select(*cols)
 
 
 def kmeans_lloyd_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1057,6 +1057,74 @@ GROUP BY lang
 """
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the chunk-for-embedding /
+    retrieval-indexing step: split every document into 64-token
+    windows with stride 48 (16-token overlap), keeping (doc_id,
+    chunk_idx, start offset, chunk text, token count).
+
+    One Generate over a per-row transform: zero shuffle, zero UDF —
+    chunk boundaries are pure arithmetic on the token array, so the
+    operator is a narrow stage fused with the scan at any scale.
+    Chunk counts grow the row count ~n_tokens/stride ×, which is the
+    point: the output feeds an embedding model batch-wise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    chunks = F.expr(
+        f"""
+        transform(sequence(0, CAST(floor((size(split(text, ' ')) - 1) / {CHUNK_STRIDE})
+                                   AS INT)),
+                  i -> struct(
+                    i AS chunk_idx,
+                    i * {CHUNK_STRIDE} AS start_tok,
+                    concat_ws(' ', slice(split(text, ' '),
+                                         i * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS}))
+                      AS chunk_text))
+        """
+    )
+    return (
+        docs.select("doc_id", F.size(toks).alias("n_tokens"), F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.start_tok").alias("start_tok"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.col("n_tokens") - F.col("c.start_tok")
+            ).alias("chunk_tokens"),
+        )
+    )
+
+
+CHUNK_DOCUMENTS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, n_tokens,
+         unnest(range(0, CAST(floor((n_tokens - 1) / {CHUNK_STRIDE}) AS BIGINT) + 1))
+           AS chunk_idx
+  FROM base
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_STRIDE} AS INT) AS start_tok,
+       array_to_string(toks[chunk_idx * {CHUNK_STRIDE} + 1
+                            : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')
+         AS chunk_text,
+       CAST(least({CHUNK_TOKENS}, n_tokens - chunk_idx * {CHUNK_STRIDE}) AS INT)
+         AS chunk_tokens
+FROM idx
+"""
+
+
 QUERIES: dict = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
     "curation_pipeline": (curation_pipeline, CURATION_PIPELINE_ORACLE),
@@ -1077,6 +1145,7 @@ QUERIES: dict = {
     "bpe_pair_counts": (bpe_pair_counts, BPE_PAIR_ORACLE),
     "data_mixture_resample": (data_mixture_resample, DATA_MIXTURE_ORACLE),
     "token_rarity_score": (token_rarity_score, TOKEN_RARITY_ORACLE),
+    "chunk_documents": (chunk_documents, CHUNK_DOCUMENTS_ORACLE),
     "mixture_temperature_resample": (
         mixture_temperature_resample,
         MIXTURE_TEMPERATURE_ORACLE,

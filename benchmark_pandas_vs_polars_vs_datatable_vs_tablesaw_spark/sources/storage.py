@@ -287,6 +287,54 @@ SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS n_chars FROM do
 """
 
 
+COMPACT_FRAGMENTS = 64
+COMPACT_TARGET_FILES = 4
+
+
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the standing maintenance job of every
+    large table: streaming ingestion and fine-grained partitioning
+    leave thousands of KB-sized files whose per-file open/footer cost
+    dominates scans (the classic small-files problem). Compaction
+    rewrites them into few scan-sized files.
+
+    Builds a deliberately fragmented copy of ``orders`` (64 files),
+    compacts with a REPARTITION-BY-NUM rewrite (a real shuffle rewrite
+    — what a production compactor does to also restore clustering;
+    ``coalesce`` would merely glue input splits), verifies the file
+    count dropped to the target, and returns an aggregate over the
+    compacted copy that the oracle checks against the source — i.e.
+    the rewrite provably lost nothing. At 100 TB this runs
+    per-partition with target file size ≈ 128-512 MB.
+    """
+    src = load_table(spark, sf_dir, "orders")
+    frag = os.path.join(WAREHOUSE, f"frag_orders_{_tag(sf_dir, 'orders')}")
+    compacted = os.path.join(WAREHOUSE, f"compact_orders_{_tag(sf_dir, 'orders')}")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        src.repartition(COMPACT_FRAGMENTS).write.mode("overwrite").parquet(frag)
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        spark.read.parquet(frag).repartition(COMPACT_TARGET_FILES).write.mode(
+            "overwrite"
+        ).parquet(compacted)
+    n_files = len(
+        [f for f in os.listdir(compacted) if f.endswith(".parquet")]
+    )
+    assert n_files <= COMPACT_TARGET_FILES, f"compaction left {n_files} files"
+    back = spark.read.parquet(compacted)
+    return back.select(
+        F.count("*").alias("n"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        money_sum(F.col("o_totalprice")).alias("price_sum"),
+    )
+
+
+COMPACT_ORACLE = """
+SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_keys,
+       sum(CAST(round(o_totalprice * 10000) AS BIGINT)) / 10000.0 AS price_sum
+FROM orders
+"""
+
+
 QUERIES: dict = {
     "bucketed_join_revenue": (bucketed_join_revenue, BUCKETED_JOIN_ORACLE),
     "partition_pruned_scan": (partition_pruned_scan, PARTITION_PRUNED_ORACLE),
@@ -295,4 +343,5 @@ QUERIES: dict = {
     "orc_roundtrip": (orc_roundtrip, _SUPPLIER_AGG_ORACLE),
     "parquet_zstd_roundtrip": (parquet_zstd_roundtrip, _SUPPLIER_AGG_ORACLE),
     "textfile_roundtrip": (textfile_roundtrip, TEXTFILE_ORACLE),
+    "compact_small_files": (compact_small_files, COMPACT_ORACLE),
 }

@@ -24,3 +24,12 @@ def test_memory_probes_report_components(spark):
     heap = memory.jvm_heap_mb(spark)
     assert rss > 10.0, "python RSS probe must report a real value"
     assert heap > 1.0, "JVM heap probe must reach the driver runtime"
+
+
+def test_registry_priority_fits_driver_window():
+    # the driver verifies the first 50 registry entries per round; a
+    # priority list that silently overflows the window would push
+    # stale/new entries past verification
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.registry import _PRIORITY
+
+    assert len(_PRIORITY) <= 50, f"priority window overflow: {len(_PRIORITY)}"

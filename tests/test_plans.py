@@ -312,3 +312,57 @@ def test_kmeans_lloyd_centroids_broadcast_both_rounds(spark, sf_dir):
         "BroadcastNestedLoopJoin" in t and "BroadcastHashJoin" in t
     ), "both rounds must score against broadcast centroids"
     assert "CartesianProduct" not in t
+
+
+def test_chunk_documents_is_narrow(spark, sf_dir):
+    # chunking is per-row arithmetic + Generate: it must not shuffle
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import text
+
+    df = text.chunk_documents(spark, sf_dir)
+    assert explain.shuffle_count(df) == 0, "chunking must be a narrow stage"
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    # the other half of the AQE posture: a pathologically skewed join
+    # key must trigger the runtime skew-join split (the cluster-side
+    # answer to hot keys, alongside the manual salting in
+    # salted_skew_agg). Thresholds are lowered so the fixture-sized
+    # skew qualifies; the executed SMJ must carry skew=true.
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        left = spark.range(2_000_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+        # global agg, NOT groupBy(k): a downstream op that required the
+        # join key's hash distribution would veto the skew split (AQE
+        # won't add an exchange to repair one it just broke)
+        df = left.join(right, "k").agg(F.sum("v").alias("s"))
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE must split the skewed join partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
