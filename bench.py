@@ -78,50 +78,60 @@ def main() -> None:
     qs = registry.queries()
 
     # Warm-up pass (H4): JVM/codegen/Arrow init out of the timed region.
-    _force(qs["flagship_lazy_pipeline"](spark, SF_DIR))
+    try:
+        _force(qs["flagship_lazy_pipeline"](spark, SF_DIR))
+    except Exception as exc:  # noqa: BLE001
+        print(f"  warm-up: ERROR {exc}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
     per_query_mem: dict[str, dict[str, float]] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        fn = qs[name]
-        _force(fn(spark, SF_DIR))  # per-query warm-up rep (H4): JIT of
-        # this query's generated code out of the timed region
-        # H3 memory probes around the timed reps — the reference
-        # publishes time + memory delta per op (datatable_benchmark.py
-        # psutil RSS, updated.rs working-set, Benchmark1.java JVM
-        # total-free); Spark splits memory across the Python driver
-        # and the JVM, so both are reported, never a pretend-sum.
-        rss_before = memory.python_rss_mb()
-        jvm_before = memory.jvm_heap_mb(spark)
-        times = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            _force(fn(spark, SF_DIR))
-            times.append(time.perf_counter() - t0)
-        per_query[name] = round(statistics.median(times), 4)
-        per_query_mem[name] = {
-            "delta_py_rss_mb": round(memory.python_rss_mb() - rss_before, 1),
-            "delta_jvm_heap_mb": round(memory.jvm_heap_mb(spark) - jvm_before, 1),
-        }
-        print(f"  {name}: {per_query[name]:.3f}s", file=sys.stderr)
+        # One broken query must cost one row, never the whole artifact
+        # (round 3 lost all numbers to a single AnalysisException) —
+        # record the error and keep the suite going.
+        try:
+            fn = qs[name]
+            _force(fn(spark, SF_DIR))  # per-query warm-up rep (H4): JIT
+            # of this query's generated code out of the timed region
+            # H3 memory probes around the timed reps — the reference
+            # publishes time + memory delta per op (datatable_benchmark.py
+            # psutil RSS, updated.rs working-set, Benchmark1.java JVM
+            # total-free); Spark splits memory across the Python driver
+            # and the JVM, so both are reported, never a pretend-sum.
+            rss_before = memory.python_rss_mb()
+            jvm_before = memory.jvm_heap_mb(spark)
+            times = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                _force(fn(spark, SF_DIR))
+                times.append(time.perf_counter() - t0)
+            per_query[name] = round(statistics.median(times), 4)
+            per_query_mem[name] = {
+                "delta_py_rss_mb": round(memory.python_rss_mb() - rss_before, 1),
+                "delta_jvm_heap_mb": round(memory.jvm_heap_mb(spark) - jvm_before, 1),
+            }
+            print(f"  {name}: {per_query[name]:.3f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec",
-                "value": round(sum(per_query.values()), 4),
-                "unit": "sec",
-                "queries": per_query,
-                "memory": {
-                    "python_rss_mb": round(memory.python_rss_mb(), 1),
-                    "jvm_heap_mb": round(memory.jvm_heap_mb(spark), 1),
-                    "per_query": per_query_mem,
-                },
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_sec",
+        "value": round(sum(per_query.values()), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "memory": {
+            "python_rss_mb": round(memory.python_rss_mb(), 1),
+            "jvm_heap_mb": round(memory.jvm_heap_mb(spark), 1),
+            "per_query": per_query_mem,
+        },
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

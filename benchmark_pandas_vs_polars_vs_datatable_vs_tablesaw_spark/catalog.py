@@ -44,10 +44,26 @@ def read_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
-    """ns-long -> timestamp, flooring to microseconds exactly as DuckDB
-    does when it reads the same nanosecond column."""
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    """Normalize ``events.ts`` to TimestampType whatever layout the
+    fixture writer used. Observed variants across driver rounds:
+
+    - TIMESTAMP(NANOS) parquet, surfaced as a ns long via the
+      ``nanosAsLong`` legacy conf -> floor to micros exactly as DuckDB
+      does when it reads the same nanosecond column;
+    - ``timestamp[us]`` parquet without tz metadata, surfaced as
+      TIMESTAMP_NTZ by Spark 4 -> cast to TIMESTAMP_LTZ. The session
+      timezone is pinned UTC (session.py), so the wall-clock values are
+      byte-identical to DuckDB's naive-UTC reading of the same file.
+
+    This is the single normalization point (FIXTURES.md): every query
+    and every event-time test goes through :func:`load_table`, so a new
+    writer layout only ever needs a branch here.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

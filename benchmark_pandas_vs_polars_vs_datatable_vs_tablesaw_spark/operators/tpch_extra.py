@@ -924,15 +924,24 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit.
 
     Adaptation: no c_phone — the "country code" is the last digit of
-    c_name, kept to a fixed digit set.
+    c_name, kept to a fixed digit set. The NOT EXISTS side is
+    restricted to finalized orders (o_orderstatus = 'F'), mirroring
+    real Q22's date-filtered orders subquery — and, on these fixtures,
+    keeping the result non-vacuous (every customer has *some* order,
+    so an unfiltered anti-join returns 0 rows at every SF).
 
     Scale: global average = 1-row aggregate crossJoin-broadcast; NOT
-    EXISTS = left-anti on custkey against the orders key projection.
+    EXISTS = left-anti on custkey against the filtered orders key
+    projection (filter pushed into the scan, key-only ReadSchema).
     """
     cust = load_table(spark, sf_dir, "customer").withColumn(
         "code", F.substring(F.col("c_name"), -1, 1)
     )
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
     digits = ["1", "3", "5", "7", "9"]
     eligible = cust.filter(F.col("code").isin(digits))
     avg_bal = eligible.filter(F.col("c_acctbal") > 0).agg(
@@ -961,7 +970,8 @@ WHERE code IN ('1', '3', '5', '7', '9')
                    WHERE c_acctbal > 0
                      AND substr(c_name, length(c_name), 1)
                          IN ('1', '3', '5', '7', '9'))
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
 GROUP BY code
 ORDER BY code
 """

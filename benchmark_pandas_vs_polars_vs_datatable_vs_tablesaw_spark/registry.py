@@ -47,70 +47,72 @@ _MODULES = (
 
 # Registration order == driver correctness-check order (the driver
 # verifies the first N registry entries per round; N has been 50).
-# Rounds 1-2 proved core/joins/tpch then dedup/similarity/multimodal/
-# text/timeseries/streaming green. Round 3 fronts (a) the queries the
-# driver has NEVER checked (all analytics, all storage, the arrays
-# tail, q19-q22) and (b) every entry whose implementation or oracle
-# changed after its last green driver row (global_rank rewrites, the
-# multimodal feature reshape, the dedup shingle-cap/LSH-candidate
-# changes). Everything else keeps module order behind them.
+# Rounds 1-3 cumulatively proved 137/148 hash-green. Round 4 fronts:
+# (a) the 6 round-3 additions the checked-50 window never reached;
+# (b) every events-consuming query — the fixture's ts layout drifted
+#     to TIMESTAMP_NTZ in round 3 (VERDICT "What's wrong" #1) and the
+#     normalization fix in catalog.py changes all their input plans,
+#     so each needs a fresh row (5 were outright broken, the rest ran
+#     on a changed type);
+# (c) q22_sales_opportunity, whose anti-join side changed to be
+#     non-vacuous (was a 0-row hash match);
+# (d) backfill with the oldest-green entries (round-1 rows, never
+#     re-checked since). Everything else keeps module order behind.
 _PRIORITY = (
-    # analytics — never driver-checked
-    "cube_priority_status",
-    "ansi_safe_arithmetic",
-    "exact_percentiles_by_group",
-    "higher_moments_stats",
-    "applyinpandas_zscore",
-    "grouping_sets_custom",
-    "window_distribution_funcs",
-    "approx_quantile_bounds",
-    "window_lag_lead",
-    "ntile_balance_quartiles",  # also stale: global_rank rewrite
-    "corr_covar_stats",
-    "histogram_totalprice",
-    "approx_distinct_bounds",
-    "range_join_discount_bands",
-    "salted_skew_agg",
-    "sample_modulo_agg",
-    "stratified_sample_bounds",
-    "string_funcs_suite",
-    "date_parts_agg",
-    "unpivot_lineitem_measures",
-    # storage — never driver-checked
-    "bucketed_join_revenue",
-    "partition_pruned_scan",
-    "dpp_join_pruned_scan",
-    "json_roundtrip",
-    "orc_roundtrip",
-    "parquet_zstd_roundtrip",
-    "textfile_roundtrip",
-    # arrays tail — never driver-checked
-    "map_hof_suite",
-    "array_topk_elements",
-    "array_dimension_stats",
-    # tpch q19-q22 — never driver-checked
-    "q19_disjunctive_bands",
-    "q20_excess_shippers",
-    "q21_last_shippers",
+    # (a) new in round 3 — never driver-checked
+    "dedup_semantic_clusters",
+    "kmeans_lloyd_two_rounds",
+    "token_rarity_score",
+    "chunk_documents",
+    "mixture_temperature_resample",
+    "compact_small_files",
+    # (b) events suite — NTZ normalization fix changed every input plan
+    "asof_join_purchase_view",
+    "events_sessionization",
+    "streaming_dedup_events",
+    "streaming_interval_join",
+    "streaming_session_window",
+    "events_hourly_agg",
+    "events_funnel_conversion",
+    "events_trailing_range_window",
+    "events_gapfill_resample",
+    "events_sliding_window",
+    "events_json_extract",
+    "events_variant_json",
+    "events_topk_users_per_type",
+    "streaming_hourly_agg",
+    "streaming_topk_users",
+    "streaming_sliding_agg",
+    "streaming_stateful_counter",
+    # (c) fixed vacuous fixture match
     "q22_sales_opportunity",
-    # stale: code or oracle changed after last green driver row
-    "q12_priority_shipping",
-    "null_handling_suite",
-    "sort_asc_rank",
-    "sort_desc_rank",
-    "multimodal_feature_extract",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_clusters_cc",
-    # new in round 3 — need their first driver row
-    "mips_topk",
-    "embedding_quantize_int8",
-    "split_train_holdout",
-    "sequence_pack_by_source",
-    "contamination_ngram_overlap",
-    "bpe_pair_counts",
-    "data_mixture_resample",
-    "kmeans_assign_fixed",
+    # (d) oldest green rows (round 1, never re-checked)
+    "flagship_lazy_pipeline",
+    "sql_api_flagship",
+    "filter_numeric_gt",
+    "project_first_numeric",
+    "cast_nan_matrix",
+    "topk_orders",
+    "limit_prefix",
+    "groupby_mean",
+    "groupby_multi_mean",
+    "median_stats",
+    "matrix_col_means",
+    "mapinarrow_matrix_stats",
+    "groupby_first",
+    "groupby_first_minby",
+    "csv_roundtrip",
+    "generator_scaling4_invariants",
+    "scale_up_duplicate",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "broadcast_dim_join",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "merge_upsert_orders",
+    "outer_join_coverage",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -1,0 +1,40 @@
+"""Registry-wide smoke + fixture-contract tests.
+
+Round-3 post-mortem (VERDICT.md "What's wrong" #3): the driver only
+correctness-checks a rotating window of the registry, and the oracle
+differential tests only cover entries WITH an oracle — so a no-oracle
+query that stops *analyzing* (e.g. the TIMESTAMP_NTZ drift) could look
+green-by-omission. These tests close both holes:
+
+- every no-oracle registry entry must still build and execute at
+  sf0.001 (the oracle entries are already fully exercised by
+  tests/test_differential.py);
+- the events fixture contract (FIXTURES.md): whatever physical layout
+  the writer used (ns-as-long, timestamp[us]/NTZ, or tz-aware),
+  ``catalog.load_table`` must surface ``ts`` as TimestampType — the
+  single normalization point every event-time query depends on.
+"""
+
+import pytest
+from pyspark.sql import types as T
+
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.catalog import load_table
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.registry import REGISTRY
+
+NO_ORACLE = sorted(name for name, (_, sql) in REGISTRY.items() if sql is None)
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_no_oracle_query_executes(spark, sf_dir, name):
+    fn, _ = REGISTRY[name]
+    df = fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_events_ts_normalizes_to_timestamp(spark, sf_dir):
+    dt = load_table(spark, sf_dir, "events").schema["ts"].dataType
+    assert isinstance(dt, T.TimestampType), (
+        f"events.ts must normalize to TimestampType, got {dt}; "
+        "add a branch in catalog.normalize_events_ts for the new layout"
+    )
