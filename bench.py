@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "q18_large_volume_customers",  # IN-over-HAVING fact self-aggregation
     "bucketed_join_revenue",    # co-located bucketed join (no exchange)
     "partition_pruned_scan",    # partition-pruned layout read
+    "bloom_prefilter_join",     # hand-built bloom runtime filter
+    "heavy_hitters_twophase",   # candidate/verify frequent tokens
+    "dedup_incremental_exact",  # batch-vs-corpus anti-join dedup
+    "zorder_layout_stats",      # Morton-key multi-dim clustering
 ]
 
 

@@ -808,6 +808,162 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
+# --------------------------------------------------------------------------
+# incremental dedup, survivorship, blocked edit-distance verify
+# --------------------------------------------------------------------------
+
+
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: admit only batch documents whose
+    content digest is absent from the existing corpus snapshot.
+
+    The daily-ingest shape of a 100 TB pipeline: the corpus is huge
+    and already deduplicated; each incoming batch is small relative to
+    it. The operator is a LEFT ANTI join on the md5 digest — the
+    corpus side projects to (digest) only, so the shuffle carries
+    16-byte keys, never document text, and at real scale the batch
+    side is the small one (broadcastable when it fits; AQE picks that
+    up from runtime stats). Here both sides derive from the fixture:
+    corpus = doc_id % 10 != 0, batch = doc_id % 10 == 0 plus exact
+    re-submissions of corpus docs (doc_id < 40, id-shifted) that the
+    anti join must reject.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    resubmitted = corpus.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", "lang"
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 0).unionByName(resubmitted)
+    corpus_fp = corpus.select(F.md5("text").alias("fp"))
+    return (
+        batch.withColumn("fp", F.md5("text"))
+        .join(corpus_fp, "fp", "left_anti")
+        .select("doc_id", "lang")
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents WHERE doc_id % 10 != 0
+),
+batch AS (
+  SELECT doc_id, text, lang FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text, lang FROM corpus WHERE doc_id < 40
+)
+SELECT b.doc_id, b.lang
+FROM batch b
+WHERE md5(b.text) NOT IN (SELECT md5(text) FROM corpus)
+"""
+
+
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: pick ONE canonical document per near-duplicate
+    cluster by quality, not by arbitrary arrival order.
+
+    Clusters come from a cheap blocking key (first 40 chars — the
+    injected near-dups differ only in their final word, so they share
+    the block); the survivor is the member with the highest quality
+    score (ties broken by lowest doc_id). One groupBy on the block
+    key; the min(struct(-score, doc_id)) aggregate combines map-side,
+    so only one candidate row per block per partition crosses the
+    shuffle — the same scale shape as group-first (SURVEY.md §2.4 A3).
+    Quality reuses the text_quality_score expression (text.py) so the
+    ranking is the one the curation pipeline already applies.
+    """
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of")))
+    score = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (F.lit(1.0) - n_stop / n_tokens), 4
+    )
+    scored = corpus.select(
+        F.substring("text", 1, 40).alias("block"), "doc_id", score.alias("score")
+    )
+    return (
+        scored.groupBy("block")
+        .agg(
+            F.min(F.struct((-F.col("score")).alias("neg"), F.col("doc_id").alias("d"))).alias("best"),
+            F.count("*").alias("n_members"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "block",
+            F.col("best.d").alias("keep_id"),
+            (-F.col("best.neg")).alias("best_score"),
+            "n_members",
+        )
+    )
+
+
+DEDUP_SURVIVORSHIP_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+scored AS (
+  SELECT substr(text, 1, 40) AS block, doc_id,
+         round(least(1.0, len(string_split(text, ' ')) / 100.0)
+               * (1.0 - len(list_filter(string_split(text, ' '),
+                                        t -> t IN ('the','a','and','of')))
+                 / len(string_split(text, ' '))), 4) AS score
+  FROM corpus
+),
+ranked AS (
+  SELECT block, doc_id, score,
+         row_number() OVER (PARTITION BY block ORDER BY score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY block) AS n_members
+  FROM scored
+)
+SELECT block, doc_id AS keep_id, score AS best_score, n_members
+FROM ranked WHERE rn = 1 AND n_members >= 2
+"""
+
+
+def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise edit-distance verification (record-linkage
+    style): candidate pairs from an equi-join on a blocking key, then
+    exact Levenshtein over a bounded suffix window.
+
+    The all-pairs O(n²) never materializes — the join key (30-char
+    prefix) confines comparisons to within-block pairs, and the
+    Levenshtein runs on right(text, 80) so per-pair cost is bounded
+    regardless of document length. The injected near-dups drop the
+    final word, so their prefixes collide (same block) while their
+    suffixes differ by roughly one word — exactly the edit window the
+    distance verifies. Same candidate-then-verify decomposition as
+    MinHash→Jaccard above, with an edit metric instead of set overlap.
+    """
+    corpus = _corpus_with_near_dups(spark, sf_dir).select(
+        "doc_id",
+        F.substring("text", 1, 30).alias("block"),
+        F.expr("right(text, 80)").alias("tail"),
+    )
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    return (
+        a.join(b, "block")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.tail"), F.col("b.tail")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 30)
+    )
+
+
+DEDUP_EDIT_DISTANCE_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+keyed AS (
+  SELECT doc_id, substr(text, 1, 30) AS block, right(text, 80) AS tail
+  FROM corpus
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.tail, b.tail) AS INT) AS edit_dist
+FROM keyed a JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.tail, b.tail) <= 30
+"""
+
+
 QUERIES: dict = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_exact_hash": (dedup_exact_hash, DEDUP_EXACT_HASH_ORACLE),
@@ -817,4 +973,7 @@ QUERIES: dict = {
     "dedup_clusters_cc": (dedup_clusters_cc, DEDUP_CC_ORACLE),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_ORACLE),
     "dedup_semantic_clusters": (dedup_semantic_clusters, DEDUP_SEMANTIC_ORACLE),
+    "dedup_incremental_exact": (dedup_incremental_exact, DEDUP_INCREMENTAL_ORACLE),
+    "dedup_survivorship": (dedup_survivorship, DEDUP_SURVIVORSHIP_ORACLE),
+    "dedup_edit_distance_blocked": (dedup_edit_distance_blocked, DEDUP_EDIT_DISTANCE_ORACLE),
 }

@@ -264,6 +264,102 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+_BLOOM_BITS = 1 << 17  # 128 Kbit => 2048-long bitmap, ~16 KB broadcast
+_BLOOM_HASHES = 3
+
+
+def _bloom_positions(col, n_bits: int, k: int) -> list:
+    """k bit positions for a key: pmod(xxhash64(key, seed_i), m)."""
+    return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits)) for i in range(k)]
+
+
+def bloom_build(keys: DataFrame, col: str, n_bits: int = _BLOOM_BITS, k: int = _BLOOM_HASHES) -> DataFrame:
+    """One-row DataFrame holding the bloom bitmap as map<word, bits>.
+
+    Lazy aggregation: positions -> 64-bit words (``bit_or``) -> one
+    ``map_from_entries`` row, ≤ n_bits/64 entries ≈ n_bits/8 bytes."""
+    word_rows = (
+        keys.select(F.explode(F.array(*_bloom_positions(F.col(col), n_bits, k))).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    return word_rows.agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bf"))
+
+
+def bloom_might_contain(col, bf_col=None, n_bits: int = _BLOOM_BITS, k: int = _BLOOM_HASHES):
+    """Predicate Column: all k bits of ``col`` set in the bitmap map
+    column ``bf_col`` (default ``bf``). Pure JVM expressions — no
+    false negatives by construction; false-positive rate set by
+    (n_bits, k, build cardinality)."""
+    bf = bf_col if bf_col is not None else F.col("bf")
+    pred = None
+    for p in _bloom_positions(col, n_bits, k):
+        word = F.coalesce(F.element_at(bf, (p / 64).cast("int")), F.lit(0).cast("long"))
+        hit = word.bitwiseAND(
+            F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+        ) != 0
+        pred = hit if pred is None else (pred & hit)
+    return pred
+
+
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-prefiltered join, built entirely from DataFrame
+    primitives (Spark 4.1 does not register ``bloom_filter_agg`` for
+    SQL, and its automatic runtime bloom only fires past size
+    thresholds a benchmark fixture never meets):
+
+    1. Build: hash every build-side key to k=3 bit positions
+       (seeded xxhash64 mod m), OR them into 64-bit words
+       (``bit_or`` groupBy word index), and fold the ≤ m/64 word rows
+       into a single map<word, bits> row — ~16 KB for 2^17 bits.
+    2. Probe: broadcast that one-row map and test all k bits with
+       ``element_at``/``bitwiseAND`` — a pure JVM expression, so the
+       fact scan is filtered with NO shuffle and NO Python.
+    3. Verify: bloom false positives are removed by an exact
+       broadcast left-semi join before aggregating.
+
+    At 100 TB this is the manual form of Spark's InjectRuntimeFilter:
+    the probe drops the vast majority of fact rows before any join
+    machinery runs, and the filter itself costs one tiny broadcast
+    regardless of fact size. Fully lazy — no driver-side collect;
+    build, probe, and verify sit in one query plan.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build_keys = cust.filter(F.col("c_nationkey") == 7).select("c_custkey")
+
+    bloom = bloom_build(build_keys, "c_custkey")
+    candidates = (
+        orders.join(F.broadcast(bloom))
+        .filter(bloom_might_contain(F.col("o_custkey")))
+        .drop("bf")
+    )
+    return (
+        candidates.join(
+            F.broadcast(build_keys), candidates.o_custkey == build_keys.c_custkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+BLOOM_PREFILTER_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_nationkey = 7)
+GROUP BY o_orderpriority
+"""
+
+
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE / upsert emulation (CDC apply): a change set (10% price
     corrections + synthetic new rows) merged into the base table —
@@ -561,6 +657,7 @@ QUERIES: dict = {
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
     ),
+    "bloom_prefilter_join": (bloom_prefilter_join, BLOOM_PREFILTER_ORACLE),
     "merge_upsert_orders": (merge_upsert_orders, MERGE_UPSERT_ORACLE),
     "outer_join_coverage": (outer_join_coverage, OUTER_JOIN_ORACLE),
     "null_handling_suite": (null_handling_suite, NULL_HANDLING_ORACLE),

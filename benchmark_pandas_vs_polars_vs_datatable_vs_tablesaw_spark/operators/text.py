@@ -1125,8 +1125,71 @@ FROM idx
 """
 
 
+HEAVY_HITTER_SHARE = 0.033  # fixture vocab is ~31 near-uniform tokens
+                            # (~3.2% each) so this splits the set
+
+
+def heavy_hitters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token mining with the two-phase candidate/verify
+    decomposition that survives ultra-high cardinality:
+
+    Phase 1 (candidates): count tokens per *input partition* and keep
+    those meeting the share threshold locally. Any token with global
+    share >= θ must reach local share >= θ in at least one partition
+    (averaging argument: if cnt >= θ·N and cnt_p < θ·N_p everywhere,
+    summing contradicts), so the candidate set is a guaranteed
+    superset of the answer — for ANY partitioning, which is what makes
+    the result partition-count-independent and oracle-checkable.
+
+    Phase 2 (verify): exact counts for candidates only, via a
+    broadcast semi join before the global groupBy — so the full-
+    vocabulary shuffle never happens; only candidate tokens cross the
+    wire. On a real web corpus (vocab in the billions, hitters in the
+    hundreds) phase 2's shuffle is ~10^7× smaller than the naive
+    groupBy-everything plan. Both phases sit in one lazy plan; the
+    total-count side is a one-row broadcast, not a driver collect.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens()).alias("token"))
+
+    local = (
+        tok.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "token")
+        .agg(F.count("*").alias("cnt_p"))
+    )
+    w_part = Window.partitionBy("pid")
+    candidates = (
+        local.withColumn("tot_p", F.sum("cnt_p").over(w_part))
+        .filter(F.col("cnt_p") >= HEAVY_HITTER_SHARE * F.col("tot_p"))
+        .select("token")
+        .distinct()
+    )
+
+    total = tok.agg(F.count("*").alias("n_total"))
+    return (
+        tok.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(total))
+        .filter(F.col("cnt") >= HEAVY_HITTER_SHARE * F.col("n_total"))
+        .select("token", "cnt", F.round(F.col("cnt") / F.col("n_total"), 6).alias("share"))
+    )
+
+
+HEAVY_HITTERS_ORACLE = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT count(*) AS n_total FROM tok)
+SELECT token, count(*) AS cnt,
+       round(count(*) / (SELECT n_total FROM tot), 6) AS share
+FROM tok
+GROUP BY token
+HAVING count(*) >= {HEAVY_HITTER_SHARE} * (SELECT n_total FROM tot)
+"""
+
+
 QUERIES: dict = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
+    "heavy_hitters_twophase": (heavy_hitters_twophase, HEAVY_HITTERS_ORACLE),
     "curation_pipeline": (curation_pipeline, CURATION_PIPELINE_ORACLE),
     "udtf_token_explode": (udtf_token_explode, UDTF_TOKEN_ORACLE),
     "pii_redaction": (pii_redaction, PII_REDACTION_ORACLE),

@@ -86,6 +86,13 @@ _PRIORITY = (
     "streaming_stateful_counter",
     # (c) fixed vacuous fixture match
     "q22_sales_opportunity",
+    # (c2) new in round 4 — need their first driver rows
+    "dedup_incremental_exact",
+    "dedup_survivorship",
+    "dedup_edit_distance_blocked",
+    "bloom_prefilter_join",
+    "heavy_hitters_twophase",
+    "zorder_layout_stats",
     # (d) oldest green rows (round 1, never re-checked)
     "flagship_lazy_pipeline",
     "sql_api_flagship",
@@ -107,12 +114,6 @@ _PRIORITY = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "broadcast_dim_join",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "merge_upsert_orders",
-    "outer_join_coverage",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

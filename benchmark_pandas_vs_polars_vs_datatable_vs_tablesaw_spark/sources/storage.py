@@ -335,8 +335,84 @@ FROM orders
 """
 
 
+_Z_BITS = 8  # 8 bits per dimension -> 16-bit z-value
+_Z_BUCKET = 1024  # bucket = z / 1024: top 3 interleaved bit-pairs fixed
+
+
+def zorder_value(xq, yq, bits: int = _Z_BITS):
+    """Morton (Z-order) interleave of two ``bits``-bit quantized
+    columns — pure shift/mask built-ins, fully codegen'd."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(xq, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(yq, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def _zorder_value_sql(x: str, y: str, bits: int = _Z_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key for multi-dimensional data
+    skipping — the layout trick behind Delta/Iceberg OPTIMIZE ZORDER:
+    sorting by the bit-interleaved key keeps BOTH dimensions locally
+    narrow in every file, so min/max footer stats prune scans for
+    filters on either column (a plain sort narrows only its leading
+    column).
+
+    Quantizes orders onto a 256x256 grid (customer key x order-date
+    day), interleaves the bits with shift/mask built-ins (zero Python,
+    zero UDF), and reports per-z-range min/max spans of both
+    dimensions — the narrowing the oracle verifies numerically: each
+    1024-wide z-range confines both coordinates to 32-wide bands
+    (top 3 bit-pairs fixed ⇒ span < 2^5). The write-side use is
+    ``repartitionByRange(zval).sortWithinPartitions(zval)`` before the
+    parquet sink (exercised in the semantic test); at 100 TB the same
+    key range-partitions the table so every executor writes disjoint
+    z-ranges.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    xq = F.pmod(F.col("o_custkey"), F.lit(256)).cast("int")
+    yq = F.pmod(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")), F.lit(256)
+    ).cast("int")
+    z = zorder_value(xq, yq)
+    return (
+        orders.select(xq.alias("xq"), yq.alias("yq"), z.alias("zval"))
+        .groupBy(F.floor(F.col("zval") / _Z_BUCKET).cast("int").alias("z_range"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.max("xq") - F.min("xq")).alias("x_span"),
+            (F.max("yq") - F.min("yq")).alias("y_span"),
+        )
+    )
+
+
+ZORDER_ORACLE = f"""
+WITH q AS (
+  SELECT o_custkey % 256 AS xq,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS yq
+  FROM orders
+),
+z AS (
+  SELECT xq, yq, {_zorder_value_sql('xq', 'yq')} AS zval FROM q
+)
+SELECT CAST(floor(zval / {_Z_BUCKET}) AS INT) AS z_range, count(*) AS n_rows,
+       CAST(max(xq) - min(xq) AS INT) AS x_span,
+       CAST(max(yq) - min(yq) AS INT) AS y_span
+FROM z
+GROUP BY 1
+"""
+
+
 QUERIES: dict = {
     "bucketed_join_revenue": (bucketed_join_revenue, BUCKETED_JOIN_ORACLE),
+    "zorder_layout_stats": (zorder_layout_stats, ZORDER_ORACLE),
     "partition_pruned_scan": (partition_pruned_scan, PARTITION_PRUNED_ORACLE),
     "dpp_join_pruned_scan": (dpp_join_pruned_scan, DPP_JOIN_ORACLE),
     "json_roundtrip": (json_roundtrip, _SUPPLIER_AGG_ORACLE),

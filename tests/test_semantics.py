@@ -289,3 +289,92 @@ def test_temperature_rates_rebalance_toward_rare(spark, sf_dir):
     ordered = sorted(rows, key=lambda r: r.n_total)
     rates = [r.target_rate for r in ordered]
     assert rates == sorted(rates, reverse=True)
+
+
+def test_bloom_has_no_false_negatives_and_filters(spark, sf_dir):
+    """The hand-built bloom (bloom_build + bloom_might_contain) must
+    pass EVERY inserted key (no false negatives — the correctness
+    contract that lets it pre-filter a join) while rejecting most
+    non-members (the reason to build it at all)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.joins import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    members = spark.range(0, 500).select(F.col("id").alias("k"))
+    bloom = bloom_build(members, "k")
+
+    n_members_pass = (
+        members.join(F.broadcast(bloom))
+        .filter(bloom_might_contain(F.col("k")))
+        .count()
+    )
+    assert n_members_pass == 500, "bloom dropped an inserted key (false negative)"
+
+    non_members = spark.range(1_000_000, 1_010_000).select(F.col("id").alias("k"))
+    n_fp = (
+        non_members.join(F.broadcast(bloom))
+        .filter(bloom_might_contain(F.col("k")))
+        .count()
+    )
+    # m=2^17 bits, n=500, k=3 => fp rate ~ (1 - e^(-3*500/131072))^3 ~ 1.4e-6
+    assert n_fp <= 20, f"false-positive rate implausibly high: {n_fp}/10000"
+
+
+def test_zorder_write_narrows_both_dimensions(spark, sf_dir, tmp_path):
+    """Clustering the write by the Morton key must leave EVERY parquet
+    file with a narrow min/max span in BOTH quantized dimensions —
+    the property that makes footer-stats skipping work for filters on
+    either column. A single-column sort gives this only for its
+    leading column; z-order is the win worth the shuffle."""
+    import pyarrow.parquet as pq
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.catalog import load_table
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.sources.storage import (
+        zorder_value,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    xq = F.pmod(F.col("o_custkey"), F.lit(256)).cast("int")
+    yq = F.pmod(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")), F.lit(256)
+    ).cast("int")
+    quant = orders.select(xq.alias("xq"), yq.alias("yq")).withColumn(
+        "zval", zorder_value(F.col("xq"), F.col("yq"))
+    )
+
+    out = str(tmp_path / "zordered")
+    (
+        quant.repartitionByRange(16, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+    def spans(col_name):
+        widths = []
+        for name in os.listdir(out):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(out, name))
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col_name
+                )
+                st = col.statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            widths.append(hi - lo)
+        return widths
+
+    x_widths, y_widths = spans("xq"), spans("yq")
+    assert len(x_widths) >= 8, "range partitioning should emit multiple files"
+    # 16 z-ranges over a 16-bit z space fix the top 2 bit-pairs of each
+    # dim; files at z-range boundaries can straddle two quadrants, so
+    # assert on the typical (median) file, not the worst one.
+    x_widths.sort(); y_widths.sort()
+    assert x_widths[len(x_widths) // 2] <= 128, f"x spans not narrowed: {x_widths}"
+    assert y_widths[len(y_widths) // 2] <= 128, f"y spans not narrowed: {y_widths}"
