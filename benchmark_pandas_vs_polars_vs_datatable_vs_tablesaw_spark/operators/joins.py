@@ -21,6 +21,8 @@ UTC) and DuckDB (naive UTC) hash identically.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -316,38 +318,50 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
        (seeded xxhash64 mod m), OR them into 64-bit words
        (``bit_or`` groupBy word index), and fold the ≤ m/64 word rows
        into a single map<word, bits> row — ~16 KB for 2^17 bits.
-    2. Probe: broadcast that one-row map and test all k bits with
-       ``element_at``/``bitwiseAND`` — a pure JVM expression, so the
-       fact scan is filtered with NO shuffle and NO Python.
-    3. Verify: bloom false positives are removed by an exact
-       broadcast left-semi join before aggregating.
-
-    At 100 TB this is the manual form of Spark's InjectRuntimeFilter:
-    the probe drops the vast majority of fact rows before any join
-    machinery runs, and the filter itself costs one tiny broadcast
-    regardless of fact size. Fully lazy — no driver-side collect;
-    build, probe, and verify sit in one query plan.
+    2. Probe: the bitmap reaches the probe side as an uncorrelated
+       SCALAR SUBQUERY inside a WHERE clause, so the k-bit test is a
+       plain filter expression sitting directly on the fact scan
+       (``DataFilters`` in the plan) — evaluated below every join and
+       exchange, no shuffle, no Python. This formulation is load-
+       bearing: expressing the probe as a cross join with the one-row
+       bitmap instead lets ``PushLeftSemiLeftAntiThroughJoin`` hoist
+       the exact verify join BELOW the bloom filter, which silently
+       turns the bloom into dead weight (observed; the semantic test
+       pins the subquery shape). Spark's own InjectRuntimeFilter
+       materializes its bloom the same way — a driver-evaluated
+       subquery stitched into the scan filter.
+    3. Verify: bloom false positives are removed by the exact
+       left-semi join above the pre-filtered scan.
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     build_keys = cust.filter(F.col("c_nationkey") == 7).select("c_custkey")
 
-    bloom = bloom_build(build_keys, "c_custkey")
-    candidates = (
-        orders.join(F.broadcast(bloom))
-        .filter(bloom_might_contain(F.col("o_custkey")))
-        .drop("bf")
+    tag = uuid.uuid4().hex[:12]
+    v_bloom, v_orders, v_keys = f"bloom_{tag}", f"orders_{tag}", f"keys_{tag}"
+    bloom_build(build_keys, "c_custkey").createOrReplaceTempView(v_bloom)
+    orders.select("o_custkey", "o_totalprice", "o_orderpriority").createOrReplaceTempView(v_orders)
+    build_keys.createOrReplaceTempView(v_keys)
+
+    probe = " AND ".join(
+        f"(coalesce(element_at((SELECT bf FROM {v_bloom}),"
+        f" CAST(pmod(xxhash64(o_custkey, {i}), {_BLOOM_BITS}) / 64 AS INT)), 0L)"
+        f" & shiftleft(1L, CAST(pmod(xxhash64(o_custkey, {i}), {_BLOOM_BITS}) % 64 AS INT))) != 0"
+        for i in range(_BLOOM_HASHES)
     )
-    return (
-        candidates.join(
-            F.broadcast(build_keys), candidates.o_custkey == build_keys.c_custkey, "left_semi"
+    # k textual subqueries => k driver-evaluated builds of the small-dim
+    # aggregate; their identical inner exchanges dedupe via ReuseExchange.
+    return spark.sql(f"""
+        WITH probed AS (
+          SELECT o_custkey, o_totalprice, o_orderpriority
+          FROM {v_orders}
+          WHERE {probe}
         )
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM probed LEFT SEMI JOIN {v_keys} ON o_custkey = c_custkey
+        GROUP BY o_orderpriority
+    """)
 
 
 BLOOM_PREFILTER_ORACLE = """

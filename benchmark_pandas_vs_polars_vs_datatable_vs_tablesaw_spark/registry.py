@@ -93,6 +93,8 @@ _PRIORITY = (
     "bloom_prefilter_join",
     "heavy_hitters_twophase",
     "zorder_layout_stats",
+    "schema_evolution_read",
+    "streaming_foreachbatch_upsert",
     # (d) oldest green rows (round 1, never re-checked)
     "flagship_lazy_pipeline",
     "sql_api_flagship",
@@ -112,8 +114,6 @@ _PRIORITY = (
     "generator_scaling4_invariants",
     "scale_up_duplicate",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

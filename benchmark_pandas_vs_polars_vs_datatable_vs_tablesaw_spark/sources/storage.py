@@ -410,8 +410,60 @@ GROUP BY 1
 """
 
 
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: a long-lived table whose early files
+    predate a column addition, unified with ``mergeSchema`` so old
+    files surface the new column as NULL.
+
+    Every multi-year 100 TB table hits this — writers add columns over
+    time and a full historical rewrite is off the table. The read path
+    must reconcile footers per file (mergeSchema pays a planning-time
+    footer pass; at scale, pin the evolved schema in a catalog/
+    ``.schema(...)`` instead of re-inferring). The query proves the
+    NULL-backfill semantics numerically: per-status counts split into
+    rows carrying the late column vs legacy rows, which the oracle
+    reproduces from the source table with a CASE on the batch split.
+    """
+    src = load_table(spark, sf_dir, "orders")
+    base = os.path.join(WAREHOUSE, f"orders_evo_{_tag(sf_dir, 'orders')}")
+    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    if not os.path.exists(os.path.join(v1, "_SUCCESS")):
+        (
+            src.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(v1)
+        )
+    if not os.path.exists(os.path.join(v2, "_SUCCESS")):
+        (
+            src.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(v2)
+        )
+    evolved = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return evolved.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.round(F.sum(F.when(F.col("o_orderpriority").isNull(), F.col("o_totalprice"))), 2).alias(
+            "legacy_price_sum"
+        ),
+    )
+
+
+SCHEMA_EVOLUTION_ORACLE = """
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_priority,
+       round(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END), 2)
+           AS legacy_price_sum
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES: dict = {
     "bucketed_join_revenue": (bucketed_join_revenue, BUCKETED_JOIN_ORACLE),
+    "schema_evolution_read": (schema_evolution_read, SCHEMA_EVOLUTION_ORACLE),
     "zorder_layout_stats": (zorder_layout_stats, ZORDER_ORACLE),
     "partition_pruned_scan": (partition_pruned_scan, PARTITION_PRUNED_ORACLE),
     "dpp_join_pruned_scan": (dpp_join_pruned_scan, DPP_JOIN_ORACLE),

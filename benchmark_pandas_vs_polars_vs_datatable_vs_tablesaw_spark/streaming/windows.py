@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import normalize_events_ts, read_raw
@@ -301,8 +301,84 @@ LIMIT 10
 """
 
 
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style streaming upsert via ``foreachBatch``: each micro-batch
+    merges into a keyed snapshot with last-event-wins semantics
+    ((user_id, event_type) key, latest ts — ties broken by event_id).
+
+    ``foreachBatch`` is the production bridge from a stream to any
+    batch sink with MERGE semantics the sink itself lacks (plain
+    parquet here; same code drives Delta/Iceberg MERGE INTO). The
+    merge is re-derivable state: snapshot ∪ batch → keep-latest window
+    — idempotent under batch replay, which is what makes
+    restart-without-checkpoint safe (see
+    test_foreachbatch_idempotent_sink). The final snapshot is
+    deterministic regardless of micro-batching, so a plain batch SQL
+    oracle checks it. At scale the window recompute is bounded by
+    partition-pruning the snapshot to the key ranges present in the
+    batch; state never lives in executor memory.
+    """
+    import os
+    import tempfile
+
+    target = os.path.join(
+        tempfile.gettempdir(), "sparkbench_upsert", uuid.uuid4().hex[:12]
+    )
+    w_latest = F.row_number().over(
+        Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            current = sess.read.parquet(target)
+            merged = current.unionByName(batch_df.select(*current.columns))
+        else:
+            merged = batch_df
+        latest = (
+            merged.withColumn("rn", w_latest)
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # write-then-swap: never overwrite the directory being read
+        tmp = target + "_stage"
+        latest.write.mode("overwrite").parquet(tmp)
+        sess.read.parquet(tmp).write.mode("overwrite").parquet(target)
+
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    snap = spark.read.parquet(target)
+    return snap.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", TS_FMT).alias("last_ts"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+STREAMING_UPSERT_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       round(value, 4) AS last_value
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict = {
     "streaming_hourly_agg": (streaming_hourly_agg, STREAMING_HOURLY_ORACLE),
+    "streaming_foreachbatch_upsert": (streaming_foreachbatch_upsert, STREAMING_UPSERT_ORACLE),
     "streaming_topk_users": (streaming_topk_users, STREAMING_TOPK_ORACLE),
     "streaming_dedup_events": (streaming_dedup_events, STREAMING_DEDUP_ORACLE),
     "streaming_interval_join": (streaming_interval_join, STREAMING_INTERVAL_JOIN_ORACLE),

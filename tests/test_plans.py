@@ -366,3 +366,22 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_probe_filters_scan_below_semi_join(spark, sf_dir):
+    """The bloom probe must reach the fact scan as a DataFilter (via
+    the scalar subquery), BELOW the exact left-semi verify join — the
+    cross-join formulation lets PushLeftSemiLeftAntiThroughJoin hoist
+    the verify join under the bloom filter, silently making the bloom
+    dead weight. Pin the load-bearing shape."""
+    df = joins.bloom_prefilter_join(spark, sf_dir)
+    text = explain.plan_text(df)
+    assert "LeftSemi" in text, "exact verify semi join must remain in the plan"
+    assert "NestedLoop" not in text, (
+        "bloom must arrive via scalar subquery, not a one-row cross join "
+        "(the cross-join form gets the verify join pushed below the probe)"
+    )
+    probe_lines = [ln for ln in text.splitlines() if "xxhash64(o_custkey" in ln]
+    assert probe_lines and all(
+        ln.strip().startswith("Condition") for ln in probe_lines
+    ), "bloom probe must be a scan-side Filter condition, not a join condition"
