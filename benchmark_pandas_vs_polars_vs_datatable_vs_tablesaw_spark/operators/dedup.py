@@ -742,16 +742,18 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # localCheckpoint, not persist: each round's plan builds on the
+        # last round's, and un-truncated lineage makes Catalyst re-plan
+        # an exponentially growing tree (see star_contract)
         new = (
             labels.join(prop, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         cur = new.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist(blocking=False)
         labels = new
         if cur == prev_sum:
             converged = True
@@ -806,6 +808,117 @@ reach(node, label) AS (
 )
 SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
 """
+
+
+def _edge_fingerprint(e: DataFrame):
+    """Order-independent edge-set fingerprint (convergence witness).
+
+    pmod before the sum: raw xxhash64 sums overflow int64 under ANSI;
+    mod-reduced terms keep the sum < n * 1e9."""
+    row = e.agg(
+        F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(MOD))).alias("h"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return (row.h, row.n)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Link every larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v"), F.col("u"))).toDF("u", "v")
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges to the smaller endpoint; link u and its (smaller)
+    neighbors to min(N(u) ∪ {u})."""
+    oriented = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = oriented.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    linked = oriented.join(m, "u")
+    out = linked.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        linked.select(F.col("u"), F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def star_contract(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """Run alternating large-star/small-star to the edge-set fixpoint;
+    returns star edges (node -> component minimum). Raises if the cap
+    is hit — O(log n) rounds suffice for any graph, so a miss means
+    the input (or this code) is broken, not the graph.
+
+    Lineage is truncated EVERY round with an eager ``localCheckpoint``
+    (not just persisted): each round's plan builds on the previous
+    round's, so without truncation Catalyst re-optimizes a plan that
+    doubles per round and analysis time explodes exponentially — a
+    512-node chain (9 rounds) went from minutes-stuck to seconds. The
+    same applies to any >3-round iterative DataFrame loop; persist()
+    caches data but does NOT cap planning cost."""
+    edges = edges.localCheckpoint(eager=True)
+    prev = _edge_fingerprint(edges)
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _edge_fingerprint(edges)
+        if cur == prev:
+            return edges
+        prev = cur
+    raise RuntimeError(
+        f"star-contraction did not converge within {max_rounds} rounds "
+        "(expected O(log n)); the edge set is pathological — inspect it"
+    )
+
+
+def dedup_clusters_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction — the O(log n)-round variant that handles the
+    high-diameter graphs where min-label propagation
+    (:func:`dedup_clusters_cc`, diameter rounds) stalls. Published as
+    the MapReduce CC algorithm of Kiveris et al. (KDD'14); each round
+    is two groupBy-min + join passes over the edge set, nothing else.
+
+    - large-star: around each node u, link every LARGER neighbor to
+      the minimum of N(u) ∪ {u};
+    - small-star: orient edges to the smaller endpoint, then link all
+      of u's (smaller) neighbors and u itself to that minimum.
+
+    Both steps strictly shrink a monotone potential until the edge set
+    is a fixpoint of stars centered at component minima. The loop's
+    convergence witness is an order-independent edge-set fingerprint
+    (sum of xxhash64(u, v)) — one scalar per round to the driver,
+    never data; the final labels are what the oracle (recursive-CTE
+    closure, same as dedup_clusters_cc) checks exactly. Edge sets
+    persist per round; lineage stays O(rounds) = O(log n), with
+    ``localCheckpoint`` the escape hatch past ~20 rounds at scale.
+    """
+    from pyspark import StorageLevel
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).filter(
+        F.col("u") != F.col("v")
+    ).distinct()
+
+    stars = star_contract(edges)
+    # fixpoint edges are (node -> component minimum) stars; centers
+    # appear only on the right, so they label themselves
+    return (
+        nodes.join(stars, nodes.node == stars.u, "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("v"), F.col("node")).alias("cluster_id"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -971,6 +1084,7 @@ QUERIES: dict = {
     "dedup_simhash": (dedup_simhash, None),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE),
     "dedup_clusters_cc": (dedup_clusters_cc, DEDUP_CC_ORACLE),
+    "dedup_clusters_star_contraction": (dedup_clusters_star_contraction, DEDUP_CC_ORACLE),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_ORACLE),
     "dedup_semantic_clusters": (dedup_semantic_clusters, DEDUP_SEMANTIC_ORACLE),
     "dedup_incremental_exact": (dedup_incremental_exact, DEDUP_INCREMENTAL_ORACLE),

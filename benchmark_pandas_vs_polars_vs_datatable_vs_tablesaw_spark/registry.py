@@ -95,6 +95,7 @@ _PRIORITY = (
     "zorder_layout_stats",
     "schema_evolution_read",
     "streaming_foreachbatch_upsert",
+    "dedup_clusters_star_contraction",
     # (d) oldest green rows (round 1, never re-checked)
     "flagship_lazy_pipeline",
     "sql_api_flagship",
@@ -113,7 +114,6 @@ _PRIORITY = (
     "csv_roundtrip",
     "generator_scaling4_invariants",
     "scale_up_duplicate",
-    "q1_pricing_summary",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

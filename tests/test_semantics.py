@@ -378,3 +378,19 @@ def test_zorder_write_narrows_both_dimensions(spark, sf_dir, tmp_path):
     x_widths.sort(); y_widths.sort()
     assert x_widths[len(x_widths) // 2] <= 128, f"x spans not narrowed: {x_widths}"
     assert y_widths[len(y_widths) // 2] <= 128, f"y spans not narrowed: {y_widths}"
+
+
+def test_star_contraction_converges_on_high_diameter_chain(spark):
+    """The reason star contraction exists: a 512-node path graph has
+    diameter 511 (label propagation would need ~511 rounds; its cap of
+    15 fails loudly), but large-star/small-star must collapse it to a
+    single star in O(log n) <= 12 rounds with every node labeled by
+    the component minimum."""
+    chain = spark.range(0, 511).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    stars = dedup.star_contract(chain)
+    rows = stars.collect()
+    assert len(rows) == 511, "fixpoint must be one star edge per non-center node"
+    assert all(r.v == 0 for r in rows), "every node must point at the component minimum"
+    assert sorted(r.u for r in rows) == list(range(1, 512))
