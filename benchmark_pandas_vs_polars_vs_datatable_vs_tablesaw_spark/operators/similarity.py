@@ -839,8 +839,63 @@ FROM a1 JOIN a2 USING (vec_id)
 """
 
 
+JL_OUT_DIM = 16
+_JL_DIM = 64
+
+
+def _jl_sign_sql(i: str, j: str) -> str:
+    """Engine-portable ±1 sign for cell (i, j): integer LCG parity.
+
+    Deliberately NOT xxhash64/md5 — the sign source must be an
+    expression BOTH engines evaluate bit-identically, so it's pure
+    integer arithmetic (Knuth multiplicative constants mod a prime).
+    """
+    return f"(CASE WHEN (({i} * 2654435761 + {j} * 40503) % 97) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 16 with a
+    seedless deterministic ±1 sign matrix (Achlioptas-style database-
+    friendly projection): y_j = (1/sqrt(k)) * Σ_i sign(i,j) * x_i.
+
+    Entirely JVM higher-order functions — transform over the 16 output
+    dims, each an aggregate fold over the 64 inputs, fused with the
+    scan (zero shuffle, zero Python). The matrix is never materialized
+    anywhere: signs come from an integer formula, so the operator is
+    stateless and identically reproducible on any cluster — the same
+    no-stored-randomness rule as the hash-based train/holdout split.
+    At scale this is the cheap pre-step that shrinks ANN index memory
+    4x; pair distances are preserved within the JL bound (semantic
+    test checks the observed distortion envelope).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = 1.0 / (JL_OUT_DIM ** 0.5)
+    proj = F.expr(
+        f"""transform(sequence(0, {JL_OUT_DIM - 1}), j ->
+              round({scale} * aggregate(sequence(0, {_JL_DIM - 1}), CAST(0.0 AS DOUBLE),
+                (acc, i) -> acc + {_jl_sign_sql('i', 'j')}
+                            * CAST(element_at(embedding, i + 1) AS DOUBLE)), 4))"""
+    )
+    return emb.select("vec_id", "label", proj.alias("proj"))
+
+
+EMBEDDING_RANDOM_PROJECTION_ORACLE = f"""
+SELECT vec_id, label,
+       list_transform(range(0, {JL_OUT_DIM}), j ->
+         round({1.0 / (JL_OUT_DIM ** 0.5)} * list_sum(
+           list_transform(range(0, {_JL_DIM}),
+             i -> {_jl_sign_sql('i', 'j')} * embedding[i + 1]::DOUBLE)), 4)
+       ) AS proj
+FROM embeddings
+"""
+
+
 QUERIES: dict = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_ORACLE),
+    "embedding_random_projection": (
+        embedding_random_projection,
+        EMBEDDING_RANDOM_PROJECTION_ORACLE,
+    ),
     "ann_cosine_topk_vectorized": (ann_cosine_topk_vectorized, ANN_TOPK_ORACLE),
     "crossmodal_retrieval": (crossmodal_retrieval, CROSSMODAL_ORACLE),
     "ann_lsh_topk": (ann_lsh_topk, None),

@@ -96,6 +96,7 @@ _PRIORITY = (
     "schema_evolution_read",
     "streaming_foreachbatch_upsert",
     "dedup_clusters_star_contraction",
+    "embedding_random_projection",
     # (d) oldest green rows (round 1, never re-checked)
     "flagship_lazy_pipeline",
     "sql_api_flagship",
@@ -113,7 +114,6 @@ _PRIORITY = (
     "groupby_first_minby",
     "csv_roundtrip",
     "generator_scaling4_invariants",
-    "scale_up_duplicate",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -394,3 +394,39 @@ def test_star_contraction_converges_on_high_diameter_chain(spark):
     assert len(rows) == 511, "fixpoint must be one star edge per non-center node"
     assert all(r.v == 0 for r in rows), "every node must point at the component minimum"
     assert sorted(r.u for r in rows) == list(range(1, 512))
+
+
+def test_random_projection_preserves_pair_distances(spark, sf_dir):
+    """JL guarantee check: for sample pairs, squared distance in the
+    16-dim projection must sit within a loose distortion envelope of
+    the 64-dim original (k=16 gives eps ~ sqrt(8 ln n / k) — wide, so
+    the envelope here is [0.3, 3.0]; a broken sign matrix or a dropped
+    1/sqrt(k) scale lands far outside it)."""
+    import math
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.similarity import (
+        embedding_random_projection,
+    )
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.catalog import load_table
+
+    orig = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20).collect()
+    }
+    proj = {
+        r.vec_id: r.proj
+        for r in embedding_random_projection(spark, sf_dir).filter(F.col("vec_id") < 20).collect()
+    }
+
+    def d2(a, b):
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
+
+    ratios = []
+    ids = sorted(orig)
+    for a, b in zip(ids, ids[1:]):
+        do, dp = d2(orig[a], orig[b]), d2(proj[a], proj[b])
+        assert do > 0
+        ratios.append(dp / do)
+    gm = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+    assert all(0.15 <= r <= 4.0 for r in ratios), f"distortion out of envelope: {ratios}"
+    assert 0.6 <= gm <= 1.6, f"systematic scale error: geomean {gm}"
