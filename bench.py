@@ -88,6 +88,7 @@ def main() -> None:
         print(f"  warm-up: ERROR {exc}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
+    per_query_spread: dict[str, list[float]] = {}
     per_query_mem: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
@@ -111,6 +112,11 @@ def main() -> None:
                 _force(fn(spark, SF_DIR))
                 times.append(time.perf_counter() - t0)
             per_query[name] = round(statistics.median(times), 4)
+            # min/max across reps: a wide spread flags the host
+            # contention waves that have repeatedly distorted rounds
+            # (see SCALE.md) — the artifact then documents its own
+            # noise instead of leaving a slow median unexplained
+            per_query_spread[name] = [round(min(times), 4), round(max(times), 4)]
             per_query_mem[name] = {
                 "delta_py_rss_mb": round(memory.python_rss_mb() - rss_before, 1),
                 "delta_jvm_heap_mb": round(memory.jvm_heap_mb(spark) - jvm_before, 1),
@@ -126,6 +132,7 @@ def main() -> None:
         "value": round(sum(per_query.values()), 4),
         "unit": "sec",
         "queries": per_query,
+        "spread": per_query_spread,
         "memory": {
             "python_rss_mb": round(memory.python_rss_mb(), 1),
             "jvm_heap_mb": round(memory.jvm_heap_mb(spark), 1),

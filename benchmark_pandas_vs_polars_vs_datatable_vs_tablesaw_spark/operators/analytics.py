@@ -718,8 +718,57 @@ ORDER BY l_returnflag
 """
 
 
+def winsorized_stats_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized group statistics — outlier-robust feature scaling via
+    the canonical two-pass shape: (1) aggregate exact p05/p95 bounds
+    per group (tiny result), (2) broadcast them back onto the fact and
+    clip before the final aggregate.
+
+    The group-stats table is |groups| rows however big the fact is, so
+    the second pass is a broadcast join fused with the scan — the fact
+    shuffles once (final agg), never for the bounds lookup. Swap
+    ``percentile`` for ``percentile_approx`` at 100 TB and the shape
+    is unchanged (the sketch bound query certifies the swap).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.percentile(x, F.lit(0.05)).alias("p05"),
+        F.percentile(x, F.lit(0.95)).alias("p95"),
+    )
+    clipped = orders.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderpriority",
+        F.least(F.greatest(x, F.col("p05")), F.col("p95")).alias("w"),
+    )
+    return clipped.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("w"), 4).alias("wmean"),
+        F.round(F.stddev_samp("w"), 4).alias("wstd"),
+    )
+
+
+WINSORIZED_STATS_ORACLE = """
+WITH bounds AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS p05,
+         quantile_cont(o_totalprice, 0.95) AS p95
+  FROM orders GROUP BY o_orderpriority
+),
+clipped AS (
+  SELECT o.o_orderpriority,
+         least(greatest(o.o_totalprice, b.p05), b.p95) AS w
+  FROM orders o JOIN bounds b USING (o_orderpriority)
+)
+SELECT o_orderpriority, count(*) AS n,
+       round(avg(w), 4) AS wmean,
+       round(stddev_samp(w), 4) AS wstd
+FROM clipped GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict = {
     "cube_priority_status": (cube_priority_status, CUBE_ORACLE),
+    "winsorized_stats_by_group": (winsorized_stats_by_group, WINSORIZED_STATS_ORACLE),
     "ansi_safe_arithmetic": (ansi_safe_arithmetic, ANSI_SAFE_ORACLE),
     "exact_percentiles_by_group": (exact_percentiles_by_group, EXACT_PERCENTILES_ORACLE),
     "higher_moments_stats": (higher_moments_stats, HIGHER_MOMENTS_ORACLE),

@@ -1187,9 +1187,52 @@ HAVING count(*) >= {HEAVY_HITTER_SHARE} * (SELECT n_total FROM tot)
 """
 
 
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the
+    low-diversity quality signal (boilerplate, keyword stuffing, and
+    generated spam all score low; C4/Gopher-family filters threshold
+    on exactly this family of statistics).
+
+    Zero-shuffle formulation: entropy is a pure per-row fold
+    (distinct tokens -> -Σ p·ln p via nested higher-order functions),
+    fused with the scan — the shuffled explode+groupBy alternative
+    moves every token occurrence across the wire for a statistic each
+    row can compute locally. Per-row cost is O(tokens × distinct),
+    bounded by document length.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ent = F.expr(
+        """aggregate(array_distinct(split(text, ' ')), CAST(0.0 AS DOUBLE),
+             (acc, u) -> acc - (size(filter(split(text, ' '), t -> t = u))
+                                / CAST(size(split(text, ' ')) AS DOUBLE))
+                             * ln(size(filter(split(text, ' '), t -> t = u))
+                                  / CAST(size(split(text, ' ')) AS DOUBLE)))"""
+    )
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        F.size(F.array_distinct(_tokens())).alias("n_distinct"),
+        F.round(ent, 4).alias("entropy"),
+    )
+
+
+TOKEN_ENTROPY_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+       round(list_sum(list_transform(list_distinct(string_split(text, ' ')),
+         u -> -(len(list_filter(string_split(text, ' '), t -> t = u))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE))
+              * ln(len(list_filter(string_split(text, ' '), t -> t = u))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)))), 4) AS entropy
+FROM documents
+"""
+
+
 QUERIES: dict = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
     "heavy_hitters_twophase": (heavy_hitters_twophase, HEAVY_HITTERS_ORACLE),
+    "token_entropy_quality": (token_entropy_quality, TOKEN_ENTROPY_ORACLE),
     "curation_pipeline": (curation_pipeline, CURATION_PIPELINE_ORACLE),
     "udtf_token_explode": (udtf_token_explode, UDTF_TOKEN_ORACLE),
     "pii_redaction": (pii_redaction, PII_REDACTION_ORACLE),

@@ -97,6 +97,8 @@ _PRIORITY = (
     "streaming_foreachbatch_upsert",
     "dedup_clusters_star_contraction",
     "embedding_random_projection",
+    "winsorized_stats_by_group",
+    "token_entropy_quality",
     # (d) oldest green rows (round 1, never re-checked)
     "flagship_lazy_pipeline",
     "sql_api_flagship",
@@ -110,10 +112,8 @@ _PRIORITY = (
     "median_stats",
     "matrix_col_means",
     "mapinarrow_matrix_stats",
-    "groupby_first",
     "groupby_first_minby",
     "csv_roundtrip",
-    "generator_scaling4_invariants",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
