@@ -233,8 +233,69 @@ FROM documents CROSS JOIN range(0, 8) AS t(j)
 """
 
 
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup over media payloads — the multimodal twin
+    of digest dedup: an average-hash fingerprint (sample 16 "pixels",
+    threshold each against the mean, pack bits) groups payloads that
+    are perceptually identical even when their bytes differ, which is
+    exactly what exact digests miss. The injected near-dups (final
+    word dropped) keep their leading 64 bytes, so their fingerprints
+    collide while their md5s do not — the query must find them.
+
+    Locality by construction: the 16 samples cover the first 64 bytes
+    (the "top-left crop"), and the mean threshold is integer-exact
+    (16*pixel > sum — no float division), so Spark and DuckDB compute
+    bit-identical fingerprints. One shuffle on the 8-byte fingerprint,
+    text pruned from the exchange — same scale shape as
+    dedup_exact_hash. Production swaps the byte sampler for a DCT
+    pHash over mapInPandas-decoded pixels; the fingerprint-then-group
+    plumbing is unchanged.
+    """
+    from .dedup import _corpus_with_near_dups
+
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    pix = F.expr(
+        "transform(sequence(0, 15), i -> ascii(substring(rpad(text, 64, ' '), i * 4 + 1, 1)))"
+    )
+    fp = F.expr(
+        """aggregate(sequence(0, 15), 0L,
+             (acc, i) -> acc + IF(16 * element_at(pix, i + 1) > tot,
+                                  shiftleft(1L, i), 0L))"""
+    )
+    fingerprinted = (
+        corpus.select("doc_id", pix.alias("pix"))
+        .withColumn("tot", F.expr("aggregate(pix, 0, (a, x) -> a + x)"))
+        .select("doc_id", fp.alias("phash"))
+    )
+    return (
+        fingerprinted.groupBy("phash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+_PHASH_SQL = """
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 16), i ->
+           CASE WHEN 16 * ascii(substr(rpad(text, 64, ' '), i * 4 + 1, 1)) >
+                     list_sum(list_transform(range(0, 16),
+                       k -> ascii(substr(rpad(text, 64, ' '), k * 4 + 1, 1))))
+                THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS phash
+"""
+
+from .dedup import _CORPUS_SQL as _NEAR_CORPUS_SQL
+
+MULTIMODAL_PHASH_ORACLE = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+fp AS ({_PHASH_SQL} FROM corpus)
+SELECT phash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM fp GROUP BY phash HAVING count(*) >= 2
+"""
+
+
 QUERIES: dict = {
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_ORACLE),
+    "multimodal_phash_dedup": (multimodal_phash_dedup, MULTIMODAL_PHASH_ORACLE),
     "multimodal_feature_extract": (multimodal_feature_extract, MULTIMODAL_FEATURE_ORACLE),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_ORACLE),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_ORACLE),

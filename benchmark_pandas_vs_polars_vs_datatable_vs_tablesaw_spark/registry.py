@@ -99,6 +99,7 @@ _PRIORITY = (
     "embedding_random_projection",
     "winsorized_stats_by_group",
     "token_entropy_quality",
+    "multimodal_phash_dedup",
     # (d) oldest green rows (round 1, never re-checked)
     "flagship_lazy_pipeline",
     "sql_api_flagship",
@@ -111,7 +112,6 @@ _PRIORITY = (
     "groupby_multi_mean",
     "median_stats",
     "matrix_col_means",
-    "mapinarrow_matrix_stats",
     "groupby_first_minby",
     "csv_roundtrip",
 )

@@ -120,3 +120,33 @@ def test_money_sum_exact_and_partition_independent(spark, seed):
         got = df.agg(money_sum(F.col("v"), scale=100).alias("s")).collect()[0]["s"]
         results.add(got)
     assert results == {exact}, f"{results} != {{{exact}}}"
+
+
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=20),
+    ys=st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=20),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_interleave_is_bijective(spark, xs, ys):
+    """The Morton key must deinterleave back to exactly (xq, yq) for
+    any quantized pair — a dropped bit or shifted lane silently breaks
+    data-skipping locality without failing any aggregate check."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.sources.storage import (
+        zorder_value,
+    )
+
+    n = min(len(xs), len(ys))
+    df = spark.createDataFrame(
+        [(x, y) for x, y in zip(xs[:n], ys[:n])], "xq int, yq int"
+    )
+    rows = df.select("xq", "yq", zorder_value(F.col("xq"), F.col("yq")).alias("z")).collect()
+
+    def deinterleave(z):
+        x = y = 0
+        for i in range(8):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for r in rows:
+        assert deinterleave(r.z) == (r.xq, r.yq), (r.xq, r.yq, r.z)
