@@ -1142,12 +1142,20 @@ def heavy_hitters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result partition-count-independent and oracle-checkable.
 
     Phase 2 (verify): exact counts for candidates only, via a
-    broadcast semi join before the global groupBy — so the full-
-    vocabulary shuffle never happens; only candidate tokens cross the
-    wire. On a real web corpus (vocab in the billions, hitters in the
-    hundreds) phase 2's shuffle is ~10^7× smaller than the naive
-    groupBy-everything plan. Both phases sit in one lazy plan; the
-    total-count side is a one-row broadcast, not a driver collect.
+    broadcast semi join before the global groupBy.
+
+    Honest cost accounting (30M-token / 1M-vocab quiet-window probe):
+    phase 1's (pid, token) exchange carries the same per-partition
+    local-vocab volume as the naive plan's map-side-combined exchange,
+    so at vocabularies that FIT, the naive single groupBy wins
+    (~1.0 s vs ~2.4 s). What the two-phase buys is a MEMORY bound,
+    not a time win: the naive plan's final aggregation holds |vocab|
+    keys of state (billions on a web corpus — the stage that OOMs),
+    while here the final agg holds ≤ partitions/θ candidate keys
+    regardless of vocabulary, and only candidates cross phase 2's
+    exchange. Use naive while vocab fits; switch to this when it
+    doesn't. Both phases sit in one lazy plan; the total-count side
+    is a one-row broadcast, not a driver collect.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(_tokens()).alias("token"))
