@@ -421,7 +421,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_NGRAM_JACCARD_ORACLE = f"""
+# Shared CTE chain: corpus -> DF-capped shingles -> exact-Jaccard
+# candidate pairs. DEDUP_NGRAM_JACCARD_ORACLE selects >= 0.6 pairs from
+# it; DEDUP_MINHASH_RECALL_ORACLE counts its >= 0.9 subset.
+_JACCARD_PAIRS_CTE = f"""
 WITH corpus AS ({_CORPUS_SQL}),
 all_shingled AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh
@@ -441,10 +444,106 @@ pairs AS (
   FROM sh_sz l JOIN sh_sz r ON l.sh = r.sh AND l.doc_id < r.doc_id
   GROUP BY 1, 2, 3, 4
 )
+"""
+
+DEDUP_NGRAM_JACCARD_ORACLE = f"""
+{_JACCARD_PAIRS_CTE}
 SELECT doc_a, doc_b,
        round(common / (sz_a + sz_b - common), 4) AS jaccard
 FROM pairs
 WHERE common / (sz_a + sz_b - common) >= 0.6
+"""
+
+
+# --------------------------------------------------------------------------
+# recall certificates for the hash-dependent near-dup schemes
+# --------------------------------------------------------------------------
+
+MINHASH_RECALL_FLOOR = 0.8  # measured 1.0 at sf0.001/sf0.01 (pinned hashes)
+SIMHASH_RECALL_FLOOR = 0.5  # measured 0.72 / 0.80 at sf0.001 / sf0.01
+
+
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable recall certificate for :func:`dedup_minhash_lsh`.
+
+    The LSH pair list itself is xxhash64-dependent (DuckDB cannot
+    reproduce it), but its *recall against exact ground truth* is a
+    deterministic scalar: hashes and band params are pinned, so on a
+    fixed fixture the candidate set — and hence which true pairs it
+    recalls — never varies. Truth = exact word-3-gram Jaccard >= 0.9
+    pairs (the high-similarity band where 8x4 banding recall is
+    ~1 - (1-j^4)^8 ≈ 1-1e-7; measured exactly 1.0 at both checked
+    SFs). Output: the truth-pair count (oracle recomputes it exactly)
+    and a recall >= MINHASH_RECALL_FLOOR flag (oracle asserts TRUE —
+    a banding/signature bug collapses recall to ~0 and flips it).
+    """
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b")
+    )
+    found = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("hit", F.lit(1))
+    )
+    agg = truth.join(found, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+    )
+    return agg.select(
+        "n_true",
+        (F.col("n_hit") >= F.col("n_true") * F.lit(MINHASH_RECALL_FLOOR)).alias("recall_ok"),
+    )
+
+
+DEDUP_MINHASH_RECALL_ORACLE = f"""
+{_JACCARD_PAIRS_CTE}
+SELECT count(*) AS n_true, TRUE AS recall_ok
+FROM pairs
+WHERE common / (sz_a + sz_b - common) >= 0.9
+"""
+
+
+def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable recall certificate for :func:`dedup_simhash`.
+
+    Truth = the planted near-dup pairs (doc_id < 25, last word
+    dropped, id + 1e6 — the same injection _corpus_with_near_dups
+    makes). SimHash with pinned xxhash64 token hashes is deterministic
+    on a fixed fixture, so the fraction of planted pairs landing at
+    Hamming <= 3 is a constant (measured 0.72 at sf0.001, 0.80 at
+    sf0.01 — token-level SimHash legitimately misses some one-word
+    edits on short docs). The oracle recomputes the planted-pair count
+    exactly and asserts recall >= SIMHASH_RECALL_FLOOR, which any
+    fingerprint/banding bug (recall ~0) flips.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(
+        (F.col("doc_id") < 25) & (F.size(F.split(F.col("text"), " ")) >= 2)
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1_000_000).alias("doc_b"),
+    )
+    found = (
+        dedup_simhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("hit", F.lit(1))
+    )
+    agg = planted.join(found, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+    )
+    return agg.select(
+        "n_planted",
+        (F.col("n_hit") >= F.col("n_planted") * F.lit(SIMHASH_RECALL_FLOOR)).alias("recall_ok"),
+    )
+
+
+DEDUP_SIMHASH_RECALL_ORACLE = """
+SELECT count(*) AS n_planted, TRUE AS recall_ok
+FROM documents
+WHERE doc_id < 25 AND len(string_split(text, ' ')) >= 2
 """
 
 
@@ -1081,7 +1180,9 @@ QUERIES: dict = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_exact_hash": (dedup_exact_hash, DEDUP_EXACT_HASH_ORACLE),
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
+    "dedup_minhash_recall": (dedup_minhash_recall, DEDUP_MINHASH_RECALL_ORACLE),
     "dedup_simhash": (dedup_simhash, None),
+    "dedup_simhash_recall": (dedup_simhash_recall, DEDUP_SIMHASH_RECALL_ORACLE),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE),
     "dedup_clusters_cc": (dedup_clusters_cc, DEDUP_CC_ORACLE),
     "dedup_clusters_star_contraction": (dedup_clusters_star_contraction, DEDUP_CC_ORACLE),

@@ -150,9 +150,11 @@ def ann_lsh_topk(
     to keep bucket sizes flat, T controls recall — the corpus side
     stays a narrow scan + explode, never an all-pairs product.
 
-    Rows-only check (probabilistic recall by design);
-    tests/test_semantics.py asserts recall@5 >= 0.4 vs the exact
-    baseline."""
+    Fully oracle-checked despite being "approximate": the hyperplanes
+    are seeded literals, so the candidate sets are deterministic and
+    ``_lsh_oracle_sql`` reproduces them bit-exactly in DuckDB.
+    tests/test_semantics.py additionally asserts recall@5 >= 0.4 vs
+    the exact baseline."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
@@ -206,6 +208,78 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "vec_id", "cos", "rank")
     )
+
+
+def _lsh_oracle_sql(dim: int = 64) -> str:
+    """Full DuckDB oracle for :func:`ann_lsh_topk`.
+
+    The operator is deterministic end-to-end: hyperplanes come from a
+    seeded LCG (``_hyperplanes``) and become plan literals, and the
+    bucket is a sign test on an ordered-fold dot product — both exactly
+    reproducible in SQL by embedding the same plane constants as list
+    literals (``repr`` round-trips the doubles bit-exactly). Summation
+    order matches vectors.py's left-to-right fold, so the sign of every
+    plane dot — hence every bucket, candidate set, and reranked row —
+    is bit-identical. This upgrades ann_lsh_topk from the rows-only
+    check to a full hash-checked oracle.
+    """
+
+    def lit(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    def bucket_expr(planes: list[list[float]]) -> str:
+        terms = []
+        for i, plane in enumerate(planes):
+            dot = (
+                f"list_sum(list_transform(range(1, {dim + 1}),"
+                f" i -> ({lit(plane)})[i] * embedding[i]::DOUBLE))"
+            )
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    buckets = ", ".join(
+        bucket_expr(_hyperplanes(dim, N_PLANES_PER_TABLE, seed=42 + 1000 * t))
+        for t in range(N_TABLES)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+         [{buckets}] AS buckets
+  FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, embedding, nrm, tbl, buckets[tbl + 1] AS bucket
+  FROM base CROSS JOIN (SELECT unnest(range(0, {N_TABLES}))::INT AS tbl) tables
+),
+q AS (
+  SELECT vec_id AS q_id, tbl AS q_tbl, bucket AS q_bucket
+  FROM bucketed WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT q.q_id, b.vec_id
+  FROM bucketed b
+  JOIN q ON b.tbl = q.q_tbl AND b.bucket = q.q_bucket AND b.vec_id != q.q_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.q_id, c.vec_id,
+         round(
+           list_sum(list_transform(range(1, {dim + 1}),
+                    i -> qe.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+           / (qe.nrm * e.nrm), 4) AS cos
+  FROM cand c
+  JOIN base e ON e.vec_id = c.vec_id
+  JOIN base qe ON qe.vec_id = c.q_id
+)
+SELECT q_id, vec_id, cos,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+ANN_LSH_ORACLE = _lsh_oracle_sql()
 
 
 N_CENTROIDS = 8
@@ -898,7 +972,7 @@ QUERIES: dict = {
     ),
     "ann_cosine_topk_vectorized": (ann_cosine_topk_vectorized, ANN_TOPK_ORACLE),
     "crossmodal_retrieval": (crossmodal_retrieval, CROSSMODAL_ORACLE),
-    "ann_lsh_topk": (ann_lsh_topk, None),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_ORACLE),
     "mllib_lsh_ann_topk": (mllib_lsh_ann_topk, None),
     "ivf_ann_topk": (ivf_ann_topk, IVF_ANN_ORACLE),
     "embedding_norm_stats": (embedding_norm_stats, EMBEDDING_NORM_ORACLE),

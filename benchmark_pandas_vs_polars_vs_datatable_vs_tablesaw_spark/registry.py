@@ -59,6 +59,13 @@ _MODULES = (
 # (d) backfill with the oldest-green entries (round-1 rows, never
 #     re-checked since). Everything else keeps module order behind.
 _PRIORITY = (
+    # (a0) round-4 oracle upgrades: ann_lsh_topk's candidate pipeline
+    # is deterministic (seeded-LCG planes) and now carries a full
+    # DuckDB oracle; the two recall certificates give the xxhash64-
+    # dependent near-dup schemes their first hash-checkable rows.
+    "ann_lsh_topk",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
     # (a) new in round 3 — never driver-checked
     "dedup_semantic_clusters",
     "kmeans_lloyd_two_rounds",
