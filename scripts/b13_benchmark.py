@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""B1-B3 parity benchmark: the reference's five measured ops at the
+reference's own 30.3M-row scale (VERDICT round-3 follow-up #8).
+
+The reference workload (BASELINE.md B1-B3; NB-main cells 2-5) is the
+768-row diabetes CSV duplicated 42,847x to ~1 GB / 32.9M rows, of
+which the first 30,300,000 are benchmarked with:
+
+- read  — CSV parse                     (NB-main:193 `pd.read_csv`)
+- write — CSV sink                      (NB-main:199 `df.to_csv`)
+- group — group-first by first column   (NB-main:205 `groupby(...).first()`)
+- sort  — full sort on first numeric    (NB-main:209-212 `sort_values`)
+- to_np — dense float matrix export     (NB-main:218 `df.to_numpy()`)
+
+The seed CSV comes over HTTPS in the reference (S4) — unreachable in
+this offline container — so an equivalent 768-row, 9-column
+diabetes-SHAPED table is generated seeded (same dtypes/column count:
+8 numeric features + binary outcome), duplicated with the S6 operator
+(generators.duplicate_rows — the exact `index.repeat` transposition),
+and truncated to the same 30,300,000 rows. Timings are therefore
+same-shape/same-scale comparable with BASELINE.md B1-B3, not
+same-bytes identical (the value distributions differ; CSV byte volume
+is matched within ~10% by construction).
+
+Output: long-format (size,operation,time,memory) rows — the S7 sink —
+written to results/b13_spark_results.csv (committed next to SCALE.md
+so BASELINE.md has a same-shape Spark column).
+
+Usage: python scripts/b13_benchmark.py [out_csv] [work_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark import get_spark
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.harness import memory, timing
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.sources import generators
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.sources.results_sink import (
+    ResultRow,
+    write_results,
+)
+
+N_ROWS = 30_300_000  # NB-main:193 nrows
+SEED_ROWS = 768  # diabetes.csv row count
+DUP_K = N_ROWS // SEED_ROWS + 1
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+# diabetes.csv schema (NB-main:131): 8 numeric features + Outcome.
+COLUMNS = [
+    ("Pregnancies", "int"),
+    ("Glucose", "int"),
+    ("BloodPressure", "int"),
+    ("SkinThickness", "int"),
+    ("Insulin", "int"),
+    ("BMI", "double"),
+    ("DiabetesPedigreeFunction", "double"),
+    ("Age", "int"),
+    ("Outcome", "int"),
+]
+
+
+def diabetes_shaped_seed(spark, n_rows: int = SEED_ROWS):
+    """Seeded 768-row table with the diabetes CSV's shape/ranges."""
+    return spark.range(n_rows).select(
+        (F.rand(1) * 15).cast("int").alias("Pregnancies"),
+        (F.rand(2) * 150 + 50).cast("int").alias("Glucose"),
+        (F.rand(3) * 80 + 40).cast("int").alias("BloodPressure"),
+        (F.rand(4) * 60).cast("int").alias("SkinThickness"),
+        (F.rand(5) * 500).cast("int").alias("Insulin"),
+        F.round(F.rand(6) * 40 + 15, 1).alias("BMI"),
+        F.round(F.rand(7) * 2.3 + 0.08, 3).alias("DiabetesPedigreeFunction"),
+        (F.rand(8) * 60 + 21).cast("int").alias("Age"),
+        (F.rand(9) * 2).cast("int").alias("Outcome"),
+    )
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    out_csv = sys.argv[1] if len(sys.argv) > 1 else "results/b13_spark_results.csv"
+    work = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="b13_")
+    os.makedirs(work, exist_ok=True)
+    spark = get_spark("b13-benchmark")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- setup (untimed, mirrors the reference's fixture build cell):
+    # seed -> duplicate (S6) -> truncate to 30.3M -> 1 GB-ish CSV.
+    src_dir = os.path.join(work, "diabetes_30m.csv")
+    seed = diabetes_shaped_seed(spark)
+    big = generators.duplicate_rows(seed, DUP_K).limit(N_ROWS)
+    # Spread across tasks so both CSV write and later reads
+    # parallelize (limit() alone funnels into one partition).
+    big = big.repartition(spark.sparkContext.defaultParallelism)
+    big.write.mode("overwrite").option("header", True).csv(src_dir)
+    sz_gb = sum(
+        os.path.getsize(os.path.join(src_dir, f)) for f in os.listdir(src_dir)
+    ) / 1e9
+    print(f"fixture: {N_ROWS:,} rows, {sz_gb:.2f} GB CSV at {src_dir}", file=sys.stderr)
+
+    schema = T.StructType(
+        [T.StructField(n, T.IntegerType() if t == "int" else T.DoubleType()) for n, t in COLUMNS]
+    )
+
+    def read_csv():
+        return spark.read.option("header", True).schema(schema).csv(src_dir)
+
+    # ops 2-5 run on the cached parse (each op timed in isolation, the
+    # reference's methodology — it parses once then times ops on the
+    # in-memory frame).
+    cached = read_csv().cache()
+    cached.count()
+
+    out_dir = os.path.join(work, "out.csv")
+    feature_cols = [n for n, _ in COLUMNS]
+
+    def op_group():
+        # NB-main:205 groupby(first_col).first() — deterministic
+        # Spark mapping is min_by(struct(rest), order) per SURVEY A3;
+        # the row order the reference inherits is file order, so order
+        # by the remaining columns for a stable "first".
+        rest = [c for c in feature_cols if c != "Pregnancies"]
+        _force(
+            cached.groupBy("Pregnancies").agg(
+                F.min_by(F.struct(*rest), F.struct(*rest)).alias("f")
+            ).select("Pregnancies", *[F.col(f"f.{c}").alias(c) for c in rest])
+        )
+
+    def op_to_np():
+        # C1 at scale: distributed Arrow export — every partition's
+        # rows actually materialize as a dense float64 numpy matrix in
+        # the Python workers (the reference's `df.to_numpy()` semantics,
+        # sharded), and only a row-count partial returns. The
+        # whole-table driver collect variant exists as
+        # operators.core but a 2.2 GB single-process materialization
+        # per rep is exactly what §7.5.3 says not to do at scale.
+        import numpy as np
+        import pyarrow as pa
+
+        out_schema = T.StructType([T.StructField("n", T.LongType())])
+        arrow_schema = pa.schema([pa.field("n", pa.int64())])
+
+        def to_matrix(batches):
+            for batch in batches:
+                m = np.column_stack(
+                    [
+                        batch.column(i).to_numpy(zero_copy_only=False).astype(np.float64)
+                        for i in range(batch.num_columns)
+                    ]
+                )
+                yield pa.RecordBatch.from_pydict({"n": [m.shape[0]]}, schema=arrow_schema)
+
+        _force(
+            cached.select([F.col(c).cast("double") for c in feature_cols]).mapInArrow(
+                to_matrix, out_schema
+            )
+        )
+
+    suite = {
+        "read": lambda: _force(read_csv()),
+        "write": lambda: shutil.rmtree(out_dir, ignore_errors=True)
+        or cached.write.mode("overwrite").option("header", True).csv(out_dir),
+        "group": op_group,
+        "sort": lambda: _force(cached.orderBy("Pregnancies")),
+        "to_np": op_to_np,
+    }
+
+    rows: list[ResultRow] = []
+    for name, thunk in suite.items():
+        res = timing.bench_op(name, thunk, reps=REPS, memory_probe=memory.python_rss_mb)
+        jvm = memory.jvm_heap_mb(spark)
+        rows.append(ResultRow(size=N_ROWS, operation=name, time=res.median_s, memory=jvm))
+        print(
+            f"  {name:<6} median {res.median_s:7.3f}s  (times: "
+            + ", ".join(f"{t:.3f}" for t in res.times_s)
+            + f")  jvm {jvm:.0f} MB",
+            file=sys.stderr,
+        )
+
+    write_results(rows, out_csv)
+    print(f"results: {out_csv}")
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
