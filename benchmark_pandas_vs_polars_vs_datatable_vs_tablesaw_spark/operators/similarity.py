@@ -479,6 +479,40 @@ def mllib_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MLLIB_LSH_RECALL_FLOOR = 0.8  # measured 1.0 / 0.98 at sf0.001 / sf0.01
+
+
+def mllib_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable recall certificate for :func:`mllib_lsh_ann_topk`
+    (same pattern as dedup_minhash_recall: the ANN neighbor list is
+    MLlib-RNG-dependent and irreproducible in SQL, but its recall
+    against the exact top-k — which DuckDB recomputes in full — is a
+    deterministic scalar under the pinned seed). Output: the exact
+    truth-pair count plus a recall >= MLLIB_LSH_RECALL_FLOOR flag; a
+    bucketing/join regression collapses recall and flips the flag.
+    """
+    truth = ann_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    found = (
+        mllib_lsh_ann_topk(spark, sf_dir)
+        .select("q_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    agg = truth.join(found, ["q_id", "vec_id"], "left").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+    )
+    return agg.select(
+        "n_true",
+        (F.col("n_hit") >= F.col("n_true") * F.lit(MLLIB_LSH_RECALL_FLOOR)).alias("recall_ok"),
+    )
+
+
+MLLIB_LSH_RECALL_ORACLE = f"""
+SELECT count(*) AS n_true, TRUE AS recall_ok
+FROM ({ANN_TOPK_ORACLE}) t
+"""
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector column hygiene stats (norm distribution per label) — the
     sanity probe every embedding pipeline runs before indexing."""
@@ -974,6 +1008,7 @@ QUERIES: dict = {
     "crossmodal_retrieval": (crossmodal_retrieval, CROSSMODAL_ORACLE),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_ORACLE),
     "mllib_lsh_ann_topk": (mllib_lsh_ann_topk, None),
+    "mllib_lsh_recall": (mllib_lsh_recall, MLLIB_LSH_RECALL_ORACLE),
     "ivf_ann_topk": (ivf_ann_topk, IVF_ANN_ORACLE),
     "embedding_norm_stats": (embedding_norm_stats, EMBEDDING_NORM_ORACLE),
     "mips_topk": (mips_topk, MIPS_TOPK_ORACLE),

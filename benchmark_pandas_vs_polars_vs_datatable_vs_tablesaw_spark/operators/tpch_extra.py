@@ -925,10 +925,12 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Adaptation: no c_phone — the "country code" is the last digit of
     c_name, kept to a fixed digit set. The NOT EXISTS side is
-    restricted to finalized orders (o_orderstatus = 'F'), mirroring
-    real Q22's date-filtered orders subquery — and, on these fixtures,
-    keeping the result non-vacuous (every customer has *some* order,
-    so an unfiltered anti-join returns 0 rows at every SF).
+    restricted to finalized recent orders (o_orderstatus = 'F' AND
+    o_orderdate >= 1996-01-01), mirroring real Q22's date-filtered
+    orders subquery — and, on these fixtures, keeping the result
+    non-vacuous at EVERY checked SF (every customer has *some* order,
+    so an unfiltered anti-join returns 0 rows; status alone still
+    returned 0 at sf0.001 — CORRECTNESS_r03's vacuous-match finding).
 
     Scale: global average = 1-row aggregate crossJoin-broadcast; NOT
     EXISTS = left-anti on custkey against the filtered orders key
@@ -939,7 +941,10 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") >= _ts("1996-01-01"))
+        )
         .select("o_custkey")
     )
     digits = ["1", "3", "5", "7", "9"]
@@ -971,7 +976,8 @@ WHERE code IN ('1', '3', '5', '7', '9')
                      AND substr(c_name, length(c_name), 1)
                          IN ('1', '3', '5', '7', '9'))
   AND NOT EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+                    AND o_orderdate >= TIMESTAMP '1996-01-01')
 GROUP BY code
 ORDER BY code
 """

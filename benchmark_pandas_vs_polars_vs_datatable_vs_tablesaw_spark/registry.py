@@ -66,6 +66,7 @@ _PRIORITY = (
     "ann_lsh_topk",
     "dedup_minhash_recall",
     "dedup_simhash_recall",
+    "mllib_lsh_recall",
     # (a) new in round 3 — never driver-checked
     "dedup_semantic_clusters",
     "kmeans_lloyd_two_rounds",

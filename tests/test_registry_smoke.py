@@ -32,6 +32,24 @@ def test_no_oracle_query_executes(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
+# Queries whose oracle hash-match would be vacuous on an empty result:
+# CORRECTNESS_r03 counted q22 green on spark_rows=0 == oracle_rows=0,
+# which proves nothing. Pin non-emptiness at the pytest SF so a filter
+# constant that empties the fixture can't hide behind a 0 == 0 match.
+MUST_BE_NONEMPTY = (
+    "q22_sales_opportunity",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "mllib_lsh_recall",
+)
+
+
+@pytest.mark.parametrize("name", MUST_BE_NONEMPTY)
+def test_oracle_query_is_not_vacuous(spark, sf_dir, name):
+    fn, _ = REGISTRY[name]
+    assert fn(spark, sf_dir).count() > 0
+
+
 def test_events_ts_normalizes_to_timestamp(spark, sf_dir):
     dt = load_table(spark, sf_dir, "events").schema["ts"].dataType
     assert isinstance(dt, T.TimestampType), (
