@@ -368,22 +368,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_SHINGLE_DF = 20  # drop shingles appearing in more docs than this
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.6).
+def _shingle_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact-overlap pair pipeline: corpus -> distinct word-3-gram
+    shingles -> DF cap -> postings self-join -> (doc_a, doc_b, sz_a,
+    sz_b, common). The Jaccard and containment dedup measures are both
+    one projection over this frame.
 
     Candidates come from a self-join on shared shingles (never an
     all-pairs product), with a document-frequency cap first: a shingle
     appearing in > MAX_SHINGLE_DF docs (a stop phrase) contributes
     nothing to near-dup evidence but k² rows to the candidate join —
     the classic quadratic skew-blowup at scale. Hot shingles are
-    removed from the shingle sets on BOTH sides of the Jaccard (sizes
-    are computed on the capped sets, so the measure stays a true
-    Jaccard over the filtered shingle space), identically in the
-    oracle. The hot set is tiny — a broadcast anti-join, no shuffle.
-
-    The join result carries per-doc set sizes so Jaccard =
-    common / (|A| + |B| - common) needs no second pass. Hash-free and
-    deterministic -> fully DuckDB-oracle-checked.
+    removed from the shingle sets on BOTH sides (sizes are computed on
+    the capped sets, so every derived measure lives in the filtered
+    shingle space), identically in the oracles. The hot set is tiny —
+    a broadcast anti-join, no shuffle. The join result carries per-doc
+    set sizes so no second pass is needed. Hash-free, deterministic,
+    and persisted: Spark's plan-keyed cache means the Jaccard query,
+    the containment query, and the CC clustering all share ONE build.
     """
     corpus = _corpus_with_near_dups(spark, sf_dir)
     all_shingled = (
@@ -398,12 +400,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingled = all_shingled.join(F.broadcast(hot), "sh", "left_anti")
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    # persisted: the self-join below scans it twice (and the CC query
-    # reuses the whole pair pipeline) — see _persist_index
     sh_sz = _persist_index(shingled.join(sizes, "doc_id"))
 
     l, r = sh_sz.alias("l"), sh_sz.alias("r")
-    pairs = (
+    return (
         l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc_id") < F.col("r.doc_id")))
         .groupBy(
             F.col("l.doc_id").alias("doc_a"),
@@ -413,11 +413,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("common"))
     )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.6) over
+    the shared :func:`_shingle_overlap_pairs` pipeline: Jaccard =
+    common / (|A| + |B| - common). Fully DuckDB-oracle-checked.
+    """
+    pairs = _shingle_overlap_pairs(spark, sf_dir)
     jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     return (
         pairs.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset (containment) dedup: pairs where the smaller doc's
+    shingle set is >= 90% inside the larger's — containment =
+    common / min(|A|, |B|), the Broder containment coefficient.
+
+    Catches what symmetric Jaccard structurally misses: a document
+    embedded verbatim in one 3x its length has Jaccard <= 1/3 (never
+    reaches a near-dup threshold) but containment 1.0 — the
+    boilerplate-expansion / quoted-reuse case a pretraining corpus
+    actually needs deduped. Same DF-capped postings join as the
+    Jaccard query (shared, cache-keyed build via
+    :func:`_shingle_overlap_pairs`); only the final measure differs.
+    Emits both measures so downstream policy can distinguish
+    "identical" (high Jaccard) from "subsumed" (high containment,
+    low Jaccard).
+    """
+    pairs = _shingle_overlap_pairs(spark, sf_dir)
+    cont = F.col("common") / F.least(F.col("sz_a"), F.col("sz_b"))
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        pairs.withColumn("containment", F.round(cont, 4))
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "containment", "jaccard")
     )
 
 
@@ -452,6 +490,16 @@ SELECT doc_a, doc_b,
        round(common / (sz_a + sz_b - common), 4) AS jaccard
 FROM pairs
 WHERE common / (sz_a + sz_b - common) >= 0.6
+"""
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+{_JACCARD_PAIRS_CTE}
+SELECT doc_a, doc_b,
+       round(common / least(sz_a, sz_b), 4) AS containment,
+       round(common / (sz_a + sz_b - common), 4) AS jaccard
+FROM pairs
+WHERE common / least(sz_a, sz_b) >= {CONTAINMENT_THRESHOLD}
 """
 
 
@@ -1184,6 +1232,7 @@ QUERIES: dict = {
     "dedup_simhash": (dedup_simhash, None),
     "dedup_simhash_recall": (dedup_simhash_recall, DEDUP_SIMHASH_RECALL_ORACLE),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE),
+    "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_ORACLE),
     "dedup_clusters_cc": (dedup_clusters_cc, DEDUP_CC_ORACLE),
     "dedup_clusters_star_contraction": (dedup_clusters_star_contraction, DEDUP_CC_ORACLE),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_ORACLE),

@@ -67,6 +67,7 @@ _PRIORITY = (
     "dedup_minhash_recall",
     "dedup_simhash_recall",
     "mllib_lsh_recall",
+    "dedup_containment",
     # (a) new in round 3 — never driver-checked
     "dedup_semantic_clusters",
     "kmeans_lloyd_two_rounds",
@@ -108,7 +109,11 @@ _PRIORITY = (
     "winsorized_stats_by_group",
     "token_entropy_quality",
     "multimodal_phash_dedup",
-    # (d) oldest green rows (round 1, never re-checked)
+    # (d) oldest green rows (round 1, never re-checked) — trimmed to
+    # keep the whole priority list inside the driver's 50-entry check
+    # window after the round-4 oracle upgrades took 5 slots; the
+    # trimmed entries stay registered (module order, behind the
+    # window) and remain covered by tests/test_differential.py.
     "flagship_lazy_pipeline",
     "sql_api_flagship",
     "filter_numeric_gt",
@@ -117,11 +122,6 @@ _PRIORITY = (
     "topk_orders",
     "limit_prefix",
     "groupby_mean",
-    "groupby_multi_mean",
-    "median_stats",
-    "matrix_col_means",
-    "groupby_first_minby",
-    "csv_roundtrip",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -39,6 +39,27 @@ def test_minhash_lsh_recovers_injected_pairs(spark, sf_dir):
     assert len(missing) <= 2, f"missed injected near-dups: {sorted(missing)}"
 
 
+def test_containment_catches_planted_subsets(spark, sf_dir):
+    """The planted near-dup (last word dropped) has a shingle set that
+    is a strict subset of its original's — the DF cap removes hot
+    shingles from BOTH sides, so the subset relation survives and
+    every planted pair that reaches the postings join must score
+    containment exactly 1.0. Jaccard can sit below its 0.6 threshold
+    for short docs; containment cannot."""
+    found = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup.dedup_containment(spark, sf_dir).collect()
+    }
+    planted = {
+        (d, d + 1_000_000): c
+        for (d, p), c in found.items()
+        if p == d + 1_000_000 and d < 25
+    }
+    assert len(planted) >= 20, f"too few planted pairs found: {len(planted)}"
+    wrong = {k: v for k, v in planted.items() if v != 1.0}
+    assert not wrong, f"planted subset pairs must have containment 1.0: {wrong}"
+
+
 def test_simhash_banding_complete_for_threshold(spark, sf_dir):
     """4 x 16-bit banding provably generates every candidate with
     hamming <= 3, so the query result must EQUAL the brute-force set of
