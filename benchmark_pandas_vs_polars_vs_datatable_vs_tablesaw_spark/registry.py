@@ -59,10 +59,11 @@ _MODULES = (
 # (d) backfill with the oldest-green entries (round-1 rows, never
 #     re-checked since). Everything else keeps module order behind.
 _PRIORITY = (
-    # (a0) round-4 oracle upgrades: ann_lsh_topk's candidate pipeline
-    # is deterministic (seeded-LCG planes) and now carries a full
-    # DuckDB oracle; the two recall certificates give the xxhash64-
-    # dependent near-dup schemes their first hash-checkable rows.
+    # (a0) round-4 oracle upgrades and additions: ann_lsh_topk's
+    # candidate pipeline is deterministic (seeded-LCG planes) and now
+    # carries a full DuckDB oracle; the three recall certificates give
+    # the hash/RNG-dependent schemes (MinHash, SimHash, MLlib LSH)
+    # their first hash-checkable rows; dedup_containment is new.
     "ann_lsh_topk",
     "dedup_minhash_recall",
     "dedup_simhash_recall",
