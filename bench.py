@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "heavy_hitters_twophase",   # candidate/verify frequent tokens
     "dedup_incremental_exact",  # batch-vs-corpus anti-join dedup
     "zorder_layout_stats",      # Morton-key multi-dim clustering
+    "dedup_containment",        # near-subset pairs (shared postings index)
+    "quality_percentile_rank",  # corpus-wide percentile via global_rank
+    "quota_sample_per_source",  # exact per-stratum quota sampling
 ]
 
 

@@ -1237,10 +1237,83 @@ FROM documents
 """
 
 
+def quality_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide quality percentile + top-30% keep flag — the global
+    normalization step of a filtering pipeline ("keep the best 30% by
+    score"), built WITHOUT the single-partition `Window.orderBy()`
+    antipattern: ranking comes from :func:`operators.core.global_rank`
+    (range exchange + broadcast prefix offsets, every stage parallel),
+    so the same plan holds when "corpus" means 100 TB. percentile =
+    (rank-1)/(total-1) over (score, doc_id) — the deterministic
+    tiebreak makes it equal SQL percent_rank() with the same ORDER BY.
+    """
+    from .core import global_rank
+
+    scored = text_quality_score(spark, sf_dir).select("doc_id", "score")
+    ranked = global_rank(scored, [F.col("score").asc(), F.col("doc_id").asc()])
+    pctl = (F.col("rank") - 1) / (F.col("_total") - 1)
+    return ranked.select(
+        "doc_id",
+        "score",
+        F.round(pctl, 4).alias("pctl"),
+        (F.col("rank") > F.col("_total") * 0.7).alias("keep_top30"),
+    )
+
+
+QUALITY_PERCENTILE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         round(least(1.0, len(string_split(text, ' ')) / 100.0)
+               * (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of')))
+                 / len(string_split(text, ' '))), 4) AS score
+  FROM documents
+)
+SELECT doc_id, score,
+       round((row_number() OVER (ORDER BY score, doc_id) - 1)
+             / CAST(count(*) OVER () - 1 AS DOUBLE), 4) AS pctl,
+       row_number() OVER (ORDER BY score, doc_id)
+         > count(*) OVER () * 0.7 AS keep_top30
+FROM scored
+"""
+
+
+QUOTA_PER_SOURCE = 10
+
+
+def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quota sampling: each source keeps exactly
+    min({QUOTA_PER_SOURCE}, |stratum|) docs, chosen by content-hash
+    (md5) order — the deterministic way to cut balanced eval /
+    annotation subsets. Rate-based sampling (data_mixture_resample)
+    can't promise exact counts; the per-group window can. One shuffle
+    on the stratum key; each group ranks independently — no global
+    order anywhere, so the plan survives arbitrarily many strata.
+    Content-keyed order means the sample is stable across runs,
+    engines, and partitionings.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("text")), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QUOTA_PER_SOURCE)
+        .select("source", "doc_id", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+QUOTA_SAMPLE_ORACLE = f"""
+SELECT source, doc_id,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS INT) AS rn
+FROM documents
+QUALIFY rn <= {QUOTA_PER_SOURCE}
+"""
+
+
 QUERIES: dict = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
     "heavy_hitters_twophase": (heavy_hitters_twophase, HEAVY_HITTERS_ORACLE),
     "token_entropy_quality": (token_entropy_quality, TOKEN_ENTROPY_ORACLE),
+    "quality_percentile_rank": (quality_percentile_rank, QUALITY_PERCENTILE_ORACLE),
+    "quota_sample_per_source": (quota_sample_per_source, QUOTA_SAMPLE_ORACLE),
     "curation_pipeline": (curation_pipeline, CURATION_PIPELINE_ORACLE),
     "udtf_token_explode": (udtf_token_explode, UDTF_TOKEN_ORACLE),
     "pii_redaction": (pii_redaction, PII_REDACTION_ORACLE),

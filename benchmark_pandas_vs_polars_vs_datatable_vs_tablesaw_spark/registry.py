@@ -69,6 +69,8 @@ _PRIORITY = (
     "dedup_simhash_recall",
     "mllib_lsh_recall",
     "dedup_containment",
+    "quality_percentile_rank",
+    "quota_sample_per_source",
     # (a) new in round 3 — never driver-checked
     "dedup_semantic_clusters",
     "kmeans_lloyd_two_rounds",
@@ -121,8 +123,6 @@ _PRIORITY = (
     "project_first_numeric",
     "cast_nan_matrix",
     "topk_orders",
-    "limit_prefix",
-    "groupby_mean",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

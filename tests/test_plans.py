@@ -91,6 +91,17 @@ def test_ntile_quartiles_no_single_partition(spark, sf_dir):
     )
 
 
+def test_quality_percentile_no_single_partition(spark, sf_dir):
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import text
+
+    # corpus-wide percentile must ride the distributed global_rank —
+    # a percent_rank() window with no partitionBy would move the whole
+    # corpus through one task
+    _assert_distributed_rank_plan(
+        text.quality_percentile_rank(spark, sf_dir), ["score"]
+    )
+
+
 def test_topk_compiles_to_take_ordered(spark, sf_dir):
     df = core.topk_orders(spark, sf_dir)
     assert "TakeOrderedAndProject" in explain.plan_text(df), (
