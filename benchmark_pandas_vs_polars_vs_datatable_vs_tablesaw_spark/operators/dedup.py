@@ -957,6 +957,54 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup — the full production chain in one
+    query: exact near-dup pairs (DF-capped postings join) → transitive
+    clusters (iterative min-label CC) → survivor per cluster (the
+    component-minimum doc_id, which IS the cluster label) → one-row
+    corpus accounting: docs in / docs kept / docs removed / duplicate
+    clusters / largest cluster.
+
+    Singleton docs (no near-dup edge) are their own cluster via the
+    left-join + coalesce — the accounting covers the WHOLE corpus, not
+    just the pair graph. Oracle: the same closure through DuckDB's
+    recursive CTE, aggregated identically; the iterative Spark
+    algorithm and the SQL fixpoint must agree on every scalar.
+    """
+    corpus = _corpus_with_near_dups(spark, sf_dir).select("doc_id")
+    clusters = dedup_clusters_cc(spark, sf_dir)
+    labeled = corpus.join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    per_cluster = labeled.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return per_cluster.agg(
+        F.sum("sz").alias("n_docs"),
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("sz") - 1).alias("n_removed"),
+        F.sum((F.col("sz") > 1).cast("int")).alias("n_dup_clusters"),
+        F.max("sz").alias("max_cluster_size"),
+    )
+
+
+FUZZY_DEDUP_PIPELINE_ORACLE = f"""
+WITH labels AS (
+  SELECT doc_id, cluster_id FROM ({DEDUP_CC_ORACLE}) t
+),
+corpus2 AS ({_CORPUS_SQL}),
+labeled AS (
+  SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus2 c LEFT JOIN labels l USING (doc_id)
+),
+per_cluster AS (SELECT cluster_id, count(*) AS sz FROM labeled GROUP BY cluster_id)
+SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+       count(*) AS n_kept,
+       CAST(sum(sz - 1) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_clusters,
+       CAST(max(sz) AS BIGINT) AS max_cluster_size
+FROM per_cluster
+"""
+
+
 def _edge_fingerprint(e: DataFrame):
     """Order-independent edge-set fingerprint (convergence witness).
 
@@ -1234,6 +1282,7 @@ QUERIES: dict = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE),
     "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_ORACLE),
     "dedup_clusters_cc": (dedup_clusters_cc, DEDUP_CC_ORACLE),
+    "fuzzy_dedup_pipeline": (fuzzy_dedup_pipeline, FUZZY_DEDUP_PIPELINE_ORACLE),
     "dedup_clusters_star_contraction": (dedup_clusters_star_contraction, DEDUP_CC_ORACLE),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_ORACLE),
     "dedup_semantic_clusters": (dedup_semantic_clusters, DEDUP_SEMANTIC_ORACLE),
