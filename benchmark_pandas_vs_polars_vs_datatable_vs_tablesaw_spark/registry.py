@@ -72,6 +72,7 @@ _PRIORITY = (
     "quality_percentile_rank",
     "quota_sample_per_source",
     "fuzzy_dedup_pipeline",
+    "streaming_session_certificate",
     # (a) new in round 3 — never driver-checked
     "dedup_semantic_clusters",
     "kmeans_lloyd_two_rounds",
@@ -122,7 +123,6 @@ _PRIORITY = (
     "sql_api_flagship",
     "filter_numeric_gt",
     "project_first_numeric",
-    "cast_nan_matrix",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

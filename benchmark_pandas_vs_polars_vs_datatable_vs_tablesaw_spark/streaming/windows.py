@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import normalize_events_ts, read_raw
+from ..operators.timeseries import EVENTS_SESSION_ORACLE
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -139,6 +140,45 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, spark, "append")
+
+
+def streaming_session_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable certificate for :func:`streaming_session_window`
+    (same pattern as the dedup/ANN recall certificates): the append-
+    mode session list itself is watermark-dependent — sessions past
+    the final watermark are intentionally withheld, so no SQL oracle
+    can reproduce the exact rows — but the CONTAINMENT invariant is a
+    deterministic scalar: every user's streamed session count must be
+    <= the batch sessionization's count (same 30-minute gap rule), and
+    the stream must emit at least one session. The oracle recomputes
+    the batch side's user count exactly and asserts the invariant
+    flag; a watermark/session-window regression that emits spurious or
+    zero sessions flips it. Robust to micro-batch splitting by
+    construction — containment holds under any drain schedule.
+    """
+    from ..operators.timeseries import events_sessionization
+
+    stream = (
+        streaming_session_window(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_stream"))
+    )
+    batch = events_sessionization(spark, sf_dir).select("user_id", "n_sessions")
+    joined = batch.join(stream, "user_id", "left")
+    violations = F.sum(
+        (F.coalesce(F.col("n_stream"), F.lit(0)) > F.col("n_sessions")).cast("int")
+    )
+    total_stream = F.sum(F.coalesce(F.col("n_stream"), F.lit(0)))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        ((violations == 0) & (total_stream > 0)).alias("subset_ok"),
+    )
+
+
+STREAMING_SESSION_CERTIFICATE_ORACLE = f"""
+SELECT count(*) AS n_users, TRUE AS subset_ok
+FROM ({EVENTS_SESSION_ORACLE}) t
+"""
 
 
 def _stateful_count(key, pdfs, state):
@@ -384,5 +424,9 @@ QUERIES: dict = {
     "streaming_interval_join": (streaming_interval_join, STREAMING_INTERVAL_JOIN_ORACLE),
     "streaming_sliding_agg": (streaming_sliding_agg, STREAMING_SLIDING_ORACLE),
     "streaming_session_window": (streaming_session_window, None),
+    "streaming_session_certificate": (
+        streaming_session_certificate,
+        STREAMING_SESSION_CERTIFICATE_ORACLE,
+    ),
     "streaming_stateful_counter": (streaming_stateful_counter, STREAMING_STATEFUL_ORACLE),
 }
