@@ -470,7 +470,220 @@ FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 """
 
 
+def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    retention = distinct active users at day offsets 0..7 over cohort
+    size — product analytics' second core query after the funnel.
+
+    Shape: one distinct over (user_id, day) (shuffle on the pair),
+    per-user min reusing the user partitioning, then a join back on
+    user_id and two small aggregates. ``cohort_sizes`` is |days| rows —
+    broadcast. No self-join of the raw event stream; the event table is
+    scanned once.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    days = ev.distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        days.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .where(F.col("day_offset") <= 7)
+    )
+    cohort_sizes = cohort.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    mat = act.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return (
+        mat.join(F.broadcast(cohort_sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+RETENTION_COHORT_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+), act AS (
+  SELECT d.user_id, c.cohort_day,
+         date_diff('day', c.cohort_day, d.day) AS day_offset
+  FROM days d JOIN cohort c USING (user_id)
+  WHERE date_diff('day', c.cohort_day, d.day) <= 7
+), sizes AS (
+  SELECT cohort_day, count(DISTINCT user_id) AS cohort_size
+  FROM cohort GROUP BY cohort_day
+)
+SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(a.day_offset AS BIGINT) AS day_offset,
+       count(DISTINCT a.user_id) AS n_active,
+       s.cohort_size,
+       round(count(DISTINCT a.user_id) / s.cohort_size, 4) AS retention
+FROM act a JOIN sizes s USING (cohort_day)
+GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+ORDER BY 1, 2
+"""
+
+
+def interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent intervals per event type (sweep line): each
+    event opens a half-open 5-minute interval [ts, ts+300s); the peak
+    is the max of the running sum over +1/-1 boundary points ordered by
+    (t, delta) — delta -1 sorts first so an interval ending exactly
+    when another starts never counts as overlap.
+
+    The sweep is a single window per event_type (one shuffle); the
+    boundary-point explode is map-side and exactly doubles the rows.
+    At 100 TB with few types the per-type partition serializes — shard
+    the sweep by (type, day) and stitch boundary offsets if type
+    cardinality is that low; fixture types are the honest demo.
+    Ties at identical (t, delta) rows are interchangeable, so the
+    running-value multiset — and hence max and argmin-t — is
+    deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    pts = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.unix_micros("ts").alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.unix_micros("ts") + 300 * 1_000_000).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("p"),
+    ).select("event_type", "p.t", "p.delta")
+    w = Window.partitionBy("event_type").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = pts.withColumn("running", F.sum("delta").over(w))
+    peak = run.groupBy("event_type").agg(F.max("running").alias("peak_concurrency"))
+    return (
+        run.join(F.broadcast(peak), "event_type")
+        .where(F.col("running") == F.col("peak_concurrency"))
+        .groupBy("event_type", "peak_concurrency")
+        .agg(F.min("t").alias("peak_t"))
+        .select(
+            "event_type",
+            F.col("peak_concurrency").cast("long").alias("peak_concurrency"),
+            F.date_format(F.timestamp_micros(F.col("peak_t")), TS_FMT_US).alias(
+                "peak_at"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+INTERVAL_CONCURRENCY_ORACLE = """
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + 300000000 AS t, -1 AS delta FROM events
+), run AS (
+  SELECT event_type, t,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running
+  FROM pts
+), peak AS (
+  SELECT event_type, max(running) AS peak_concurrency
+  FROM run GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(p.peak_concurrency AS BIGINT) AS peak_concurrency,
+       strftime(make_timestamp(min(r.t)), '%Y-%m-%d %H:%M:%S.%f') AS peak_at
+FROM run r
+JOIN peak p ON r.event_type = p.event_type AND r.running = p.peak_concurrency
+GROUP BY r.event_type, p.peak_concurrency
+ORDER BY r.event_type
+"""
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly detection on hourly event volumes:
+    each (type, hour) count is scored against the mean/stddev of the
+    PRIOR 24 hourly counts (rowsBetween(-24, -1) — the current hour
+    never contaminates its own baseline), flagged when |z| > 3.
+
+    Hours are pre-aggregated (groupBy shrinks the stream to
+    |types × hours| before any window), so the window state is tiny;
+    one shuffle on event_type. Hours needing < 12 prior observations
+    are suppressed — a cold-start rule both engines apply identically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    stats = hours.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.avg("cnt").over(w).alias("mu"),
+        F.stddev_samp("cnt").over(w).alias("sigma"),
+        F.count("cnt").over(w).alias("n_prior"),
+    )
+    z = F.when(F.col("sigma") > 0, (F.col("cnt") - F.col("mu")) / F.col("sigma"))
+    return (
+        stats.where(F.col("n_prior") >= 12)
+        .select(
+            "event_type",
+            F.date_format("hour", TS_FMT).alias("hour"),
+            "cnt",
+            F.round(z, 4).alias("zscore"),
+            F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+EVENTS_ANOMALY_ORACLE = """
+WITH hours AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, hour, cnt,
+         avg(cnt) OVER w AS mu,
+         stddev_samp(cnt) OVER w AS sigma,
+         count(cnt) OVER w AS n_prior
+  FROM hours
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       cnt,
+       round(CASE WHEN sigma > 0 THEN (cnt - mu) / sigma END, 4) AS zscore,
+       COALESCE(CASE WHEN sigma > 0 THEN abs((cnt - mu) / sigma) > 3 END, FALSE)
+         AS is_anomaly
+FROM stats
+WHERE n_prior >= 12
+ORDER BY event_type, hour
+"""
+
+
 QUERIES: dict = {
+    "retention_cohort_matrix": (retention_cohort_matrix, RETENTION_COHORT_ORACLE),
+    "interval_concurrency_peak": (
+        interval_concurrency_peak,
+        INTERVAL_CONCURRENCY_ORACLE,
+    ),
+    "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_ORACLE),
     "events_hourly_agg": (events_hourly_agg, EVENTS_HOURLY_ORACLE),
     "events_funnel_conversion": (events_funnel_conversion, EVENTS_FUNNEL_ORACLE),
     "events_trailing_range_window": (

@@ -59,6 +59,10 @@ _MODULES = (
 # (d) backfill with the oldest-green entries (round-1 rows, never
 #     re-checked since). Everything else keeps module order behind.
 _PRIORITY = (
+    # (a00) latest round-4 additions — need their first driver rows
+    "retention_cohort_matrix",
+    "interval_concurrency_peak",
+    "events_anomaly_zscore",
     # (a0) round-4 oracle upgrades and additions: ann_lsh_topk's
     # candidate pipeline is deterministic (seeded-LCG planes) and now
     # carries a full DuckDB oracle; the three recall certificates give
