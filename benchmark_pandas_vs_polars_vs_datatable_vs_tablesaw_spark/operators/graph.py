@@ -1,0 +1,231 @@
+"""Relational graph analytics over the star-schema fixtures.
+
+The reference has no graph surface (SURVEY.md §2 — none); these are
+north-star extensions in the same family as the connected-components
+dedup clusterers (``dedup.py``): graphs *derived from* relational
+tables, processed with joins and aggregates so Catalyst/AQE keep
+owning the physical plan. Two classic kernels:
+
+- triangle counting on a part co-occurrence (market-basket) graph,
+  with the oriented-edge join pattern that counts each triangle
+  exactly once;
+- weighted PageRank on the supplier-nation -> customer-nation trade
+  graph, fixed-iteration, as the canonical join-agg iterative loop.
+
+Both carry full DuckDB oracles (the PageRank one chains one CTE per
+iteration), so the driver gets hash rows, not rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# Orders with more than this many distinct parts are dropped before
+# pairing: a k-item basket contributes k*(k-1)/2 pair rows, so a few
+# mega-baskets would dominate the self-join (the same quadratic-skew
+# guard as dedup.py's MAX_SHINGLE_DF). TPC-H orders have <= 7 items;
+# the cap exists for the 100 TB case, where baskets are unbounded.
+MAX_BASKET = 50
+
+# An edge requires the pair to co-occur in >= MIN_SUPPORT distinct
+# orders — the standard association-rule support floor; it also keeps
+# the edge set (and the triangle join above it) sparse.
+MIN_SUPPORT = 2
+
+
+def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented edge list u < v of parts co-purchased in >= 2 orders.
+
+    One self-join co-partitioned on l_orderkey (a single shuffle —
+    both sides share the exchange), then support aggregation on the
+    pair. Orientation by key gives every unordered pair exactly one
+    row, which is what makes the triangle join count each triangle
+    once; at 100 TB orient by (degree, key) instead — it bounds the
+    per-node join fan-out by the arboricity — at the cost of a
+    degree-computation pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+    li = li.join(sizes.where(F.col("n_parts") <= MAX_BASKET), "l_orderkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    pairs = a.join(b, ["ok"]).where(F.col("u") < F.col("v"))
+    return (
+        pairs.groupBy("u", "v")
+        .agg(F.countDistinct("ok").alias("support"))
+        .where(F.col("support") >= MIN_SUPPORT)
+        .select("u", "v")
+    )
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation on the co-purchase graph.
+
+    Triangles come from the two-hop oriented join e1(u,v) ⋈ e2(v,w) ⋈
+    e3(u,w): with u < v < w enforced by the edge orientation, each
+    triangle matches exactly once. Each triangle then credits its
+    three corners (union-all unpivot, no explode shuffle) and a final
+    groupBy yields the per-node count. Three hash joins on an edge
+    list that the support floor keeps sparse; no driver-side loop.
+    """
+    e = _cooccurrence_edges(spark, sf_dir).persist()
+    e1 = e.select(F.col("u").alias("tu"), F.col("v").alias("tv"))
+    e2 = e.select(F.col("u").alias("tv"), F.col("v").alias("tw"))
+    e3 = e.select(F.col("u").alias("tu"), F.col("v").alias("tw"))
+    tri = e1.join(e2, ["tv"]).join(e3, ["tu", "tw"])
+    corners = (
+        tri.select(F.col("tu").alias("part"))
+        .unionAll(tri.select(F.col("tv").alias("part")))
+        .unionAll(tri.select(F.col("tw").alias("part")))
+    )
+    return (
+        corners.groupBy("part")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "part")
+    )
+
+
+TRIANGLE_COUNT_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  QUALIFY count(DISTINCT l_partkey) OVER (PARTITION BY l_orderkey) <= 50
+), e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY u, v
+  HAVING count(DISTINCT a.l_orderkey) >= 2
+), tri AS (
+  SELECT e1.u AS tu, e1.v AS tv, e2.v AS tw
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), corners AS (
+  SELECT tu AS part FROM tri
+  UNION ALL SELECT tv FROM tri
+  UNION ALL SELECT tw FROM tri
+)
+SELECT part, count(*) AS n_triangles
+FROM corners GROUP BY part
+ORDER BY n_triangles DESC, part
+"""
+
+DAMPING = 0.85
+PR_ITERS = 3
+
+
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, 3 fixed iterations, on the nation trade
+    graph (supplier nation -> customer nation, edge weight = lineitem
+    count).
+
+    The loop body is the canonical distributed PageRank step: ranks ⋈
+    edges on src (broadcast — ranks is |nodes| rows), mass aggregation
+    on dst, then the damping update. Nothing iterates on the driver
+    except the fixed loop counter; each iteration is one shuffle on
+    dst. Dangling mass is not redistributed (suppliers' nations all
+    have out-edges here); production adds the dangling term as one
+    scalar agg per iteration. Scores rounded to 6 decimals for
+    cross-engine float parity.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wtot"))
+    norm = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("wtot")).alias("p"))
+        .persist()
+    )
+    nodes = (
+        norm.select(F.col("src").alias("node"))
+        .union(norm.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # graph-metadata scalar; |nations| rows
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    base = 0.15 / n
+    for _ in range(PR_ITERS):
+        mass = (
+            norm.join(F.broadcast(ranks), norm.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("mass"))
+        )
+        ranks = nodes.join(mass, nodes.node == mass.dst, "left").select(
+            "node",
+            (F.lit(base) + F.lit(DAMPING) * F.coalesce("mass", F.lit(0.0))).alias(
+                "pr"
+            ),
+        )
+    return (
+        ranks.select("node", F.round("pr", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "node")
+    )
+
+
+PAGERANK_ORACLE = """
+WITH edges AS (
+  SELECT sp.s_nationkey AS src, c.c_nationkey AS dst,
+         count(*)::DOUBLE AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+  GROUP BY 1, 2
+), norm AS (
+  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), meta AS (
+  SELECT count(*)::DOUBLE AS n FROM nodes
+), it0 AS (
+  SELECT node, 1.0 / meta.n AS pr FROM nodes CROSS JOIN meta
+), it1 AS (
+  SELECT nd.node, 0.15 / meta.n + 0.85 * COALESCE(m.mass, 0) AS pr
+  FROM nodes nd CROSS JOIN meta
+  LEFT JOIN (SELECT norm.dst, sum(prev.pr * norm.p) AS mass
+             FROM norm JOIN it0 prev ON norm.src = prev.node
+             GROUP BY norm.dst) m ON m.dst = nd.node
+), it2 AS (
+  SELECT nd.node, 0.15 / meta.n + 0.85 * COALESCE(m.mass, 0) AS pr
+  FROM nodes nd CROSS JOIN meta
+  LEFT JOIN (SELECT norm.dst, sum(prev.pr * norm.p) AS mass
+             FROM norm JOIN it1 prev ON norm.src = prev.node
+             GROUP BY norm.dst) m ON m.dst = nd.node
+), it3 AS (
+  SELECT nd.node, 0.15 / meta.n + 0.85 * COALESCE(m.mass, 0) AS pr
+  FROM nodes nd CROSS JOIN meta
+  LEFT JOIN (SELECT norm.dst, sum(prev.pr * norm.p) AS mass
+             FROM norm JOIN it2 prev ON norm.src = prev.node
+             GROUP BY norm.dst) m ON m.dst = nd.node
+)
+SELECT node, round(pr, 6) AS pagerank
+FROM it3
+ORDER BY pagerank DESC, node
+"""
+
+
+QUERIES: dict = {
+    "triangle_count_copurchase": (triangle_count, TRIANGLE_COUNT_ORACLE),
+    "pagerank_nation_trade": (pagerank_nation_trade, PAGERANK_ORACLE),
+}

@@ -19,6 +19,7 @@ from .operators import (
     arrays,
     core,
     dedup,
+    graph,
     joins,
     multimodal,
     similarity,
@@ -32,6 +33,7 @@ from .streaming import windows as streaming_windows
 
 _MODULES = (
     dedup,
+    graph,
     similarity,
     multimodal,
     text,
@@ -63,6 +65,8 @@ _PRIORITY = (
     "retention_cohort_matrix",
     "interval_concurrency_peak",
     "events_anomaly_zscore",
+    "triangle_count_copurchase",
+    "pagerank_nation_trade",
     # (a0) round-4 oracle upgrades and additions: ann_lsh_topk's
     # candidate pipeline is deterministic (seeded-LCG planes) and now
     # carries a full DuckDB oracle; the three recall certificates give
