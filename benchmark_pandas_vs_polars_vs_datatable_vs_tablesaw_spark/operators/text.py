@@ -1308,8 +1308,156 @@ QUALIFY rn <= {QUOTA_PER_SOURCE}
 """
 
 
+BOILERPLATE_DF = 3  # a 4-gram phrase in >= this many docs is boilerplate
+BOILERPLATE_DROP_RATIO = 0.3
+
+# word 4-gram shingles; docs with < 4 tokens contribute their whole
+# text (same guarded-CASE pattern as dedup._SHINGLES_EXPR).
+_PHRASE_EXPR = """
+CASE WHEN size(split(text, ' ')) >= 4 THEN
+  transform(sequence(1, size(split(text, ' ')) - 3),
+            i -> concat_ws(' ', element_at(split(text, ' '), i),
+                                element_at(split(text, ' '), i + 1),
+                                element_at(split(text, ' '), i + 2),
+                                element_at(split(text, ' '), i + 3)))
+ELSE array(text) END
+"""
+
+
+def boilerplate_phrase_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection (CCNet-style, at phrase
+    granularity because the fixture docs are single-line): a word
+    4-gram occurring in >= {BOILERPLATE_DF} distinct docs is
+    boilerplate — cross-document repetition carries no content signal
+    — and each doc is scored by the fraction of its distinct phrases
+    that are boilerplate. Complements ``text_repetition_filter``
+    (intra-doc repetition): this one needs corpus-wide evidence.
+
+    Shape: explode distinct phrases (map-side), one DF aggregation on
+    the phrase, broadcast-join the (small) boilerplate set back as a
+    semi-join flag, one per-doc agg. The boilerplate set is tiny by
+    construction (high-DF tail); at 100 TB the DF agg is the only
+    real shuffle and it's the same postings pattern as the dedup
+    family. Only affected docs (>= 1 boilerplate phrase) are emitted.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({_PHRASE_EXPR})")).alias("ph"),
+    )
+    boiler = (
+        phrases.groupBy("ph")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_DF)
+        .select("ph")
+    )
+    flagged = phrases.join(
+        F.broadcast(boiler.withColumn("is_boiler", F.lit(1))), "ph", "left"
+    )
+    ratio = F.col("n_boiler") / F.col("n_phrases")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_phrases"),
+            F.sum(F.coalesce("is_boiler", F.lit(0))).alias("n_boiler"),
+        )
+        .filter(F.col("n_boiler") >= 1)
+        .select(
+            "doc_id",
+            "n_phrases",
+            "n_boiler",
+            F.round(ratio, 4).alias("boilerplate_ratio"),
+            (ratio >= BOILERPLATE_DROP_RATIO).alias("drop_doc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PHRASE_SQL = """
+CASE WHEN len(string_split(text, ' ')) >= 4 THEN
+  list_transform(range(1, len(string_split(text, ' ')) - 2),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i + 1] || ' ' ||
+                      string_split(text, ' ')[i + 2] || ' ' ||
+                      string_split(text, ' ')[i + 3])
+ELSE [text] END
+"""
+
+BOILERPLATE_ORACLE = f"""
+WITH phrases AS (
+  SELECT doc_id, unnest(list_distinct({_PHRASE_SQL})) AS ph FROM documents
+), boiler AS (
+  SELECT ph FROM phrases GROUP BY ph HAVING count(*) >= {BOILERPLATE_DF}
+), flagged AS (
+  SELECT p.doc_id, p.ph, CASE WHEN b.ph IS NULL THEN 0 ELSE 1 END AS is_boiler
+  FROM phrases p LEFT JOIN boiler b ON p.ph = b.ph
+)
+SELECT doc_id, count(*) AS n_phrases,
+       CAST(sum(is_boiler) AS BIGINT) AS n_boiler,
+       round(sum(is_boiler) / count(*), 4) AS boilerplate_ratio,
+       sum(is_boiler) / count(*) >= {BOILERPLATE_DROP_RATIO} AS drop_doc
+FROM flagged GROUP BY doc_id
+HAVING sum(is_boiler) >= 1
+ORDER BY doc_id
+"""
+
+
+RESERVOIR_K = 5
+# Lehmer / Park-Miller LCG constants — same seeded-uniform trick as
+# the LSH hyperplanes: both engines compute the identical rational, so
+# the "random" keys are bit-reproducible cross-engine.
+_LCG_A, _LCG_M = 48271, 2147483647
+
+
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, k={RESERVOIR_K} per
+    source, via Efraimidis-Spirakis A-Res priorities: priority =
+    ln(u)/w (the monotone log form of u^(1/w)) with u a deterministic
+    Lehmer-LCG uniform seeded by doc_id and w = n_chars. Top-k by
+    priority == a weighted sample — the distributed form of reservoir
+    sampling, since per-item priorities need no sequential reservoir
+    state at all: one per-stratum window ranks them.
+
+    One shuffle on source; each stratum ranks independently (no global
+    sort). doc_id tiebreak makes equal-priority outcomes stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (((F.col("doc_id") + 1) * _LCG_A) % _LCG_M).cast("double") / F.lit(
+        float(_LCG_M)
+    )
+    pri = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(F.desc("priority"), F.col("doc_id"))
+    return (
+        docs.withColumn("priority", pri)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.round("priority", 6).alias("priority"),
+        )
+    )
+
+
+RESERVOIR_ORACLE = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ln((((doc_id + 1) * {_LCG_A}) % {_LCG_M}) / {_LCG_M}.0) / n_chars
+           AS priority
+  FROM documents
+)
+SELECT source, doc_id, n_chars AS weight, round(priority, 6) AS priority
+FROM keyed
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id)
+        <= {RESERVOIR_K}
+"""
+
+
 QUERIES: dict = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
+    "boilerplate_phrase_ratio": (boilerplate_phrase_ratio, BOILERPLATE_ORACLE),
+    "weighted_reservoir_sample": (weighted_reservoir_sample, RESERVOIR_ORACLE),
     "heavy_hitters_twophase": (heavy_hitters_twophase, HEAVY_HITTERS_ORACLE),
     "token_entropy_quality": (token_entropy_quality, TOKEN_ENTROPY_ORACLE),
     "quality_percentile_rank": (quality_percentile_rank, QUALITY_PERCENTILE_ORACLE),

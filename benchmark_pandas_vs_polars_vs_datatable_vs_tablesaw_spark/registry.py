@@ -67,6 +67,8 @@ _PRIORITY = (
     "events_anomaly_zscore",
     "triangle_count_copurchase",
     "pagerank_nation_trade",
+    "boilerplate_phrase_ratio",
+    "weighted_reservoir_sample",
     # (a0) round-4 oracle upgrades and additions: ann_lsh_topk's
     # candidate pipeline is deterministic (seeded-LCG planes) and now
     # carries a full DuckDB oracle; the three recall certificates give
