@@ -1,0 +1,272 @@
+"""Change-data-capture / warehouse-maintenance operators.
+
+The reference is a one-shot batch benchmark (no mutation surface);
+these extensions cover the three table-maintenance kernels every
+lakehouse pipeline runs between the reference's read-only queries:
+
+- SCD type-2 history build (gaps-and-islands run collapse + validity
+  intervals) — the dimension-table side of CDC;
+- snapshot diff (derive the insert/update/delete stream from two
+  table states) — the *producer* of a CDC feed, complementing
+  ``joins.merge_upsert_orders`` which *applies* one;
+- incremental aggregate maintenance (algebraic partial-agg merge with
+  retractions) — maintaining a materialized view without recomputing,
+  verified against the full recompute by construction (the DuckDB
+  oracle recomputes from scratch; the Spark side only merges
+  partials).
+
+CDC inputs are carved deterministically out of ``orders`` by key
+arithmetic, so both engines see identical "old"/"new"/"delta" states
+with no extra fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import money_sum
+
+
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history: per customer, the run-collapsed
+    timeline of order-priority values with [valid_from, valid_to)
+    intervals and an is_current flag.
+
+    Change events are per (customer, day) — arg-min by order key for
+    determinism when a day has several orders. Runs of the same value
+    collapse via gaps-and-islands (lag-compare -> conditional cumsum
+    -> per-run min date), then lead() closes each interval. Two
+    window passes over the SAME (custkey, date) partitioning — one
+    shuffle, Catalyst reuses the exchange. The open interval
+    serializes as 9999-12-31, the warehouse convention.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ev = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.min_by("o_orderpriority", "o_orderkey").alias("val")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    prev = F.lag("val").over(w)
+    changed = F.when(prev.isNull() | (prev != F.col("val")), 1).otherwise(0)
+    runs = ev.withColumn(
+        "run_id",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = runs.groupBy("o_custkey", "run_id", "val").agg(
+        F.min("o_orderdate").alias("valid_from")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("valid_from")
+    vt = F.lead("valid_from").over(w2)
+    return islands.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("val").alias("priority"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(vt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias(
+            "valid_to"
+        ),
+        vt.isNull().alias("is_current"),
+    ).orderBy("custkey", "valid_from")
+
+
+SCD2_ORACLE = """
+WITH ev AS (
+  SELECT o_custkey, o_orderdate,
+         arg_min(o_orderpriority, o_orderkey) AS val
+  FROM orders GROUP BY o_custkey, o_orderdate
+), flagged AS (
+  SELECT o_custkey, o_orderdate, val,
+         CASE WHEN lag(val) OVER w IS NULL OR lag(val) OVER w <> val
+              THEN 1 ELSE 0 END AS changed
+  FROM ev
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+), runs AS (
+  SELECT o_custkey, o_orderdate, val,
+         sum(changed) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM flagged
+), islands AS (
+  SELECT o_custkey, run_id, val, min(o_orderdate) AS valid_from
+  FROM runs GROUP BY o_custkey, run_id, val
+)
+SELECT o_custkey AS custkey, val AS priority,
+       strftime(valid_from, '%Y-%m-%d') AS valid_from,
+       COALESCE(strftime(lead(valid_from) OVER w2, '%Y-%m-%d'), '9999-12-31')
+         AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM islands
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from)
+ORDER BY custkey, valid_from
+"""
+
+
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a CDC stream by diffing two table snapshots: full-outer
+    join on the key, classify insert / delete / update (value drift on
+    any tracked column), drop unchanged rows. This is the producer
+    side of CDC — snapshot-diff is how you bootstrap a feed from a
+    source that has none.
+
+    One co-partitioned full-outer join on the key; change
+    classification is a map-side CASE. At 100 TB both snapshots are
+    key-bucketed tables, making the join zero-exchange.
+
+    The two states are carved from ``orders``: "old" = keys not
+    divisible by 10, "new" = keys not divisible by 7, with a
+    deterministic +10% price revision on keys divisible by 5.
+    Prices live in int64 ten-thousandths throughout (the money_sum
+    convention): the revision is integer arithmetic (e4 * 11 div 10),
+    so comparison and output are bit-exact on both engines — a
+    float-space `round(x * 1.1, 2)` would tie-break .xx5 differently
+    across engines.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 10_000).cast("long").alias("price_e4"),
+        "o_orderpriority",
+    )
+    old = orders.where(F.col("o_orderkey") % 10 != 0)
+    new = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.expr("(price_e4 * 11) div 10"),
+        )
+        .otherwise(F.col("price_e4"))
+        .alias("price_e4"),
+        "o_orderpriority",
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("delete"))
+        .when(
+            (F.col("o.price_e4") != F.col("n.price_e4"))
+            | (F.col("o.o_orderpriority") != F.col("n.o_orderpriority")),
+            F.lit("update"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .where(F.col("change_type") != "unchanged")
+        .select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            "change_type",
+            (F.col("o.price_e4") / 10_000.0).alias("old_price"),
+            (F.col("n.price_e4") / 10_000.0).alias("new_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH priced AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 10000) AS BIGINT) AS price_e4,
+         o_orderpriority
+  FROM orders
+), old AS (
+  SELECT * FROM priced WHERE o_orderkey % 10 <> 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN (price_e4 * 11) // 10
+              ELSE price_e4 END AS price_e4,
+         o_orderpriority
+  FROM priced WHERE o_orderkey % 7 <> 0
+), joined AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.price_e4 <> n.price_e4
+                   OR o.o_orderpriority <> n.o_orderpriority THEN 'update'
+              ELSE 'unchanged' END AS change_type,
+         o.price_e4 / 10000.0 AS old_price,
+         n.price_e4 / 10000.0 AS new_price
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, change_type, old_price, new_price
+FROM joined WHERE change_type <> 'unchanged'
+ORDER BY o_orderkey
+"""
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a per-customer (order count, revenue) materialized
+    view incrementally: merge the BASE partial aggregate with signed
+    DELTA partials (+1 inserts, -1 retractions) instead of
+    recomputing. count and the int64-quantized money sum are both
+    algebraic, so partials merge exactly; the DuckDB oracle
+    recomputes the view from scratch over the equivalent final state
+    — the differential check IS the proof that the incremental path
+    equals the full recompute.
+
+    Scale: each partial agg is map-side combinable; the merge is one
+    more small agg on the view key. This is the pattern that turns an
+    O(table) refresh into O(delta) — the whole point at 100 TB.
+
+    State carving (deterministic, from ``orders``): base = keys not
+    divisible by 10; inserts = divisible by 10 but not 20;
+    retractions = base keys divisible by 15.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    base = orders.where(k % 10 != 0).withColumn("sign", F.lit(1))
+    inserts = orders.where((k % 10 == 0) & (k % 20 != 0)).withColumn(
+        "sign", F.lit(1)
+    )
+    retractions = orders.where((k % 10 != 0) & (k % 15 == 0)).withColumn(
+        "sign", F.lit(-1)
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.sum("sign").alias("d_count"),
+            F.sum(
+                F.col("sign")
+                * F.round(F.col("o_totalprice") * 10_000).cast("long")
+            ).alias("d_rev_e4"),
+        )
+
+    merged = (
+        partial(base)
+        .unionAll(partial(inserts))
+        .unionAll(partial(retractions))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("d_count").alias("n_orders"),
+            (F.sum("d_rev_e4") / 10_000.0).alias("revenue"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+    return merged.orderBy("o_custkey")
+
+
+INCREMENTAL_AGG_ORACLE = """
+WITH final_state AS (
+  SELECT o_custkey, o_totalprice FROM orders
+  WHERE (o_orderkey % 10 <> 0 AND NOT (o_orderkey % 15 = 0))
+     OR (o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0)
+)
+SELECT o_custkey, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 10000) AS BIGINT)) / 10000.0 AS revenue
+FROM final_state
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+QUERIES: dict = {
+    "scd2_priority_history": (scd2_priority_history, SCD2_ORACLE),
+    "snapshot_diff_cdc": (snapshot_diff_cdc, SNAPSHOT_DIFF_ORACLE),
+    "incremental_agg_maintenance": (
+        incremental_agg_maintenance,
+        INCREMENTAL_AGG_ORACLE,
+    ),
+}

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import (
     analytics,
     arrays,
+    cdc,
     core,
     dedup,
     graph,
@@ -33,6 +34,7 @@ from .streaming import windows as streaming_windows
 
 _MODULES = (
     dedup,
+    cdc,
     graph,
     similarity,
     multimodal,
@@ -69,6 +71,9 @@ _PRIORITY = (
     "pagerank_nation_trade",
     "boilerplate_phrase_ratio",
     "weighted_reservoir_sample",
+    "scd2_priority_history",
+    "snapshot_diff_cdc",
+    "incremental_agg_maintenance",
     # (a0) round-4 oracle upgrades and additions: ann_lsh_topk's
     # candidate pipeline is deterministic (seeded-LCG planes) and now
     # carries a full DuckDB oracle; the three recall certificates give
