@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "dedup_containment",        # near-subset pairs (shared postings index)
     "quality_percentile_rank",  # corpus-wide percentile via global_rank
     "quota_sample_per_source",  # exact per-stratum quota sampling
+    "triangle_count_copurchase",  # oriented-edge triangle join
+    "scd2_priority_history",    # SCD2 gaps-and-islands history build
+    "boilerplate_phrase_ratio",  # corpus-level boilerplate detection
+    "retention_cohort_matrix",  # cohort retention analytics
 ]
 
 

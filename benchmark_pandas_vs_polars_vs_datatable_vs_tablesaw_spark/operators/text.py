@@ -1311,15 +1311,17 @@ QUALIFY rn <= {QUOTA_PER_SOURCE}
 BOILERPLATE_DF = 3  # a 4-gram phrase in >= this many docs is boilerplate
 BOILERPLATE_DROP_RATIO = 0.3
 
-# word 4-gram shingles; docs with < 4 tokens contribute their whole
-# text (same guarded-CASE pattern as dedup._SHINGLES_EXPR).
+# word 4-gram shingles over a pre-split ``toks`` column (split() once
+# per row — inlining split(text) into every lambda access would cost
+# 4 re-splits per shingle position); docs with < 4 tokens contribute
+# their whole text (same guarded-CASE pattern as dedup._SHINGLES_EXPR).
 _PHRASE_EXPR = """
-CASE WHEN size(split(text, ' ')) >= 4 THEN
-  transform(sequence(1, size(split(text, ' ')) - 3),
-            i -> concat_ws(' ', element_at(split(text, ' '), i),
-                                element_at(split(text, ' '), i + 1),
-                                element_at(split(text, ' '), i + 2),
-                                element_at(split(text, ' '), i + 3)))
+CASE WHEN size(toks) >= 4 THEN
+  transform(sequence(1, size(toks) - 3),
+            i -> concat_ws(' ', element_at(toks, i),
+                                element_at(toks, i + 1),
+                                element_at(toks, i + 2),
+                                element_at(toks, i + 3)))
 ELSE array(text) END
 """
 
@@ -1333,33 +1335,30 @@ def boilerplate_phrase_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     that are boilerplate. Complements ``text_repetition_filter``
     (intra-doc repetition): this one needs corpus-wide evidence.
 
-    Shape: explode distinct phrases (map-side), one DF aggregation on
-    the phrase, broadcast-join the (small) boilerplate set back as a
-    semi-join flag, one per-doc agg. The boilerplate set is tiny by
-    construction (high-DF tail); at 100 TB the DF agg is the only
-    real shuffle and it's the same postings pattern as the dedup
-    family. Only affected docs (>= 1 boilerplate phrase) are emitted.
+    Shape: ONE explode of distinct phrases (map-side, split() hoisted
+    to a column so it runs once per doc), then the document frequency
+    comes from a count-over-window partitioned by phrase — the same
+    shuffle the DF groupBy would cost, but with no second pass over
+    the exploded phrases and no join back (a groupBy + broadcast-join
+    formulation re-explodes the corpus to probe — measured 8× slower
+    at sf0.1). Per-doc agg is the second and final shuffle. Only
+    affected docs (>= 1 boilerplate phrase) are emitted.
     """
     docs = load_table(spark, sf_dir, "documents")
-    phrases = docs.select(
+    phrases = docs.withColumn("toks", F.split("text", " ")).select(
         "doc_id",
         F.explode(F.expr(f"array_distinct({_PHRASE_EXPR})")).alias("ph"),
     )
-    boiler = (
-        phrases.groupBy("ph")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") >= BOILERPLATE_DF)
-        .select("ph")
-    )
-    flagged = phrases.join(
-        F.broadcast(boiler.withColumn("is_boiler", F.lit(1))), "ph", "left"
+    flagged = phrases.withColumn(
+        "is_boiler",
+        (F.count("*").over(Window.partitionBy("ph")) >= BOILERPLATE_DF).cast("int"),
     )
     ratio = F.col("n_boiler") / F.col("n_phrases")
     return (
         flagged.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_phrases"),
-            F.sum(F.coalesce("is_boiler", F.lit(0))).alias("n_boiler"),
+            F.sum("is_boiler").alias("n_boiler"),
         )
         .filter(F.col("n_boiler") >= 1)
         .select(
