@@ -766,7 +766,204 @@ FROM clipped GROUP BY o_orderpriority
 """
 
 
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch t-test per event type: users split into arms
+    by id parity (the deterministic stand-in for experiment
+    assignment), comparing mean event value. Emits per-arm moments,
+    the Welch t statistic, and the Welch–Satterthwaite degrees of
+    freedom — the full A/B readout, computed in ONE grouped pass
+    (conditional aggregates; no per-arm subqueries, no second scan).
+
+    Everything after the agg is scalar arithmetic on a |types|-row
+    frame — driver-free and exact: both engines evaluate the same
+    closed-form expressions on the same aggregates, so values match
+    to rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.col("user_id") % 2 == 0)
+    g = ev.groupBy("event_type").agg(
+        F.count(F.when(arm, 1)).alias("n_a"),
+        F.avg(F.when(arm, F.col("value"))).alias("m_a"),
+        F.var_samp(F.when(arm, F.col("value"))).alias("v_a"),
+        F.count(F.when(~arm, 1)).alias("n_b"),
+        F.avg(F.when(~arm, F.col("value"))).alias("m_b"),
+        F.var_samp(F.when(~arm, F.col("value"))).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (F.col("v_a") / F.col("n_a")) ** 2 / (F.col("n_a") - 1)
+        + (F.col("v_b") / F.col("n_b")) ** 2 / (F.col("n_b") - 1)
+    )
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(dof, 2).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("significant_95"),
+    ).orderBy("event_type")
+
+
+AB_TEST_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+         avg(CASE WHEN user_id % 2 = 0 THEN value END) AS m_a,
+         var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS v_a,
+         count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n_b,
+         avg(CASE WHEN user_id % 2 <> 0 THEN value END) AS m_b,
+         var_samp(CASE WHEN user_id % 2 <> 0 THEN value END) AS v_b
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat,
+       round(pow(v_a / n_a + v_b / n_b, 2)
+             / (pow(v_a / n_a, 2) / (n_a - 1)
+                + pow(v_b / n_b, 2) / (n_b - 1)), 2) AS welch_df,
+       abs((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)) > 1.96
+         AS significant_95
+FROM g ORDER BY event_type
+"""
+
+
+def weighted_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of extended price per return flag,
+    weighted by quantity — the lower weighted median (first value
+    whose cumulative weight reaches half the total).
+
+    Distributed as a cumulative-weight window over (value, tiebreak)
+    order plus a total from the same partitioning (one shuffle,
+    shared exchange), then a min-over-qualifying-rows agg. Quantities
+    are whole numbers, so cumulative weights are exact int64 — the
+    qualifying condition 2*cum >= total has no float tie to disagree
+    on. At 100 TB the same plan holds: no global sort, each group
+    orders independently.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "qty"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("qty").over(w).alias("cum_w"),
+        F.sum("qty").over(wp).alias("tot_w"),
+    )
+    return (
+        cum.where(2 * F.col("cum_w") >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, CAST(l_quantity AS BIGINT)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS tot_w
+  FROM lineitem
+)
+SELECT l_returnflag, min(l_extendedprice) AS weighted_median_price
+FROM cum WHERE 2 * cum_w >= tot_w
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def rolling_median_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling exact median of event value over the trailing
+    5 rows — median smoothing, the robust twin of a moving average.
+    The exact `percentile` aggregate runs AS a window function, so the
+    frame's 5 values are ranked in-place: no self-join, no explode,
+    state bounded by the frame. One shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias(
+                "rolling_median_5"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+ROLLING_MEDIAN_ORACLE = """
+SELECT event_id, user_id,
+       round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+         AS rolling_median_5
+FROM events
+ORDER BY event_id
+"""
+
+
+def trend_regression_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of event value over time via the
+    closed-form OLS aggregates (regr_slope / regr_intercept /
+    regr_r2) — SQL-standard, single-pass, map-side combinable; the
+    declarative way to fit thousands of independent group-wise
+    regressions without any iterative solver. Time is rescaled to
+    days so the slope is a human-scale number that survives rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.unix_micros("ts").cast("double") / F.lit(86_400_000_000.0)).alias("x")
+    e = ev.select("event_type", F.col("value").alias("y"), x)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.regr_count("y", "x").alias("n"),
+            F.round(F.regr_slope("y", "x"), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TREND_REGRESSION_ORACLE = """
+WITH e AS (
+  SELECT event_type, value AS y, epoch_us(ts) / 86400000000.0 AS x
+  FROM events
+)
+SELECT event_type,
+       CAST(regr_count(y, x) AS BIGINT) AS n,
+       round(regr_slope(y, x), 6) AS slope_per_day,
+       round(regr_intercept(y, x), 4) AS intercept,
+       round(regr_r2(y, x), 6) AS r2
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES: dict = {
+    "ab_test_welch": (ab_test_welch, AB_TEST_ORACLE),
+    "weighted_median_by_group": (weighted_median_by_group, WEIGHTED_MEDIAN_ORACLE),
+    "rolling_median_by_user": (rolling_median_by_user, ROLLING_MEDIAN_ORACLE),
+    "trend_regression_by_type": (
+        trend_regression_by_type,
+        TREND_REGRESSION_ORACLE,
+    ),
     "cube_priority_status": (cube_priority_status, CUBE_ORACLE),
     "winsorized_stats_by_group": (winsorized_stats_by_group, WINSORIZED_STATS_ORACLE),
     "ansi_safe_arithmetic": (ansi_safe_arithmetic, ANSI_SAFE_ORACLE),

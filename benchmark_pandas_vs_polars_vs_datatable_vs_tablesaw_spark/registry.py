@@ -74,6 +74,10 @@ _PRIORITY = (
     "scd2_priority_history",
     "snapshot_diff_cdc",
     "incremental_agg_maintenance",
+    "ab_test_welch",
+    "weighted_median_by_group",
+    "rolling_median_by_user",
+    "trend_regression_by_type",
     # (a0) round-4 oracle upgrades and additions: ann_lsh_topk's
     # candidate pipeline is deterministic (seeded-LCG planes) and now
     # carries a full DuckDB oracle; the three recall certificates give
