@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "scd2_priority_history",    # SCD2 gaps-and-islands history build
     "boilerplate_phrase_ratio",  # corpus-level boilerplate detection
     "retention_cohort_matrix",  # cohort retention analytics
+    "dq_constraint_report",     # one-pass Deequ-style constraint gate
+    "event_transition_matrix",  # Markov transitions over clickstream
+    "ewma_customer_orders",     # int64-exact EWMA via banded self-join
+    "geo_nearest_supplier",     # grid-blocked spatial radius join
 ]
 
 

@@ -956,7 +956,151 @@ FROM e GROUP BY event_type ORDER BY event_type
 """
 
 
+def ewma_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of order value per
+    customer (decay 0.5, trailing 20-order horizon) — the smoothing
+    every spend-forecast / anomaly baseline uses.
+
+    The recurrence y_t = a*x_t + (1-a)*y_{t-1} is not directly a SQL
+    window aggregate, but with a finite horizon it unrolls to
+    y_t = sum_j w_j x_{t-j} / sum_j w_j with w_j = (1-a)^j. Decay 0.5
+    makes the weights exact powers of two, so we compute the numerator
+    ENTIRELY in int64: price in e4 ten-thousandths x bit-shifted
+    integer weights (max |term| ~ 3e15 x 20 << int64 range). The sums
+    are exact integers — bit-identical on any engine, no float
+    accumulation-order hazard — and the single final division is the
+    only floating step.
+
+    Shape: rn via a per-customer window (ONE shuffle on custkey),
+    then a banded self-join (0 <= rn_t - rn_j < 20) on the same key —
+    per-row fan-in is capped at 20, so the join output is 20x the
+    input regardless of scale, and both sides reuse the custkey
+    exchange. No unbounded state, no global window.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.expr("CAST(round(o_totalprice * 10000) AS BIGINT)").alias("price_e4"),
+    )
+    t = seq.select(
+        F.col("o_custkey").alias("custkey"), F.col("rn").alias("t_rn")
+    )
+    j = seq.select(
+        F.col("o_custkey").alias("j_custkey"),
+        F.col("rn").alias("j_rn"),
+        "price_e4",
+    )
+    banded = t.join(
+        j,
+        (F.col("custkey") == F.col("j_custkey"))
+        & (F.col("j_rn") <= F.col("t_rn"))
+        & (F.col("j_rn") > F.col("t_rn") - 20),
+    )
+    weight = F.expr("shiftleft(CAST(1 AS BIGINT), 19 - (t_rn - j_rn))")
+    return (
+        banded.groupBy("custkey", "t_rn")
+        .agg(
+            F.sum(weight * F.col("price_e4")).alias("num"),
+            F.sum(weight).alias("den"),
+        )
+        .select(
+            "custkey",
+            F.col("t_rn").alias("order_seq"),
+            F.round(F.col("num") / F.col("den") / 10000.0, 4).alias("ewma_price"),
+        )
+        .orderBy("custkey", "order_seq")
+    )
+
+
+EWMA_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn,
+         CAST(round(o_totalprice * 10000) AS BIGINT) AS price_e4
+  FROM orders
+), banded AS (
+  SELECT t.o_custkey AS custkey, t.rn AS t_rn, j.rn AS j_rn, j.price_e4
+  FROM seq t JOIN seq j
+    ON t.o_custkey = j.o_custkey
+   AND j.rn <= t.rn AND j.rn > t.rn - 20
+)
+SELECT custkey, CAST(t_rn AS INT) AS order_seq,
+       round(CAST(sum((CAST(1 AS BIGINT) << (19 - (t_rn - j_rn))) * price_e4)
+                  AS BIGINT) * 1.0
+             / CAST(sum(CAST(1 AS BIGINT) << (19 - (t_rn - j_rn))) AS BIGINT)
+             / 10000.0, 4) AS ewma_price
+FROM banded
+GROUP BY custkey, t_rn
+ORDER BY custkey, order_seq
+"""
+
+
+def quantile_bin_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile discretization of ``o_totalprice`` — the
+    feature-engineering binning step (quantile bucketizer) — with
+    per-bin population stats.
+
+    The bin id is floor((global_rank-1) * 10 / n): exact integer
+    arithmetic on a DISTRIBUTED rank from :func:`core.global_rank`
+    (range-exchange + per-range offsets), never a single-partition
+    ``Window.orderBy``. Per-bin averages use the int64-e4 money sum,
+    so every output value is a deterministic function of exact
+    integers — engine-independent. Bin populations differ by at most
+    1 by construction; the oracle recomputes the same formula from
+    row_number, which DuckDB can afford single-node.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    # Only the order columns go through global_rank: its two plan
+    # branches must column-prune identically for the range exchange to
+    # be reused (an extra payload column here desynchronized the
+    # branches' sampled ranges — observed, not hypothetical). price_e4
+    # derives from o_totalprice after ranking at zero extra cost.
+    ranked = global_rank(
+        orders.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+    )
+    binned = ranked.select(
+        F.floor((F.col("rank") - 1) * 10 / F.col("_total")).alias("bin"),
+        "o_totalprice",
+        F.expr("CAST(round(o_totalprice * 10000) AS BIGINT)").alias("price_e4"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.round(F.sum("price_e4") / F.count("*") / 10000.0, 4).alias("avg_price"),
+        )
+        .select(F.col("bin").cast("int").alias("bin"), "n", "lo", "hi", "avg_price")
+        .orderBy("bin")
+    )
+
+
+QUANTILE_BIN_ORACLE = """
+WITH ranked AS (
+  SELECT o_totalprice,
+         CAST(round(o_totalprice * 10000) AS BIGINT) AS price_e4,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rank,
+         count(*) OVER () AS total
+  FROM orders
+)
+SELECT CAST(((rank - 1) * 10) // total AS INT) AS bin,
+       count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+       round(CAST(sum(price_e4) AS BIGINT) * 1.0 / count(*) / 10000.0, 4)
+         AS avg_price
+FROM ranked
+GROUP BY 1
+ORDER BY bin
+"""
+
+
 QUERIES: dict = {
+    "ewma_customer_orders": (ewma_customer_orders, EWMA_ORACLE),
+    "quantile_bin_features": (quantile_bin_features, QUANTILE_BIN_ORACLE),
     "ab_test_welch": (ab_test_welch, AB_TEST_ORACLE),
     "weighted_median_by_group": (weighted_median_by_group, WEIGHTED_MEDIAN_ORACLE),
     "rolling_median_by_user": (rolling_median_by_user, ROLLING_MEDIAN_ORACLE),

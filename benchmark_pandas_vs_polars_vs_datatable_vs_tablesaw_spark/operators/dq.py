@@ -1,0 +1,184 @@
+"""Data-quality constraint validation and pipeline diagnostics.
+
+The reference benchmark assumes its inputs are clean
+(NB-main loads the diabetes CSV and goes straight to aggregation); a
+production pipeline at 100 TB cannot. These operators are the
+Deequ-style validation layer that runs *before* the reference's
+queries: a single-pass constraint report over the fact tables, and a
+key-skew diagnostic that tells you whether the downstream
+shuffle-by-key plans (joins, sessionization) will hot-spot.
+
+Scale shape: every metric here is an algebraic aggregate (count /
+conditional count / distinct-count), so the whole report is one
+map-side-combinable pass over each table — no row-level output ever
+leaves the executors. The referential check is a left-anti join that
+Catalyst plans as a shuffle join on the key both sides already
+shuffle on elsewhere (AQE reuses the exchange when run in the same
+plan as a keyed query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Deequ-style constraint report over ``orders`` +
+    ``lineitem``: row count, key uniqueness, completeness, domain
+    membership, value ranges, cross-table referential integrity.
+
+    Output is long-format ``(check_name, value, passed)`` — the shape
+    a scheduler gates a pipeline run on. All metrics except the
+    orphan check come from ONE aggregate over orders (stacked to long
+    form after the fact, so the table is scanned once); the orphan
+    count is a separate left-anti join on ``lineitem``.
+
+    ``value`` semantics: ``orders_rowcount`` is a size metric
+    (passes when > 0); every other row is a violation count (passes
+    when == 0). ``orderdate_not_future`` is deliberately tight
+    (cutoff 2001-06-01 < fixture max) so the report demonstrably
+    fires on real violations rather than vacuously passing.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    agg = orders.agg(
+        F.count("*").alias("rowcount"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("dup_keys"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("null_price"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpos_price"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("bad_status"),
+        F.count(
+            F.when(F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp"), 1)
+        ).alias("future_dated"),
+    )
+    stacked = agg.selectExpr(
+        "stack(6, "
+        "'orders_rowcount', rowcount, "
+        "'orderkey_unique', dup_keys, "
+        "'totalprice_complete', null_price, "
+        "'totalprice_positive', nonpos_price, "
+        "'orderstatus_domain', bad_status, "
+        "'orderdate_not_future', future_dated) AS (check_name, value)"
+    )
+    orphans = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("value"))
+        .select(F.lit("lineitem_fk_orphans").alias("check_name"), "value")
+    )
+    report = stacked.unionByName(orphans)
+    passed = F.when(
+        F.col("check_name") == "orders_rowcount", F.col("value") > 0
+    ).otherwise(F.col("value") == F.lit(0))
+    return report.select(
+        "check_name", F.col("value").cast("long").alias("value"), passed.alias("passed")
+    ).orderBy("check_name")
+
+
+DQ_CONSTRAINT_REPORT_ORACLE = """
+WITH agg AS (
+  SELECT count(*) AS rowcount,
+         count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+         count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS null_price,
+         count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS nonpos_price,
+         count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+           AS bad_status,
+         count(CASE WHEN o_orderdate >= TIMESTAMP '2001-06-01' THEN 1 END)
+           AS future_dated
+  FROM orders
+), report AS (
+  SELECT 'orders_rowcount' AS check_name, rowcount AS value FROM agg
+  UNION ALL SELECT 'orderkey_unique', dup_keys FROM agg
+  UNION ALL SELECT 'totalprice_complete', null_price FROM agg
+  UNION ALL SELECT 'totalprice_positive', nonpos_price FROM agg
+  UNION ALL SELECT 'orderstatus_domain', bad_status FROM agg
+  UNION ALL SELECT 'orderdate_not_future', future_dated FROM agg
+  UNION ALL
+  SELECT 'lineitem_fk_orphans', count(*)
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT check_name, CAST(value AS BIGINT) AS value,
+       CASE WHEN check_name = 'orders_rowcount' THEN value > 0
+            ELSE value = 0 END AS passed
+FROM report
+ORDER BY check_name
+"""
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for ``lineitem.l_orderkey`` — the
+    pre-flight check for every keyed join/agg in the suite: per-key
+    row counts reduced to a one-row distribution summary plus the
+    heaviest key (min key among ties, so the answer is deterministic).
+
+    Two map-side-combinable aggregations (key -> count, then count ->
+    stats); the per-key intermediate is never wider than (key, count),
+    so at 100 TB this costs one partial-agg shuffle of the key space —
+    exactly the shuffle the downstream join would do anyway, making
+    the diagnostic essentially free to piggyback. ``skew_ratio``
+    (max/avg) > ~5 is the signal to switch the downstream plan to the
+    salted variant (``salted_skew_agg``) or rely on AQE skew-join.
+
+    All outputs are integer-exact except the two ratios, rounded to 4
+    decimals after single-row division (no cross-partition float
+    accumulation order to worry about).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_key = lineitem.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    stats = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_rows"),
+        F.min("cnt").alias("min_rows"),
+        F.expr("percentile(cnt, 0.5)").alias("p50"),
+        F.expr("percentile(cnt, 0.99)").alias("p99"),
+    )
+    heaviest = (
+        per_key.join(stats.select("max_rows"), per_key.cnt == F.col("max_rows"))
+        .agg(F.min("l_orderkey").alias("heaviest_key"))
+    )
+    return (
+        stats.crossJoin(heaviest)
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_rows",
+            "min_rows",
+            F.round("p50", 4).alias("p50_rows"),
+            F.round("p99", 4).alias("p99_rows"),
+            F.round(
+                F.col("max_rows") / (F.col("n_rows") / F.col("n_keys")), 4
+            ).alias("skew_ratio"),
+            "heaviest_key",
+        )
+    )
+
+
+KEY_SKEW_REPORT_ORACLE = """
+WITH per_key AS (
+  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+), stats AS (
+  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         max(cnt) AS max_rows, min(cnt) AS min_rows,
+         quantile_cont(cnt, 0.5) AS p50, quantile_cont(cnt, 0.99) AS p99
+  FROM per_key
+)
+SELECT s.n_keys, s.n_rows, s.max_rows, s.min_rows,
+       round(s.p50, 4) AS p50_rows, round(s.p99, 4) AS p99_rows,
+       round(s.max_rows / (s.n_rows * 1.0 / s.n_keys), 4) AS skew_ratio,
+       (SELECT min(l_orderkey) FROM per_key p, stats s2
+        WHERE p.cnt = s2.max_rows) AS heaviest_key
+FROM stats s
+"""
+
+
+QUERIES: dict = {
+    "dq_constraint_report": (dq_constraint_report, DQ_CONSTRAINT_REPORT_ORACLE),
+    "key_skew_report": (key_skew_report, KEY_SKEW_REPORT_ORACLE),
+}

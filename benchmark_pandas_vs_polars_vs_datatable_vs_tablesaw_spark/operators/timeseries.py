@@ -677,8 +677,142 @@ ORDER BY event_type, hour
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for each (state -> next_state) pair, the transition
+    count and probability. The input to any sequence model / funnel
+    simulator built on clickstream data.
+
+    lead() over (user_id ORDER BY ts, event_id) pairs each event with
+    its successor — ONE shuffle on user_id, the same partitioning
+    sessionization uses (exchange-reusable when run together). The
+    pair-count aggregation is map-side combinable on the tiny
+    |types|^2 key space, and the per-state probability denominator is
+    a broadcast-size window over that aggregate, not the raw stream.
+    Probability is count/count division of exact integers, rounded
+    once — no float accumulation, so bit-identical across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    ).where(F.col("to_state").isNotNull())
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count("*").alias("n_transitions")
+    )
+    denom = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(denom), 4
+        ).alias("prob"),
+    ).orderBy("from_state", "to_state")
+
+
+EVENT_TRANSITION_ORACLE = """
+WITH pairs AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_state
+  FROM events
+), counts AS (
+  SELECT from_state, to_state, count(*) AS n_transitions
+  FROM pairs WHERE to_state IS NOT NULL
+  GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n_transitions,
+       round(n_transitions * 1.0 /
+             sum(n_transitions) OVER (PARTITION BY from_state), 4) AS prob
+FROM counts
+ORDER BY from_state, to_state
+"""
+
+
+def purchase_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest
+    non-purchase event by the same user in the preceding hour; output
+    is purchases-per-touch-channel (plus '(none)' for organic
+    purchases with no preceding touch).
+
+    Shape: a time-bounded self-join on user_id (purchases x prior
+    events within [ts-1h, ts)), then row_number to keep the latest
+    touch per purchase. The 1-hour bound is what makes this scale —
+    per-user state in the join is bounded by an hour of events, the
+    same bound the streaming interval join uses, and AQE handles
+    hot users via skew-join splitting. Deterministic tiebreak
+    (ts DESC, event_id DESC) pins ties exactly like the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    w = Window.partitionBy("p_id").orderBy(
+        F.col("t_ts").desc_nulls_last(), F.col("t_id").desc_nulls_last()
+    )
+    last_touch = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.coalesce("touch_type", F.lit("(none)")).alias("touch_type"))
+    )
+    return (
+        last_touch.groupBy("touch_type")
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("touch_type")
+    )
+
+
+PURCHASE_ATTRIBUTION_ORACLE = """
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id AS t_user, ts AS t_ts, event_id AS t_id,
+         event_type AS touch_type
+  FROM events WHERE event_type <> 'purchase'
+), joined AS (
+  SELECT p.p_id, t.touch_type, t.t_ts, t.t_id,
+         row_number() OVER (PARTITION BY p.p_id
+                            ORDER BY t.t_ts DESC NULLS LAST,
+                                     t.t_id DESC NULLS LAST) AS rn
+  FROM purchases p
+  LEFT JOIN touches t
+    ON p.p_user = t.t_user
+   AND t.t_ts < p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL 1 HOUR
+)
+SELECT COALESCE(touch_type, '(none)') AS touch_type,
+       count(*) AS n_purchases
+FROM joined WHERE rn = 1
+GROUP BY 1
+ORDER BY touch_type
+"""
+
+
 QUERIES: dict = {
     "retention_cohort_matrix": (retention_cohort_matrix, RETENTION_COHORT_ORACLE),
+    "event_transition_matrix": (event_transition_matrix, EVENT_TRANSITION_ORACLE),
+    "purchase_attribution_last_touch": (
+        purchase_attribution_last_touch,
+        PURCHASE_ATTRIBUTION_ORACLE,
+    ),
     "interval_concurrency_peak": (
         interval_concurrency_peak,
         INTERVAL_CONCURRENCY_ORACLE,
