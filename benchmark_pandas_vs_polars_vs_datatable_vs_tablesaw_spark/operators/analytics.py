@@ -1098,8 +1098,83 @@ ORDER BY bin
 """
 
 
+def revenue_contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis: revenue per nation, its share of the
+    region, and its rank within the region — the percent-of-total BI
+    kernel.
+
+    Plan: the only big work is one fact-side aggregation keyed by
+    custkey (orders joined to broadcast customer->nation->region
+    dims); the shares and ranks are windows over the 25-row nation
+    aggregate, i.e. free. Revenue accumulates as exact int64 e4
+    (money_sum), so shares are single divisions of exact integers —
+    engine-identical before the final rounding.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    per_nation = (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 10000) AS BIGINT)")).alias(
+                "rev_e4"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w_region = Window.partitionBy("r_name")
+    w_rank = Window.partitionBy("r_name").orderBy(
+        F.col("rev_e4").desc(), F.col("n_name").asc()
+    )
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "n_orders",
+        (F.col("rev_e4") / 10000.0).alias("revenue"),
+        F.round(F.col("rev_e4") / F.sum("rev_e4").over(w_region), 4).alias(
+            "region_share"
+        ),
+        F.row_number().over(w_rank).alias("region_rank"),
+    ).orderBy("r_name", "region_rank")
+
+
+REVENUE_CONTRIBUTION_ORACLE = """
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o.o_totalprice * 10000) AS BIGINT)) AS BIGINT)
+           AS rev_e4
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name, n_orders,
+       rev_e4 / 10000.0 AS revenue,
+       round(rev_e4 * 1.0 / CAST(sum(rev_e4) OVER (PARTITION BY r_name)
+                                 AS BIGINT), 4) AS region_share,
+       CAST(row_number() OVER (PARTITION BY r_name
+                               ORDER BY rev_e4 DESC, n_name ASC) AS INT)
+         AS region_rank
+FROM per_nation
+ORDER BY r_name, region_rank
+"""
+
+
 QUERIES: dict = {
     "ewma_customer_orders": (ewma_customer_orders, EWMA_ORACLE),
+    "revenue_contribution_shares": (
+        revenue_contribution_shares,
+        REVENUE_CONTRIBUTION_ORACLE,
+    ),
     "quantile_bin_features": (quantile_bin_features, QUANTILE_BIN_ORACLE),
     "ab_test_welch": (ab_test_welch, AB_TEST_ORACLE),
     "weighted_median_by_group": (weighted_median_by_group, WEIGHTED_MEDIAN_ORACLE),

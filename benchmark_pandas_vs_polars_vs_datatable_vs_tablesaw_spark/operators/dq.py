@@ -178,7 +178,119 @@ FROM stats s
 """
 
 
+def join_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-join cardinality WITHOUT materializing the join —
+    the planner diagnostic for "how big will orders JOIN lineitem
+    be, and which key dominates it?".
+
+    For an equi-join, |A JOIN B| = sum over matched keys of
+    cntA(k)*cntB(k); so two narrow per-key count aggregations and a
+    join of the COUNT TABLES (each far smaller than its input)
+    deliver the exact answer plus the hot-key decomposition. At
+    100 TB this is the pre-flight you run before the real join: the
+    count-table join is orders of magnitude cheaper than the join it
+    predicts, and ``max_contrib`` directly identifies the skew key a
+    salted plan would split. All outputs are exact integers.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    a = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").alias("cnt_a")
+    )
+    b = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("cnt_b")
+    )
+    matched = a.join(b, "k").select(
+        "k", (F.col("cnt_a") * F.col("cnt_b")).alias("contrib")
+    )
+    hot = matched.agg(F.max("contrib").alias("max_contrib"))
+    hot_key = (
+        matched.join(hot, matched.contrib == hot.max_contrib)
+        .agg(F.min("k").alias("hot_key"))
+    )
+    stats = matched.agg(
+        F.count("*").alias("n_matched_keys"),
+        F.sum("contrib").alias("join_rows"),
+    )
+    totals = a.agg(F.count("*").alias("n_keys_orders")).crossJoin(
+        b.agg(F.count("*").alias("n_keys_lineitem"))
+    )
+    return (
+        totals.crossJoin(stats)
+        .crossJoin(hot.crossJoin(hot_key))
+        .select(
+            "n_keys_orders",
+            "n_keys_lineitem",
+            "n_matched_keys",
+            "join_rows",
+            "max_contrib",
+            "hot_key",
+        )
+    )
+
+
+JOIN_CARDINALITY_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey AS k, count(*) AS cnt_a FROM orders GROUP BY 1
+), b AS (
+  SELECT l_orderkey AS k, count(*) AS cnt_b FROM lineitem GROUP BY 1
+), matched AS (
+  SELECT a.k, a.cnt_a * b.cnt_b AS contrib FROM a JOIN b USING (k)
+)
+SELECT (SELECT count(*) FROM a) AS n_keys_orders,
+       (SELECT count(*) FROM b) AS n_keys_lineitem,
+       count(*) AS n_matched_keys,
+       CAST(sum(contrib) AS BIGINT) AS join_rows,
+       max(contrib) AS max_contrib,
+       (SELECT min(k) FROM matched
+        WHERE contrib = (SELECT max(contrib) FROM matched)) AS hot_key
+FROM matched
+"""
+
+
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per day via Spark 4 bitmap
+    aggregation — the scale-out alternative to COUNT(DISTINCT):
+    user ids compress into fixed-width per-bucket bitmaps that merge
+    associatively map-side, so the shuffle carries |days x buckets|
+    bitmap blobs instead of every distinct (day, user) pair, and no
+    per-group hash-set state grows with cardinality.
+
+    Two-level plan: (day, bitmap_bucket_number(user)) ->
+    bitmap_construct_agg of bit positions, then per-day
+    sum(bitmap_count(...)). The oracle recomputes with a plain
+    COUNT(DISTINCT), certifying the bitmap pipeline end-to-end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    per_bucket = (
+        ev.select(
+            day.alias("day"),
+            F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("day")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        .orderBy("day")
+    )
+
+
+BITMAP_DISTINCT_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
 QUERIES: dict = {
     "dq_constraint_report": (dq_constraint_report, DQ_CONSTRAINT_REPORT_ORACLE),
     "key_skew_report": (key_skew_report, KEY_SKEW_REPORT_ORACLE),
+    "join_cardinality_report": (join_cardinality_report, JOIN_CARDINALITY_ORACLE),
+    "bitmap_distinct_users": (bitmap_distinct_users, BITMAP_DISTINCT_ORACLE),
 }

@@ -1453,7 +1453,203 @@ QUALIFY row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id)
 """
 
 
+def _hex4_bucket(col_sql: str, n_buckets: int) -> str:
+    """Engine-portable hashing-trick bucket: the first 4 hex digits of
+    md5 parsed by positional ``instr`` arithmetic (identical SQL in
+    Spark and DuckDB — neither needs a hex-parse builtin), mod
+    ``n_buckets``. 16 bits of hash is plenty for bucket assignment;
+    the md5 itself is the expensive part and is computed once."""
+    digit = "(instr('0123456789abcdef', substring(md5({c}), {i}, 1)) - 1)"
+    parts = " + ".join(
+        f"{digit.format(c=col_sql, i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    )
+    return f"(({parts}) % {n_buckets})"
+
+
+def feature_hash_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words: every token maps to one of 64
+    fixed buckets via a hash (no vocabulary build, no dictionary
+    shuffle) — the classic fixed-width featurization for linear
+    models / Bloom-style sketches over unbounded vocabularies.
+
+    Per bucket: total token mass, distinct-token load (collision
+    accounting), and the alphabetically-first token (a deterministic
+    witness). The whole query is explode -> project (md5 map-side) ->
+    64-key groupBy: fully map-side combinable, constant-width output
+    at ANY corpus size — which is the entire point of feature hashing
+    at 100 TB (a vocab-keyed pivot would shuffle |vocab| keys; this
+    shuffles 64).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens()).alias("token"))
+    bucket = F.expr(_hex4_bucket("token", 64))
+    return (
+        tok.select(bucket.alias("bucket"), "token")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_distinct("token").alias("n_distinct"),
+            F.min("token").alias("first_token"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_tokens",
+            "n_distinct",
+            "first_token",
+        )
+        .orderBy("bucket")
+    )
+
+
+FEATURE_HASH_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT CAST({_hex4_bucket("token", 64)} AS INT) AS bucket,
+       count(*) AS n_tokens,
+       count(DISTINCT token) AS n_distinct,
+       min(token) AS first_token
+FROM tok
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model document scoring (bits per token under an
+    add-1-smoothed corpus LM) — the actual-LM counterpart to the
+    rank-based ``token_rarity_score``: low bits/token = fluent,
+    repetitive text; high = rare/garbled. The classic KenLM-style
+    quality gate, self-trained on the corpus in the same plan.
+
+    Pipeline: lead() pairs tokens per doc (one doc_id shuffle), corpus
+    bigram/unigram count tables (map-side combinable), a count join on
+    the bigram key, and per-doc aggregation. Per-term surprise is the
+    INTEGER floor-log2 of the inverse probability, computed from
+    binary-representation length (length(bin(k))-1) — pure integer
+    arithmetic end to end, so no cross-engine libm-log2 ulp can flip a
+    quantization boundary (float millibits did, observed at sf0.01);
+    the per-doc division is a single exact int/int op. At 100 TB the
+    count tables are the same shape the BPE counter ships, and the
+    count join broadcasts when the vocab fits.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = tok.withColumn("w2", F.lead("w1").over(w)).where(F.col("w2").isNotNull())
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = tok.agg(F.count_distinct("w1").alias("v"))
+    scored = (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "bits",
+            (F.length(F.expr("bin(c1 + v)")) - 1)
+            - (F.length(F.expr("bin(c2 + 1)")) - 1),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("bits") / F.count("*"), 4).alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, t.pos, t.w1
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS w1,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos) t
+), bi AS (
+  SELECT doc_id, w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+), bi2 AS (
+  SELECT * FROM bi WHERE w2 IS NOT NULL
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bi2 GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bi2 GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w1) AS v FROM tok
+)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(CAST(sum((length(bin(c1.c1 + v.v)) - 1)
+                      - (length(bin(c2.c2 + 1)) - 1)) AS BIGINT)
+             * 1.0 / count(*), 4) AS bits_per_token
+FROM bi2 b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+def inverted_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per token, document frequency and
+    the first 10 postings — the retrieval-side artifact a search/RAG
+    pipeline builds from the corpus.
+
+    The postings CAP happens BEFORE any list materializes: a
+    row_number window keeps 10 (token, doc) rows per token, so no
+    executor ever holds an unbounded postings list (a bare
+    collect_list per token is the OOM at web scale — a stop-word's
+    postings list is the corpus). df comes from the same shuffle
+    (count over the full distinct pairs); the final array is a
+    bounded 10-element sort + join, serialized as CSV text so the
+    differential hash sees a scalar.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(_tokens()).alias("token"), "doc_id"
+    ).distinct()
+    w = Window.partitionBy("token").orderBy("doc_id")
+    capped = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "df", F.count("*").over(Window.partitionBy("token"))
+    )
+    return (
+        capped.where(F.col("rn") <= 10)
+        .groupBy("token", "df")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings_head"
+            )
+        )
+        .where(F.col("df") >= 5)
+        .select("token", F.col("df").cast("long").alias("df"), "postings_head")
+        .orderBy("token")
+    )
+
+
+INVERTED_INDEX_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS token, doc_id
+  FROM documents
+), ranked AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY token) AS df
+  FROM pairs
+)
+SELECT token, CAST(df AS BIGINT) AS df,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings_head
+FROM ranked
+WHERE rn <= 10
+GROUP BY token, df
+HAVING df >= 5
+ORDER BY token
+"""
+
+
 QUERIES: dict = {
+    "feature_hash_bag": (feature_hash_bag, FEATURE_HASH_ORACLE),
+    "bigram_lm_score": (bigram_lm_score, BIGRAM_LM_ORACLE),
+    "inverted_index_sample": (inverted_index_sample, INVERTED_INDEX_ORACLE),
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
     "boilerplate_phrase_ratio": (boilerplate_phrase_ratio, BOILERPLATE_ORACLE),
     "weighted_reservoir_sample": (weighted_reservoir_sample, RESERVOIR_ORACLE),

@@ -806,8 +806,246 @@ ORDER BY touch_type
 """
 
 
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median + MAD (median
+    absolute deviation) baseline, flag |x - med| > 3*MAD. The robust
+    alternative to the z-score gate (``events_anomaly_zscore``) —
+    immune to the outliers it is hunting, which mean/std are not.
+
+    Two exact-percentile aggregation passes (median, then median of
+    deviations) with a broadcast join of the tiny per-type baseline
+    between them; the outlier count is a conditional agg in the second
+    pass's plan. Exact medians (interpolated) are deterministic
+    arithmetic over the same doubles in both engines; every comparison
+    is per-row with no float accumulation anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+        F.count("*").alias("n"),
+    )
+    flagged = dev.join(
+        F.broadcast(mad.select("event_type", "mad")), "event_type"
+    ).groupBy("event_type").agg(
+        F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias("n_outliers")
+    )
+    return (
+        mad.join(flagged, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_OUTLIER_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med, count(*) AS n
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med, m.n
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad,
+         min(med) AS med, min(n) AS n
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, CAST(min(d.n) AS BIGINT) AS n,
+       round(min(d.med), 4) AS med, round(min(m.mad), 4) AS mad,
+       count(CASE WHEN d.adev > 3 * m.mad THEN 1 END) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY event_type
+"""
+
+
+def m4_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling: per (event_type, hour bucket) keep
+    min/max/first/last of the value — the standard error-free
+    reduction for rendering: M4 per pixel-column reproduces the exact
+    visual envelope of the full series at any zoom that maps a bucket
+    to a pixel.
+
+    first/last are pinned by row_number over (ts, event_id) inside the
+    bucket — deterministic under ties, identical in both engines —
+    and min/max ride the same single window-then-aggregate pass: ONE
+    shuffle on (type, bucket), output |buckets| rows regardless of
+    input size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    w = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    rows = ev.select(
+        "event_type", bucket.alias("bucket"), "ts", "event_id", "value"
+    ).withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_in_bucket", F.count("*").over(Window.partitionBy("event_type", "bucket"))
+    )
+    return (
+        rows.groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("v_min"),
+            F.round(F.max("value"), 4).alias("v_max"),
+            F.round(
+                F.max(F.when(F.col("rn") == 1, F.col("value"))), 4
+            ).alias("v_first"),
+            F.round(
+                F.max(F.when(F.col("rn") == F.col("n_in_bucket"), F.col("value"))), 4
+            ).alias("v_last"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+M4_DOWNSAMPLE_ORACLE = """
+WITH rows_ AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type, date_trunc('hour', ts))
+           AS n_in_bucket
+  FROM events
+)
+SELECT event_type, bucket, count(*) AS n,
+       round(min(value), 4) AS v_min,
+       round(max(value), 4) AS v_max,
+       round(max(CASE WHEN rn = 1 THEN value END), 4) AS v_first,
+       round(max(CASE WHEN rn = n_in_bucket THEN value END), 4) AS v_last
+FROM rows_
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+def hierarchical_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup: DAY-level stats computed FROM the
+    HOUR-level partial aggregates, never re-touching raw events — the
+    hypertable/materialized-rollup maintenance pattern. At 100 TB the
+    hour partials are what you persist; day/week/month views fold the
+    partials (|hours| rows) instead of rescanning the fact table.
+
+    Correctness hinges on every measure being algebraic: counts and
+    int64-e4 value sums merge exactly; min/max merge; the day average
+    derives from (sum, count) at the end. The oracle recomputes the
+    day level DIRECTLY from raw events, so the driver's hash check
+    certifies the two-level fold == single-level truth.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(round(value * 10000) AS BIGINT)")).alias("v_e4"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+    )
+    return (
+        hour.groupBy(
+            F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("v_e4") / 10000.0, 4).alias("value_sum"),
+            # truncated-to-e4 average: integer division is exact and
+            # engine-identical (a float quotient rounded to 4 decimals
+            # can split a .5 ulp boundary between engines — observed)
+            (F.expr("sum(v_e4) div sum(n)") / 10000.0).alias("value_avg"),
+            F.min("v_min").alias("value_min"),
+            F.max("v_max").alias("value_max"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent 3-event paths across per-user streams —
+    sequence-pattern mining lite (the "common journeys" query behind
+    funnel design).
+
+    Two lead() calls over ONE (user_id, ts, event_id) window pair each
+    event with its two successors — the same single shuffle the
+    transition matrix uses — then a map-side-combinable count on the
+    tiny |types|^3 path space and a TakeOrdered top-10 (no global
+    sort). Deterministic tiebreak: count desc, path asc.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = ev.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w).alias("_third"),
+    ).where(F.col("_third").isNotNull())
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+FREQUENT_PATHS_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS t0,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n
+FROM seq WHERE t2 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path ASC
+LIMIT 10
+"""
+
+
+HIERARCHICAL_ROLLUP_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+             / 10000.0, 4) AS value_sum,
+       (CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) // count(*))
+             / 10000.0 AS value_avg,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
 QUERIES: dict = {
     "retention_cohort_matrix": (retention_cohort_matrix, RETENTION_COHORT_ORACLE),
+    "mad_outlier_events": (mad_outlier_events, MAD_OUTLIER_ORACLE),
+    "m4_downsample_events": (m4_downsample_events, M4_DOWNSAMPLE_ORACLE),
+    "hierarchical_rollup_events": (
+        hierarchical_rollup_events,
+        HIERARCHICAL_ROLLUP_ORACLE,
+    ),
+    "frequent_event_paths": (frequent_event_paths, FREQUENT_PATHS_ORACLE),
     "event_transition_matrix": (event_transition_matrix, EVENT_TRANSITION_ORACLE),
     "purchase_attribution_last_touch": (
         purchase_attribution_last_touch,

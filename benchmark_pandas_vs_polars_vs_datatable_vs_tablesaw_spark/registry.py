@@ -66,13 +66,15 @@ _MODULES = (
 #       (fixed in catalog.normalize_events_ts — fresh rows required);
 # (c)   q22_sales_opportunity, whose anti-join side changed to be
 #       non-vacuous (was a 0-row hash match).
-# Six round-4 additions with strong independent pytest evidence
+# Nine round-4 additions with strong independent pytest evidence
 # (zorder file-span, schema-evolution, JL distortion-envelope, bloom
-# no-false-negative, blocked-edit-distance, streaming-session-subset
-# tests — the last also covered by its in-window oracle certificate)
-# plus the type-touched-but-output-identical events/streaming queries
-# (green r2) wait behind the window for the round-5 rotation; all
-# remain covered by tests/test_differential.py.
+# no-false-negative, blocked-edit-distance, foreachBatch idempotent-
+# merge, star-contraction==CC equivalence, winsorized-stats,
+# streaming-session-subset tests — the last also covered by its
+# in-window oracle certificate) plus the type-touched-but-output-
+# identical events/streaming queries (green r2) wait behind the
+# window for the round-5 rotation; all remain covered by
+# tests/test_differential.py.
 _PRIORITY = (
     # (a00-i) this session's additions
     "dq_constraint_report",
@@ -83,6 +85,16 @@ _PRIORITY = (
     "quantile_bin_features",
     "geo_nearest_supplier",
     "geo_cell_density",
+    "feature_hash_bag",
+    "mad_outlier_events",
+    "m4_downsample_events",
+    "join_cardinality_report",
+    "bitmap_distinct_users",
+    "hierarchical_rollup_events",
+    "revenue_contribution_shares",
+    "bigram_lm_score",
+    "inverted_index_sample",
+    "frequent_event_paths",
     # (a00-ii) earlier round-4 additions — first driver rows
     "retention_cohort_matrix",
     "interval_concurrency_peak",
@@ -107,9 +119,7 @@ _PRIORITY = (
     "dedup_minhash_recall",
     "dedup_simhash_recall",
     "mllib_lsh_recall",
-    "dedup_containment",
     "quality_percentile_rank",
-    "quota_sample_per_source",
     "fuzzy_dedup_pipeline",
     "streaming_session_certificate",
     # (a00-iv) round-3 additions — never driver-checked
@@ -119,15 +129,6 @@ _PRIORITY = (
     "chunk_documents",
     "mixture_temperature_resample",
     "compact_small_files",
-    # (a00-v) earlier round-4 additions (cont.)
-    "dedup_incremental_exact",
-    "dedup_survivorship",
-    "heavy_hitters_twophase",
-    "streaming_foreachbatch_upsert",
-    "dedup_clusters_star_contraction",
-    "winsorized_stats_by_group",
-    "token_entropy_quality",
-    "multimodal_phash_dedup",
     # (b) events queries broken by the NTZ drift, now fixed
     "asof_join_purchase_view",
     "events_sessionization",
