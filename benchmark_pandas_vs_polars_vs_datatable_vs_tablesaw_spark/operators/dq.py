@@ -288,7 +288,107 @@ ORDER BY day
 """
 
 
+def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten pre-flight: given a deletion cohort
+    (customers with deeply negative balances stand in for "users who
+    filed erasure requests"), compute the exact cascade footprint
+    across the star schema BEFORE rewriting anything — per table:
+    total rows, rows to purge, rows kept. The report is what a
+    compliance run signs off on, and what sizes the rewrite job.
+
+    Cascade: customer -> their orders -> those orders' lineitems;
+    events purge by user id directly. Scale shape: the cohort is tiny
+    and broadcasts; the second-level cascade (lineitem) semi-joins on
+    the purged ORDER keys, which can be large — that join shuffles on
+    l_orderkey, the same key lineitem shuffles on everywhere else
+    (exchange reuse applies when run alongside keyed queries). Counts
+    only — no row-level data moves to the driver, and the actual
+    delete would be a partition-overwrite rewrite of only the files
+    the purge set touches.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    doomed = cust.where(F.col("c_acctbal") < -900).select("c_custkey")
+    purged_orders = orders.join(
+        F.broadcast(doomed), orders.o_custkey == doomed.c_custkey, "left_semi"
+    )
+
+    def _report(name: str, total_df: DataFrame, purged_df: DataFrame) -> DataFrame:
+        t = total_df.agg(F.count("*").alias("rows_total"))
+        p = purged_df.agg(F.count("*").alias("rows_purged"))
+        return t.crossJoin(p).select(
+            F.lit(name).alias("table_name"), "rows_total", "rows_purged"
+        )
+
+    report = (
+        _report("customer", cust, cust.where(F.col("c_acctbal") < -900))
+        .unionByName(_report("orders", orders, purged_orders))
+        .unionByName(
+            _report(
+                "lineitem",
+                lineitem,
+                lineitem.join(
+                    purged_orders.select("o_orderkey"),
+                    lineitem.l_orderkey == F.col("o_orderkey"),
+                    "left_semi",
+                ),
+            )
+        )
+        .unionByName(
+            _report(
+                "events",
+                events,
+                events.join(
+                    F.broadcast(doomed),
+                    events.user_id == doomed.c_custkey,
+                    "left_semi",
+                ),
+            )
+        )
+    )
+    return report.select(
+        "table_name",
+        "rows_total",
+        "rows_purged",
+        (F.col("rows_total") - F.col("rows_purged")).alias("rows_kept"),
+    ).orderBy("table_name")
+
+
+GDPR_CASCADE_ORACLE = """
+WITH doomed AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal < -900
+), purged_orders AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM doomed)
+), report AS (
+  SELECT 'customer' AS table_name,
+         (SELECT count(*) FROM customer) AS rows_total,
+         (SELECT count(*) FROM doomed) AS rows_purged
+  UNION ALL
+  SELECT 'orders',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM purged_orders)
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM purged_orders))
+  UNION ALL
+  SELECT 'events',
+         (SELECT count(*) FROM events),
+         (SELECT count(*) FROM events
+          WHERE user_id IN (SELECT c_custkey FROM doomed))
+)
+SELECT table_name, rows_total, rows_purged,
+       rows_total - rows_purged AS rows_kept
+FROM report
+ORDER BY table_name
+"""
+
+
 QUERIES: dict = {
+    "gdpr_delete_cascade": (gdpr_delete_cascade, GDPR_CASCADE_ORACLE),
     "dq_constraint_report": (dq_constraint_report, DQ_CONSTRAINT_REPORT_ORACLE),
     "key_skew_report": (key_skew_report, KEY_SKEW_REPORT_ORACLE),
     "join_cardinality_report": (join_cardinality_report, JOIN_CARDINALITY_ORACLE),

@@ -1,0 +1,552 @@
+"""Training-data pipeline operators: drift detection, model-based
+quality gating, repetition metrics, privacy checks, and deterministic
+training-order sharding.
+
+The reference benchmark stops at engine micro-ops (SURVEY.md §2); a
+100 TB pretraining pipeline needs a second layer of corpus-level
+machinery around them. This module adds the pieces that sit between
+curation (text.py / dedup.py) and the trainer:
+
+- ``ks_drift_test``: exact two-sample Kolmogorov-Smirnov distance —
+  the standard "did this source's distribution move?" gate between
+  snapshots. Integer-exact numerator (no float CDF accumulation).
+- ``linear_quality_classifier``: fastText-style linear scorer over
+  hashed bag-of-words features, the classic learned quality gate
+  (weights here are a deterministic stand-in; the plan shape — hash,
+  sum, threshold — is exactly what a trained model needs).
+- ``dup_ngram_char_fraction``: Gopher-style within-document
+  repetition metric (fraction of characters inside duplicated
+  3-grams).
+- ``k_anonymity_spectrum``: privacy pre-flight — group-size spectrum
+  over quasi-identifier combinations.
+- ``deterministic_shuffle_shard``: reproducible global shuffle into
+  training shards (hash-mod sharding + within-shard hash order; no
+  global sort).
+
+Scale shapes are documented per operator; nothing here materializes
+row-level data on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .text import _hex4_bucket, _tokens
+
+# Deterministic stand-in weight for a hashed-feature linear model:
+# Knuth multiplicative hash of the bucket id folded into [-500, 500].
+# Any trained weight vector drops in by replacing this expression with
+# a broadcast lookup — the plan shape (and its cost) is identical.
+_W_SQL = "((({b}) * 2654435761) % 1001 - 500)"
+
+
+def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    ``value`` distributions of ``click`` and ``purchase`` events —
+    the distribution-drift gate run between pipeline snapshots /
+    sources before a mixture is retrained.
+
+    D = max_x |F_a(x) - F_b(x)|. Everything up to the final ratio is
+    integer arithmetic: per-value counts, then cumulative counts, then
+    ``d_num = max |cum_a*n_b - cum_b*n_a|`` (the KS numerator over the
+    common denominator n_a*n_b) — so no cross-engine float-CDF
+    accumulation can flip the argmax. ``d_at_value`` is the smallest
+    value attaining the max (deterministic under ties).
+
+    Scale shape: the raw table reduces to one row per DISTINCT value
+    first (map-side combinable), so the expensive steps run on the
+    value-level table. The cumulative sums use a two-phase distributed
+    prefix sum — range-partition by value, local running totals per
+    partition, plus a broadcast per-partition offset table (a window
+    over <= n_part metadata rows) — never a single-partition global
+    window, so the plan survives value cardinalities in the billions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a, b = "click", "purchase"
+    perv = (
+        ev.where(F.col("event_type").isin(a, b))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == a, 1).otherwise(0)).alias("na_v"),
+            F.sum(F.when(F.col("event_type") == b, 1).otherwise(0)).alias("nb_v"),
+        )
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = perv.repartitionByRange(n_part, "value").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.select(
+        "value",
+        "_pid",
+        F.sum("na_v").over(w_loc).alias("loc_a"),
+        F.sum("nb_v").over(w_loc).alias("loc_b"),
+    )
+    # Offsets: one row per range partition (metadata, not data) — the
+    # running-total window below runs over <= n_part rows.
+    w_cum = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    off = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("na_v").alias("ta"), F.sum("nb_v").alias("tb"))
+        .select(
+            "_pid",
+            (F.sum("ta").over(w_cum) - F.col("ta")).alias("off_a"),
+            (F.sum("tb").over(w_cum) - F.col("tb")).alias("off_b"),
+        )
+    )
+    tot = perv.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    stat = (
+        local.join(F.broadcast(off), "_pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "value",
+            "n_a",
+            "n_b",
+            F.abs(
+                (F.col("loc_a") + F.col("off_a")) * F.col("n_b")
+                - (F.col("loc_b") + F.col("off_b")) * F.col("n_a")
+            ).cast("long").alias("dn"),
+        )
+    )
+    mx = stat.agg(F.max("dn").alias("d_num"))
+    at = (
+        stat.join(F.broadcast(mx), stat.dn == mx.d_num)
+        .agg(F.min("value").alias("d_at_value"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            "d_at_value",
+            F.round(F.col("d_num") / (F.col("n_a") * F.col("n_b")), 4).alias("d_stat"),
+        )
+    )
+
+
+KS_DRIFT_ORACLE = """
+WITH ab AS (
+  SELECT value,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na_v,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb_v
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY value
+), tot AS (
+  SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+         CAST(sum(nb_v) AS BIGINT) AS n_b
+  FROM ab
+), cum AS (
+  SELECT value,
+         sum(na_v) OVER (ORDER BY value) AS cum_a,
+         sum(nb_v) OVER (ORDER BY value) AS cum_b
+  FROM ab
+), stat AS (
+  SELECT value,
+         CAST(abs(cum_a * t.n_b - cum_b * t.n_a) AS BIGINT) AS dn
+  FROM cum, tot t
+)
+SELECT t.n_a, t.n_b,
+       (SELECT max(dn) FROM stat) AS d_num,
+       (SELECT min(value) FROM stat
+        WHERE dn = (SELECT max(dn) FROM stat)) AS d_at_value,
+       round((SELECT max(dn) FROM stat) * 1.0 / (t.n_a * t.n_b), 4) AS d_stat
+FROM tot t
+"""
+
+
+def linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style linear quality classifier over hashed
+    bag-of-words features: token -> 64-bucket hashing trick (shared
+    with ``feature_hash_bag``), per-bucket integer weight, per-doc
+    margin = sum of token weights, keep when margin > 0; reported as
+    per-source keep rates (the mixture decision a curation run ends
+    with).
+
+    Weights are a deterministic function of the bucket id (module
+    docstring) so the whole pipeline is integer-exact and
+    engine-reproducible; swapping in trained weights is a broadcast
+    join against a 64-row table and changes nothing about the plan.
+
+    Scale shape: explode -> map-side md5 bucket + weight projection ->
+    one groupBy(doc) shuffle carrying (doc_id, source, weight-partial)
+    thanks to partial aggregation -> 30-key source rollup. No
+    vocabulary state anywhere; constant-width feature space at any
+    corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(_tokens()).alias("token"))
+    w = F.expr(_W_SQL.format(b=_hex4_bucket("token", 64)))
+    perdoc = (
+        tok.select("doc_id", "source", w.alias("w"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w").cast("long").alias("margin"))
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("margin") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+            F.sum("margin").cast("long").alias("total_margin"),
+        )
+        .orderBy("source")
+    )
+
+
+_LINEAR_W = _W_SQL.format(b=_hex4_bucket("token", 64))
+
+LINEAR_CLASSIFIER_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), perdoc AS (
+  SELECT doc_id, source,
+         CAST(sum({_LINEAR_W}) AS BIGINT) AS margin
+  FROM tok
+  GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(sum(margin) AS BIGINT) AS total_margin
+FROM perdoc
+GROUP BY source
+ORDER BY source
+"""
+
+
+def dup_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition metric: the fraction of
+    character mass sitting inside DUPLICATED token 3-grams (Rae et
+    al. 2021 use "fraction of characters in duplicate n-grams" as a
+    repetition quality gate; ``text_repetition_filter`` covers the
+    top-token variant, this covers the n-gram variant).
+
+    Integer-exact: numerator = sum of len(gram)*count over grams
+    occurring >= 2 times in the doc, denominator = same sum over all
+    grams; the flag fires at > 20% (dup_chars*5 > total_chars) using
+    cross-multiplication, no division. Docs with < 3 tokens have no
+    3-grams and are excluded (mirrored in the oracle).
+
+    Scale shape: lead()-based gram construction costs one doc_id
+    shuffle; the (doc_id, gram) count and the per-doc rollup both
+    partial-aggregate map-side. State per doc is bounded by the doc's
+    own gram count — nothing corpus-wide.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "w1"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("w2", F.lead("w1", 1).over(w))
+        .withColumn("w3", F.lead("w1", 2).over(w))
+        .where(F.col("w3").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w1", "w2", "w3").alias("gram"))
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    mass = F.col("cnt") * F.length("gram")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("cnt") >= 2, mass).otherwise(0))
+            .cast("long")
+            .alias("dup_chars"),
+            F.sum(mass).cast("long").alias("total_chars"),
+        )
+        .select(
+            "doc_id",
+            "dup_chars",
+            "total_chars",
+            (F.col("dup_chars") * 5 > F.col("total_chars")).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_NGRAM_ORACLE = """
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i + 1] || ' ' ||
+                string_split(text, ' ')[i + 2])) AS gram
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), counts AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)
+            AS BIGINT) AS dup_chars,
+       CAST(sum(cnt * length(gram)) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) * 5
+            > sum(cnt * length(gram)) AS BOOLEAN) AS flagged
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def k_anonymity_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy pre-flight: k-anonymity group-size spectrum over the
+    customer quasi-identifier combination (nation, market segment,
+    account-balance sign). Long format ``(k, n_groups, n_rows,
+    passed)`` — a release gate reads the smallest k with
+    ``passed = k >= 5`` (the conventional floor).
+
+    The balance sign derives from exact cents (round(bal*100) as
+    int64) so the binning has no float-boundary ambiguity. Two
+    map-side-combinable aggregations: QI -> group size, then size ->
+    spectrum; the shuffle carries one row per QI group, the output one
+    row per distinct k.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    groups = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            (cents < 0).alias("negative_balance"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "negative_balance")
+        .agg(F.count("*").alias("k"))
+    )
+    return (
+        groups.groupBy("k")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("k").cast("long").alias("n_rows"),
+        )
+        .select("k", "n_groups", "n_rows", (F.col("k") >= 5).alias("passed"))
+        .orderBy("k")
+    )
+
+
+K_ANONYMITY_ORACLE = """
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) < 0 AS negative_balance,
+         count(*) AS k
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT k, count(*) AS n_groups, CAST(sum(k) AS BIGINT) AS n_rows,
+       k >= 5 AS passed
+FROM groups
+GROUP BY k
+ORDER BY k
+"""
+
+
+def deterministic_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training-order shuffle into 8 shards —
+    what a trainer consumes: shard = content-independent hash of the
+    stable doc id (mod 8), order WITHIN each shard by a second hash of
+    (id, text). Rerunning on the same corpus reproduces byte-identical
+    shard manifests on any engine; no RNG, no global sort.
+
+    Scale shape: this is the one-shuffle alternative to "ORDER BY
+    rand()" (a global sort + non-reproducible): hash-mod sharding is a
+    plain hash exchange, and the within-shard hash order is a local
+    sort per shard writer. Here the shard manifests are summarized
+    (count, id checksum, first/last doc in shard order via min_by /
+    max_by on the order hash) so the result is a small verifiable
+    table rather than a rewritten corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.expr(_hex4_bucket("cast(doc_id as string)", 8))
+    hkey = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text")))
+    return (
+        docs.select(
+            shard.cast("int").alias("shard"),
+            "doc_id",
+            hkey.alias("hkey"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.min_by("doc_id", "hkey").alias("first_doc_id"),
+            F.max_by("doc_id", "hkey").alias("last_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SHARD_BUCKET = _hex4_bucket("cast(doc_id as string)", 8)
+
+SHUFFLE_SHARD_ORACLE = f"""
+WITH keyed AS (
+  SELECT CAST({_SHARD_BUCKET} AS INT) AS shard,
+         doc_id,
+         md5(CAST(doc_id AS STRING) || ':' || text) AS hkey
+  FROM documents
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       min_by(doc_id, hkey) AS first_doc_id,
+       max_by(doc_id, hkey) AS last_doc_id
+FROM keyed
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+VOCAB_SIZE = 16  # fixture corpus has 31 distinct tokens; 16 keeps OOV real
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build a frequency-ranked vocab
+    (top ``VOCAB_SIZE`` corpus tokens, ties broken lexicographically so
+    the cut is total-ordered and engine-reproducible) and report each
+    source's out-of-vocabulary token rate — the go/no-go check before
+    freezing a tokenizer on a new data mixture.
+
+    Scale shape: vocab build is a map-side-combinable token count plus
+    a TakeOrdered top-k (never a full sort); the probe is a broadcast
+    hash join of the corpus token stream against the k-row vocab. The
+    corpus is never shuffled by token for the probe — the only
+    token-keyed shuffle is the count table, whose width is |vocab|,
+    not |corpus|.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_tokens()).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(VOCAB_SIZE)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+VOCAB_OOV_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt FROM tok GROUP BY token
+  ) ORDER BY cnt DESC, token LIMIT {VOCAB_SIZE}
+)
+SELECT source, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN token IN (SELECT token FROM vocab)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN token IN (SELECT token FROM vocab)
+                      THEN 0 ELSE 1 END) * 1.0 / count(*), 4) AS oov_rate
+FROM tok
+GROUP BY source
+ORDER BY source
+"""
+
+
+def adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality gate: instead of one global
+    threshold (which over-prunes weak-but-valuable sources and
+    under-prunes strong ones), each source keeps documents scoring
+    above its OWN median — the per-domain-percentile filtering used in
+    web-corpus curation.
+
+    Score is integer lexical diversity (distinct tokens * 1000 +
+    token count): computed per row with zero shuffle (no explode —
+    ``array_distinct`` on the split column). The exact per-source
+    median can land on k+0.5; the comparison doubles both sides
+    (2*score > 2*median, the latter an integer-valued double that
+    casts exactly), so the gate has no float-boundary ambiguity.
+
+    Scale shape: one 30-key groupBy for the medians, broadcast back,
+    one 30-key groupBy for the report. Exact percentile over a single
+    source's scores is the one non-sketch step — swap to
+    percentile_approx at 100 TB if a 1%-off cut is acceptable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct(toks)) * 1000 + F.size(toks)).alias("iscore"),
+    )
+    med = scored.groupBy("source").agg(
+        (F.expr("percentile(iscore, 0.5)") * 2).cast("long").alias("median_x2")
+    )
+    return (
+        scored.join(F.broadcast(med), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("iscore") * 2 > F.col("median_x2"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+            F.min("median_x2").alias("median_x2"),
+        )
+        .orderBy("source")
+    )
+
+
+ADAPTIVE_GATE_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, source,
+         len(list_distinct(string_split(text, ' '))) * 1000
+           + len(string_split(text, ' ')) AS iscore
+  FROM documents
+), med AS (
+  SELECT source, CAST(quantile_cont(iscore, 0.5) * 2 AS BIGINT) AS median_x2
+  FROM scored GROUP BY source
+)
+SELECT s.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN s.iscore * 2 > m.median_x2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep,
+       min(m.median_x2) AS median_x2
+FROM scored s JOIN med m ON s.source = m.source
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
+QUERIES: dict = {
+    "ks_drift_test": (ks_drift_test, KS_DRIFT_ORACLE),
+    "vocab_oov_rate": (vocab_oov_rate, VOCAB_OOV_ORACLE),
+    "adaptive_quality_gate": (adaptive_quality_gate, ADAPTIVE_GATE_ORACLE),
+    "linear_quality_classifier": (
+        linear_quality_classifier,
+        LINEAR_CLASSIFIER_ORACLE,
+    ),
+    "dup_ngram_char_fraction": (dup_ngram_char_fraction, DUP_NGRAM_ORACLE),
+    "k_anonymity_spectrum": (k_anonymity_spectrum, K_ANONYMITY_ORACLE),
+    "deterministic_shuffle_shard": (
+        deterministic_shuffle_shard,
+        SHUFFLE_SHARD_ORACLE,
+    ),
+}

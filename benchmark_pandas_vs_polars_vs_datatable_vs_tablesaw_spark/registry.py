@@ -29,6 +29,7 @@ from .operators import (
     text,
     timeseries,
     tpch_extra,
+    training,
 )
 from .shipping import ensure_package_on_workers
 from .sources import storage
@@ -47,6 +48,7 @@ _MODULES = (
     streaming_windows,
     arrays,
     storage,
+    training,
     core,
     joins,
     tpch_extra,
