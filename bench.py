@@ -79,6 +79,10 @@ BENCH_QUERIES = [
     "event_transition_matrix",  # Markov transitions over clickstream
     "ewma_customer_orders",     # int64-exact EWMA via banded self-join
     "geo_nearest_supplier",     # grid-blocked spatial radius join
+    "ks_drift_test",            # distributed-prefix-sum KS drift gate
+    "linear_quality_classifier",  # hashed-feature linear scorer
+    "deterministic_shuffle_shard",  # reproducible training shards
+    "gdpr_delete_cascade",      # delete-cohort cascade footprint
 ]
 
 

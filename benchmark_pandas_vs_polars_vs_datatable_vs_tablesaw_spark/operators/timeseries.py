@@ -1037,7 +1037,191 @@ ORDER BY day, event_type
 """
 
 
+def inter_event_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type — the traffic
+    model behind capacity planning and session-gap tuning (the 30-min
+    gap in ``events_sessionization`` should come FROM this
+    distribution, not folklore).
+
+    Gaps are computed per user stream (lag over a user-keyed window —
+    never a global ordering) in exact integer microseconds, then
+    rolled up by the type of the LATER event. Medians can land on
+    k+0.5 for even counts, so the median ships doubled and cast to
+    int64 (exact); p95 interpolates to arbitrary fractions and is
+    rounded like every other reported ratio. One user-keyed shuffle +
+    one 5-key rollup; both partial-aggregate map-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+        )
+        .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+        .where(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            (F.expr("percentile(gap_us, 0.5)") * 2).cast("long").alias("median_x2_us"),
+            F.round(F.expr("percentile(gap_us, 0.95)"), 4).alias("p95_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+INTER_EVENT_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       min(gap_us) AS min_gap_us,
+       max(gap_us) AS max_gap_us,
+       CAST(quantile_cont(gap_us, 0.5) * 2 AS BIGINT) AS median_x2_us,
+       round(quantile_cont(gap_us, 0.95), 4) AS p95_gap_us
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, how many NEVER-before-seen users
+    appeared, and the cumulative registered-user curve — the product
+    metric behind every "daily new vs returning" dashboard.
+
+    First-seen day is a user-keyed min aggregation (one shuffle,
+    map-side combinable — the corpus never materializes per-day
+    distinct sets, which is what makes this scale: a naive
+    count-distinct-per-cumulative-window recomputes every prefix).
+    The cumulative sum then runs over the per-DAY table — calendar
+    cardinality, i.e. metadata scale (a 10-year history is ~3.7k
+    rows), so the unpartitioned running-total window is fine at any
+    corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    first_seen = (
+        ev.select(day.alias("day"), "user_id")
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    daily = first_seen.groupBy("first_day").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.select(
+            F.col("first_day").alias("day"),
+            "n_new",
+            F.sum("n_new").over(w).cast("long").alias("cum_users"),
+        )
+        .orderBy("day")
+    )
+
+
+USER_GROWTH_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id,
+         min(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS first_day
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT first_day AS day, count(*) AS n_new FROM first_seen GROUP BY first_day
+)
+SELECT day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM daily
+ORDER BY day
+"""
+
+# Shared Spark/DuckDB decay schedule: 10-minute age buckets inside the
+# 1-hour attribution horizon, halving credit per bucket (32..1).
+_DECAY_CASE = (
+    "CASE age_bucket WHEN 0 THEN 32 WHEN 1 THEN 16 WHEN 2 THEN 8 "
+    "WHEN 3 THEN 4 WHEN 4 THEN 2 ELSE 1 END"
+)
+
+
+def multi_touch_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every view/click in the
+    hour before a purchase earns credit halved per 10 minutes of age
+    (32 for <10 min ... 1 for 50-60 min) — the standard alternative to
+    winner-takes-all (``purchase_attribution_last_touch``) when several
+    touchpoints deserve partial credit.
+
+    All credits are small integers from a shared CASE schedule, so
+    totals are exact int64 on both engines. Scale shape: one banded
+    self-join shuffled on user_id with the 1-hour horizon bounding
+    fan-in per purchase (same shape as the last-touch operator), then
+    a 2-key rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("pus"))
+    )
+    touches = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .select("user_id", F.col("event_type").alias("touch_type"),
+                F.unix_micros("ts").alias("tus"))
+    )
+    joined = purchases.join(touches, "user_id").where(
+        (F.col("tus") < F.col("pus"))
+        & (F.col("pus") - F.col("tus") <= F.lit(hour_us))
+    )
+    credited = joined.withColumn(
+        "age_bucket", F.floor((F.col("pus") - F.col("tus")) / F.lit(600_000_000))
+    ).withColumn("credit", F.expr(_DECAY_CASE).cast("long"))
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum("credit").cast("long").alias("total_credit"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+MULTI_TOUCH_ORACLE = f"""
+WITH purchases AS (
+  SELECT user_id, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id, event_type AS touch_type, epoch_us(ts) AS tus
+  FROM events WHERE event_type IN ('view', 'click')
+), credited AS (
+  SELECT t.touch_type,
+         CAST(floor((p.pus - t.tus) / 600000000) AS BIGINT) AS age_bucket
+  FROM purchases p JOIN touches t ON p.user_id = t.user_id
+  WHERE t.tus < p.pus AND p.pus - t.tus <= 3600000000
+)
+SELECT touch_type, count(*) AS n_touches,
+       CAST(sum({_DECAY_CASE}) AS BIGINT) AS total_credit
+FROM credited
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
 QUERIES: dict = {
+    "user_growth_accounting": (user_growth_accounting, USER_GROWTH_ORACLE),
+    "multi_touch_attribution_decay": (
+        multi_touch_attribution_decay,
+        MULTI_TOUCH_ORACLE,
+    ),
+    "inter_event_time_stats": (inter_event_time_stats, INTER_EVENT_ORACLE),
     "retention_cohort_matrix": (retention_cohort_matrix, RETENTION_COHORT_ORACLE),
     "mad_outlier_events": (mad_outlier_events, MAD_OUTLIER_ORACLE),
     "m4_downsample_events": (m4_downsample_events, M4_DOWNSAMPLE_ORACLE),

@@ -983,7 +983,119 @@ ORDER BY code
 """
 
 
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: what share of total order revenue comes
+    from the top 1% of customers (ceil rounding, ties broken by
+    custkey so the cut is total-ordered)?  The whale-accounting query
+    behind "80/20" dashboards and anti-concentration risk checks.
+
+    Revenue accumulates as exact int64 ten-thousandths; the global
+    revenue ranking uses the distributed ``global_rank`` (range
+    exchange + broadcast offsets — never a single-partition window),
+    and the 1% cut compares ``rank*100 <= total+99``, the integer
+    equivalent of rank <= ceil(total/100). One customer-keyed shuffle,
+    one ranged exchange, one scalar rollup.
+    """
+    from .core import global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 10_000).cast("long")).alias("rev_e4")
+    )
+    ranked = global_rank(rev, [F.col("rev_e4").desc(), F.col("o_custkey").asc()])
+    in_top = F.col("rank") * 100 <= F.col("_total") + 99
+    return ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.when(in_top, 1).otherwise(0)).cast("long").alias("top1pct_n"),
+        F.sum(F.when(in_top, F.col("rev_e4")).otherwise(0))
+        .cast("long")
+        .alias("top1pct_rev_e4"),
+        F.sum("rev_e4").cast("long").alias("total_rev_e4"),
+        F.round(
+            F.sum(F.when(in_top, F.col("rev_e4")).otherwise(0)) / F.sum("rev_e4"), 4
+        ).alias("top1pct_share"),
+    )
+
+
+PARETO_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS BIGINT)
+           AS rev_e4
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev_e4,
+         row_number() OVER (ORDER BY rev_e4 DESC, o_custkey) AS rank,
+         count(*) OVER () AS total
+  FROM rev
+)
+SELECT count(*) AS n_customers,
+       CAST(sum(CASE WHEN rank * 100 <= total + 99 THEN 1 ELSE 0 END)
+            AS BIGINT) AS top1pct_n,
+       CAST(sum(CASE WHEN rank * 100 <= total + 99 THEN rev_e4 ELSE 0 END)
+            AS BIGINT) AS top1pct_rev_e4,
+       CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+       round(sum(CASE WHEN rank * 100 <= total + 99 THEN rev_e4 ELSE 0 END)
+             * 1.0 / sum(rev_e4), 4) AS top1pct_share
+FROM ranked
+"""
+
+
+def shipping_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per order priority — the SLA
+    report a fulfillment pipeline actually publishes (does URGENT ship
+    faster than LOW, and what's the late tail?).
+
+    Lag is exact integer days (datediff of date-truncated timestamps,
+    identical in both engines); the median ships doubled-and-cast
+    (exact under k+0.5), late = lag > 90 days. One fact-fact shuffle
+    join on the order key — the same key both tables bucket/shuffle on
+    everywhere else, so at 100 TB this rides the bucketed layout
+    (``bucketed_join_revenue``) with zero exchange — then a 5-key
+    priority rollup that partial-aggregates map-side.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lag = F.datediff(
+        F.to_date("l_shipdate"), F.to_date("o_orderdate")
+    ).cast("long")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_orderpriority").alias("priority"), lag.alias("lag_days"))
+        .groupBy("priority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min("lag_days").alias("min_lag"),
+            F.max("lag_days").alias("max_lag"),
+            (F.expr("percentile(lag_days, 0.5)") * 2).cast("long").alias("median_x2"),
+            F.sum(F.when(F.col("lag_days") > 90, 1).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+        )
+        .orderBy("priority")
+    )
+
+
+SHIPPING_LAG_ORACLE = """
+WITH lags AS (
+  SELECT o_orderpriority AS priority,
+         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+           AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT priority, count(*) AS n_lines,
+       min(lag_days) AS min_lag, max(lag_days) AS max_lag,
+       CAST(quantile_cont(lag_days, 0.5) * 2 AS BIGINT) AS median_x2,
+       CAST(sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM lags
+GROUP BY priority
+ORDER BY priority
+"""
+
+
 QUERIES: dict = {
+    "pareto_revenue_share": (pareto_revenue_share, PARETO_SHARE_ORACLE),
+    "shipping_lag_stats": (shipping_lag_stats, SHIPPING_LAG_ORACLE),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
     "q7_volume_shipping": (q7_volume_shipping, Q7_ORACLE),
