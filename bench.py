@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "linear_quality_classifier",  # hashed-feature linear scorer
     "deterministic_shuffle_shard",  # reproducible training shards
     "gdpr_delete_cascade",      # delete-cohort cascade footprint
+    "hybrid_rrf_fusion",        # dual-retriever reciprocal-rank fusion
 ]
 
 

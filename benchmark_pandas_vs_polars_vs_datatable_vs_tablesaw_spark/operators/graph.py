@@ -225,7 +225,60 @@ ORDER BY pagerank DESC, node
 """
 
 
+def copurchase_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the first
+    diagnostic run on ANY derived graph before spending on triangle /
+    clustering passes: a heavy-tailed degree histogram says the
+    oriented joins need the degree-based orientation (see
+    ``_cooccurrence_edges``) and sizes their fan-out.
+
+    Degrees come from the UNDIRECTED view (each oriented edge credits
+    both endpoints via a union-all, no explode); the histogram then
+    aggregates |nodes| rows to |distinct degrees| rows. Everything
+    partial-aggregates map-side; output is histogram-scale.
+    """
+    e = _cooccurrence_edges(spark, sf_dir)
+    endpoints = e.select(F.col("u").alias("part")).unionAll(
+        e.select(F.col("v").alias("part"))
+    )
+    degrees = endpoints.groupBy("part").agg(F.count("*").alias("degree"))
+    return (
+        degrees.groupBy("degree")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("part").alias("example_part"),
+        )
+        .orderBy("degree")
+    )
+
+
+DEGREE_DISTRIBUTION_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  QUALIFY count(DISTINCT l_partkey) OVER (PARTITION BY l_orderkey) <= 50
+), e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY u, v
+  HAVING count(DISTINCT a.l_orderkey) >= 2
+), endpoints AS (
+  SELECT u AS part FROM e UNION ALL SELECT v FROM e
+), degrees AS (
+  SELECT part, count(*) AS degree FROM endpoints GROUP BY part
+)
+SELECT degree, count(*) AS n_nodes, min(part) AS example_part
+FROM degrees
+GROUP BY degree
+ORDER BY degree
+"""
+
+
 QUERIES: dict = {
+    "copurchase_degree_distribution": (
+        copurchase_degree_distribution,
+        DEGREE_DISTRIBUTION_ORACLE,
+    ),
     "triangle_count_copurchase": (triangle_count, TRIANGLE_COUNT_ORACLE),
     "pagerank_nation_trade": (pagerank_nation_trade, PAGERANK_ORACLE),
 }

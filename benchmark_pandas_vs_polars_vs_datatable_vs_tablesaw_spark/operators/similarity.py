@@ -998,7 +998,118 @@ FROM embeddings
 """
 
 
+RRF_DEPTH = 20   # candidate depth fused from each retriever
+RRF_K = 60       # the standard RRF dampening constant
+RRF_SCALE = 1_000_000  # integer scale: credit = floor(1e6 / (60 + rank))
+
+
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: fuse the cosine
+    ranking (semantic similarity) and the raw inner-product ranking
+    (magnitude-aware relevance) of each query's top-20 candidates into
+    one list — the standard way to combine retrievers without score
+    calibration (Cormack et al. 2009), used verbatim in hybrid
+    dense+sparse search stacks.
+
+    Credits are INTEGER ``floor(1e6/(60+rank))`` so fused scores sum
+    exactly on any engine — RRF's float 1/(k+r) would accumulate in
+    join order. A candidate missing from one list simply earns no
+    credit from it (full-outer join semantics). Ties break by vec_id.
+
+    Scale shape: both retriever rankings reuse the broadcast-queries /
+    per-query-window shape of ``ann_cosine_topk`` (corpus never
+    shuffles); the fusion join runs on the two top-20 lists — |Q|x20
+    rows, driver-free and trivially small however large the corpus.
+    In production the two inputs would be the outputs of any two ANN
+    indexes (IVF, LSH, BM25); the fusion stage is identical.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("nrm", vectors.norm(F.col("embedding")))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+    cos = F.round(
+        vectors.dot(F.col("q_vec"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    ip = F.round(vectors.dot(F.col("q_vec"), F.col("embedding")), 4)
+    scored = cand.select("q_id", "vec_id", cos.alias("cos"), ip.alias("ip"))
+    w_cos = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    w_ip = Window.partitionBy("q_id").orderBy(F.col("ip").desc(), F.col("vec_id"))
+    ranked = scored.select(
+        "q_id",
+        "vec_id",
+        F.row_number().over(w_cos).alias("cos_rank"),
+        F.row_number().over(w_ip).alias("ip_rank"),
+    )
+    credit = lambda r: F.when(  # noqa: E731
+        F.col(r) <= RRF_DEPTH, F.floor(RRF_SCALE / (RRF_K + F.col(r)))
+    ).otherwise(0)
+    fused = ranked.select(
+        "q_id",
+        "vec_id",
+        (credit("cos_rank") + credit("ip_rank")).cast("long").alias("rrf_score"),
+    ).where(F.col("rrf_score") > 0)
+    w_f = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_score").desc(), F.col("vec_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= TOP_K)
+        .select("q_id", "vec_id", "rrf_score", F.col("fused_rank").cast("int").alias("fused_rank"))
+    )
+
+
+HYBRID_RRF_ORACLE = f"""
+WITH queries AS (
+  SELECT vec_id AS q_id, embedding AS q_vec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                    i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(e.embedding,
+                     x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos,
+         round(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                        i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE)), 4)
+           AS ip
+  FROM queries q JOIN embeddings e ON e.vec_id != q.q_id
+), ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+           AS cos_rank,
+         row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, vec_id)
+           AS ip_rank
+  FROM scored
+), fused AS (
+  SELECT q_id, vec_id,
+         CAST(CASE WHEN cos_rank <= {RRF_DEPTH}
+                   THEN floor({RRF_SCALE} / ({RRF_K} + cos_rank)) ELSE 0 END
+            + CASE WHEN ip_rank <= {RRF_DEPTH}
+                   THEN floor({RRF_SCALE} / ({RRF_K} + ip_rank)) ELSE 0 END
+              AS BIGINT) AS rrf_score
+  FROM ranked
+)
+SELECT q_id, vec_id, rrf_score,
+       CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY rrf_score DESC, vec_id) AS INT) AS fused_rank
+FROM fused
+WHERE rrf_score > 0
+QUALIFY fused_rank <= {TOP_K}
+"""
+
+
 QUERIES: dict = {
+    "hybrid_rrf_fusion": (hybrid_rrf_fusion, HYBRID_RRF_ORACLE),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_ORACLE),
     "embedding_random_projection": (
         embedding_random_projection,

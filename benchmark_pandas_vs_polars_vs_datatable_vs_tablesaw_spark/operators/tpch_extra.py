@@ -983,6 +983,96 @@ ORDER BY code
 """
 
 
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic marketing cube: score each customer 1-5 on how
+    recently they ordered, how often, and how much, then count
+    customers per (r, f, m) cell.
+
+    Scale shape: one customer-keyed aggregate builds the three
+    metrics (recency as exact epoch days, frequency as order count,
+    monetary as e4-exact int64); quintile boundaries come from ONE
+    exact-percentile aggregate over that table (a 12-value scalar row
+    that broadcasts), and scoring is a map-side comparison against the
+    broadcast cuts — no global sort, no ntile window, no
+    single-partition anything. Boundary determinism: metrics are
+    integers and both engines compute identical IEEE cut values from
+    identical integers, so ``metric > cut`` can never disagree.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1992-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 10_000).cast("long")).alias(
+            "monetary_e4"
+        ),
+    )
+    cuts = per_cust.agg(
+        F.expr(
+            "percentile(recency_days, array(0.2, 0.4, 0.6, 0.8))"
+        ).alias("rc"),
+        F.expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").alias("fc"),
+        F.expr("percentile(monetary_e4, array(0.2, 0.4, 0.6, 0.8))").alias("mc"),
+    )
+
+    def score(metric: str, cut: str):
+        c = F.col(cut)
+        m = F.col(metric)
+        return (
+            F.lit(1)
+            + (m > c[0]).cast("int")
+            + (m > c[1]).cast("int")
+            + (m > c[2]).cast("int")
+            + (m > c[3]).cast("int")
+        )
+
+    scored = per_cust.crossJoin(F.broadcast(cuts)).select(
+        score("recency_days", "rc").alias("r_score"),
+        score("frequency", "fc").alias("f_score"),
+        score("monetary_e4", "mc").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(max(o_orderdate) AS DATE))
+              AS BIGINT) AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS BIGINT)
+           AS monetary_e4
+  FROM orders GROUP BY o_custkey
+), cuts AS (
+  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+         quantile_cont(monetary_e4, [0.2, 0.4, 0.6, 0.8]) AS mc
+  FROM per_cust
+), scored AS (
+  SELECT 1 + CAST(recency_days > rc[1] AS INT) + CAST(recency_days > rc[2] AS INT)
+           + CAST(recency_days > rc[3] AS INT) + CAST(recency_days > rc[4] AS INT)
+           AS r_score,
+         1 + CAST(frequency > fc[1] AS INT) + CAST(frequency > fc[2] AS INT)
+           + CAST(frequency > fc[3] AS INT) + CAST(frequency > fc[4] AS INT)
+           AS f_score,
+         1 + CAST(monetary_e4 > mc[1] AS INT) + CAST(monetary_e4 > mc[2] AS INT)
+           + CAST(monetary_e4 > mc[3] AS INT) + CAST(monetary_e4 > mc[4] AS INT)
+           AS m_score
+  FROM per_cust, cuts
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
 def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration: what share of total order revenue comes
     from the top 1% of customers (ceil rounding, ties broken by
@@ -1094,6 +1184,7 @@ ORDER BY priority
 
 
 QUERIES: dict = {
+    "rfm_segmentation": (rfm_segmentation, RFM_ORACLE),
     "pareto_revenue_share": (pareto_revenue_share, PARETO_SHARE_ORACLE),
     "shipping_lag_stats": (shipping_lag_stats, SHIPPING_LAG_ORACLE),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_ORACLE),

@@ -68,6 +68,11 @@ _MODULES = (
 #       (fixed in catalog.normalize_events_ts — fresh rows required);
 # (c)   q22_sales_opportunity, whose anti-join side changed to be
 #       non-vacuous (was a 0-row hash match).
+# The 15 late-round-4 additions (training.py, gdpr_delete_cascade,
+# inter-event/growth/attribution/Pareto/RFM/shipping-lag analytics,
+# hybrid_rrf_fusion, copurchase_degree_distribution) queue behind the
+# window for the round-5 rotation — every named verdict item keeps its
+# slot; all 15 are differential-tested in tests/test_differential.py.
 # Nine round-4 additions with strong independent pytest evidence
 # (zorder file-span, schema-evolution, JL distortion-envelope, bloom
 # no-false-negative, blocked-edit-distance, foreachBatch idempotent-
