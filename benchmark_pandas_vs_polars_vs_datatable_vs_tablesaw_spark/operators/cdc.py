@@ -110,6 +110,102 @@ ORDER BY custkey, valid_from
 """
 
 
+def pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) dimension join — the feature-store
+    correctness primitive: attach to every event the dimension value
+    that was CURRENT on the event's day (here: the customer's
+    order-priority regime from the SCD2 history), never a later one
+    (that would be label leakage in a training set).
+
+    Implemented with the union-and-carry pattern (the scale-safe
+    as-of shape from ``asof_join_purchase_view``): regime change
+    points and event probes union into one stream, ONE shuffle
+    partitions it by customer, and a last(ignorenulls) window ordered
+    by (day, state-first) carries the in-force regime onto each
+    probe. No per-row interval probe, no range join explosion; events
+    before any history resolve to NO_HISTORY. The oracle cross-checks
+    with DuckDB's native ASOF JOIN — two independent formulations of
+    the PIT semantics.
+    """
+    orders = load_table(spark, sf_dir, "orders").repartition(F.col("o_custkey"))
+    ev = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.min_by("o_orderpriority", "o_orderkey").alias("val")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    prev = F.lag("val").over(w)
+    changed = F.when(prev.isNull() | (prev != F.col("val")), 1).otherwise(0)
+    runs = ev.withColumn(
+        "run_id",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    states = (
+        runs.groupBy("o_custkey", "run_id", "val")
+        .agg(F.min("o_orderdate").alias("day"))
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.to_date("day").alias("day"),
+            F.lit(1).alias("is_state"),
+            F.col("val").alias("state_val"),
+            F.lit(None).cast("string").alias("event_type"),
+        )
+    )
+    probes = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.lit(0).alias("is_state"),
+        F.lit(None).cast("string").alias("state_val"),
+        "event_type",
+    )
+    u = states.unionByName(probes)
+    w2 = (
+        Window.partitionBy("k")
+        .orderBy(F.col("day").asc(), F.col("is_state").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("cur", F.last("state_val", ignorenulls=True).over(w2))
+    return (
+        carried.where(F.col("is_state") == 0)
+        .groupBy(
+            F.coalesce(F.col("cur"), F.lit("NO_HISTORY")).alias("priority"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("priority", "event_type")
+    )
+
+
+PIT_JOIN_ORACLE = """
+WITH ev AS (
+  SELECT o_custkey, o_orderdate,
+         arg_min(o_orderpriority, o_orderkey) AS val
+  FROM orders GROUP BY o_custkey, o_orderdate
+), flagged AS (
+  SELECT o_custkey, o_orderdate, val,
+         CASE WHEN lag(val) OVER w IS NULL OR lag(val) OVER w <> val
+              THEN 1 ELSE 0 END AS changed
+  FROM ev
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+), runs AS (
+  SELECT o_custkey, o_orderdate, val,
+         sum(changed) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM flagged
+), states AS (
+  SELECT o_custkey AS k, CAST(min(o_orderdate) AS DATE) AS day, val
+  FROM runs GROUP BY o_custkey, run_id, val
+), probes AS (
+  SELECT user_id AS k, CAST(date_trunc('day', ts) AS DATE) AS day, event_type
+  FROM events
+)
+SELECT coalesce(s.val, 'NO_HISTORY') AS priority, p.event_type,
+       count(*) AS n_events
+FROM probes p ASOF LEFT JOIN states s ON p.k = s.k AND p.day >= s.day
+GROUP BY 1, 2
+ORDER BY priority, event_type
+"""
+
+
 def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a CDC stream by diffing two table snapshots: full-outer
     join on the key, classify insert / delete / update (value drift on
@@ -272,6 +368,7 @@ ORDER BY o_custkey
 
 
 QUERIES: dict = {
+    "pit_dimension_join": (pit_dimension_join, PIT_JOIN_ORACLE),
     "scd2_priority_history": (scd2_priority_history, SCD2_ORACLE),
     "snapshot_diff_cdc": (snapshot_diff_cdc, SNAPSHOT_DIFF_ORACLE),
     "incremental_agg_maintenance": (

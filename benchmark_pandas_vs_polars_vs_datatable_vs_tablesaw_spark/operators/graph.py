@@ -225,6 +225,104 @@ ORDER BY pagerank DESC, node
 """
 
 
+TOP_RULES = 10
+
+
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over co-purchases: for every directed
+    rule u -> v with pair support >= MIN_SUPPORT, confidence
+    (= s(u,v)/s(u)) and lift (= s(u,v)*N / (s(u)*s(v))), top-10 by
+    lift — the classic "customers who bought X also bought Y" output.
+
+    Everything that determines the ranking is integer: supports are
+    distinct-order counts and the lift comparison key is the exact
+    rational (num = s(u,v)*N, den = s(u)*s(v)) evaluated as one IEEE
+    division of int64s — bit-identical on any engine — with (u, v) as
+    the total-order tiebreak; confidence/lift are rounded only for
+    display. Scale shape: the pair table reuses the single
+    order-keyed self-join of the triangle counter (quadratic-skew
+    guard via MAX_BASKET), item supports are one narrow aggregate
+    that broadcasts onto the pair table, and the top-10 is a
+    TakeOrdered — no global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+    li = li.join(sizes.where(F.col("n_parts") <= MAX_BASKET), "l_orderkey").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("s_item")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, ["ok"])
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("s_pair"))
+        .where(F.col("s_pair") >= MIN_SUPPORT)
+    )
+    su = item.select(F.col("item").alias("u"), F.col("s_item").alias("s_u"))
+    sv = item.select(F.col("item").alias("v"), F.col("s_item").alias("s_v"))
+    rules = (
+        pairs.join(F.broadcast(su), "u")
+        .join(F.broadcast(sv), "v")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "u",
+            "v",
+            "s_pair",
+            "s_u",
+            "s_v",
+            (F.col("s_pair") * F.col("n_orders")).alias("lift_num"),
+            (F.col("s_u") * F.col("s_v")).alias("lift_den"),
+        )
+    )
+    ranked = rules.orderBy(
+        (F.col("lift_num") / F.col("lift_den")).desc(), "u", "v"
+    ).limit(TOP_RULES)
+    return ranked.select(
+        "u",
+        "v",
+        "s_pair",
+        F.round(F.col("s_pair") / F.col("s_u"), 4).alias("confidence"),
+        F.round(F.col("lift_num") / F.col("lift_den"), 4).alias("lift"),
+    )
+
+
+MARKET_BASKET_ORACLE = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  QUALIFY count(DISTINCT l_partkey) OVER (PARTITION BY l_orderkey)
+          <= {MAX_BASKET}
+), item AS (
+  SELECT l_partkey AS itm, count(*) AS s_item FROM li GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS s_pair
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_SUPPORT}
+), rules AS (
+  SELECT p.u, p.v, p.s_pair, iu.s_item AS s_u, iv.s_item AS s_v,
+         p.s_pair * (SELECT count(DISTINCT l_orderkey) FROM li) AS lift_num,
+         iu.s_item * iv.s_item AS lift_den
+  FROM pairs p
+  JOIN item iu ON p.u = iu.itm
+  JOIN item iv ON p.v = iv.itm
+)
+SELECT u, v, s_pair,
+       round(s_pair * 1.0 / s_u, 4) AS confidence,
+       round(lift_num * 1.0 / lift_den, 4) AS lift
+FROM rules
+ORDER BY lift_num * 1.0 / lift_den DESC, u, v
+LIMIT {TOP_RULES}
+"""
+
+
 def copurchase_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the co-purchase graph — the first
     diagnostic run on ANY derived graph before spending on triangle /
@@ -275,6 +373,7 @@ ORDER BY degree
 
 
 QUERIES: dict = {
+    "market_basket_rules": (market_basket_rules, MARKET_BASKET_ORACLE),
     "copurchase_degree_distribution": (
         copurchase_degree_distribution,
         DEGREE_DISTRIBUTION_ORACLE,

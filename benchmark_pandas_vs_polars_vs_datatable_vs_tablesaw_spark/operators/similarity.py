@@ -998,6 +998,97 @@ FROM embeddings
 """
 
 
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: the 3 vectors farthest from their label's
+    centroid, per label — the review queue for mislabeled / corrupted
+    embeddings before they poison a nearest-neighbor index.
+
+    Exact INTEGER geometry end to end: components quantize to e4
+    int64, per-(label, dim) sums build the centroid NUMERATOR, and the
+    squared distance to the centroid scales by n² —
+    ``sum_i (n*q_i - S_i)²`` — so no float mean, no float subtraction,
+    no accumulation-order dependence; ranks can never flip between
+    engines. (Fixture magnitudes: |q| <= ~6e3, n per label ~600 at
+    sf0.1 → per-dim term <= ~2e13, 64-dim sum <= ~1.3e15 — int64 has
+    3 orders of headroom; at larger n, quantize the MEAN instead.)
+
+    Scale shape: the centroid pass is a (label x dim)-keyed aggregate
+    (map-side combinable, 640 output rows); centroids broadcast back
+    and the distance fold + per-label top-3 window never shuffles the
+    corpus more than once on the label key.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(round(x * 10000) as bigint))").alias(
+            "qv"
+        ),
+    )
+    sums = (
+        rows.select("label", F.posexplode("qv").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"))
+    )
+    cent = sums.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, s))), e -> e.s)"
+        ).alias("svec")
+    )
+    counts = rows.groupBy("label").agg(F.count("*").alias("n"))
+    dist = (
+        rows.join(F.broadcast(cent), "label")
+        .join(F.broadcast(counts), "label")
+        .select(
+            "label",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qv, svec, (a, b) -> (n * a - b) * (n * a - b)), "
+                "0L, (acc, x) -> acc + x)"
+            ).alias("dd"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dd").desc(), F.col("vec_id"))
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("label", F.col("rank").cast("int").alias("rank"), "vec_id", "dd")
+        .orderBy("label", "rank")
+    )
+
+
+EMBEDDING_OUTLIERS_ORACLE = """
+WITH rows0 AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT label, count(*) AS n FROM rows0 GROUP BY label
+), sums AS (
+  SELECT label, i AS pos, sum(qv[i]) AS s
+  FROM rows0, generate_series(1, 64) t(i)
+  GROUP BY label, i
+), cent AS (
+  SELECT label, list(s ORDER BY pos) AS svec FROM sums GROUP BY label
+), dist AS (
+  SELECT r.label, r.vec_id,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> (n.n * r.qv[i] - c.svec[i]) * (n.n * r.qv[i] - c.svec[i])))
+           AS BIGINT) AS dd
+  FROM rows0 r
+  JOIN cent c ON r.label = c.label
+  JOIN n ON r.label = n.label
+)
+SELECT label,
+       CAST(row_number() OVER (PARTITION BY label ORDER BY dd DESC, vec_id)
+            AS INT) AS rank,
+       vec_id, dd
+FROM dist
+QUALIFY rank <= 3
+ORDER BY label, rank
+"""
+
+
 RRF_DEPTH = 20   # candidate depth fused from each retriever
 RRF_K = 60       # the standard RRF dampening constant
 RRF_SCALE = 1_000_000  # integer scale: credit = floor(1e6 / (60 + rank))
@@ -1109,6 +1200,10 @@ QUALIFY fused_rank <= {TOP_K}
 
 
 QUERIES: dict = {
+    "embedding_centroid_outliers": (
+        embedding_centroid_outliers,
+        EMBEDDING_OUTLIERS_ORACLE,
+    ),
     "hybrid_rrf_fusion": (hybrid_rrf_fusion, HYBRID_RRF_ORACLE),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_ORACLE),
     "embedding_random_projection": (

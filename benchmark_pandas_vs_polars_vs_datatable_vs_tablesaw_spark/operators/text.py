@@ -1646,7 +1646,83 @@ ORDER BY token
 """
 
 
+def sparse_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical document similarity — the inverted-index
+    counterpart to the dense ANN family: top-10 document pairs by
+    TF-IDF dot product, computed entirely through a postings
+    self-join (no dense vectors anywhere).
+
+    Weights are INTEGER: w(doc, term) = tf * floor(log2(n_docs div
+    df)) with the floor-log2 from binary-representation length (the
+    ``bigram_lm_score`` trick — no libm). This has a built-in
+    stop-term guard that doubles as the quadratic-skew guard: any
+    term in more than half the corpus gets idf 0 and drops out
+    BEFORE the self-join, so the posting lists that meet in the join
+    are exactly the discriminative ones. Dot products of int64
+    weights sum exactly; ranking (dot desc, d1, d2) can never flip
+    between engines.
+
+    Scale shape: tf and df are map-side-combinable aggregates; the
+    self-join shuffles postings on the term key with the idf-0
+    pruning already applied; top-10 is a TakeOrdered.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    weighted = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "w",
+            F.col("tf") * (F.length(F.expr("bin(n_docs div df)")) - 1),
+        )
+        .where(F.col("w") > 0)
+        .select("term", "doc_id", "w")
+    )
+    p1 = weighted.select("term", F.col("doc_id").alias("d1"), F.col("w").alias("w1"))
+    p2 = weighted.select("term", F.col("doc_id").alias("d2"), F.col("w").alias("w2"))
+    pairs = (
+        p1.join(p2, "term")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(
+            F.sum(F.col("w1") * F.col("w2")).cast("long").alias("dot"),
+            F.count("*").alias("n_shared_terms"),
+        )
+    )
+    return pairs.orderBy(F.col("dot").desc(), "d1", "d2").limit(10)
+
+
+SPARSE_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT count(*) AS n_docs FROM documents
+), weighted AS (
+  SELECT tf.term, tf.doc_id,
+         tf.tf * (length(bin(nd.n_docs // df.df)) - 1) AS w
+  FROM tf JOIN df ON tf.term = df.term, nd
+  WHERE tf.tf * (length(bin(nd.n_docs // df.df)) - 1) > 0
+)
+SELECT p1.doc_id AS d1, p2.doc_id AS d2,
+       CAST(sum(p1.w * p2.w) AS BIGINT) AS dot,
+       count(*) AS n_shared_terms
+FROM weighted p1 JOIN weighted p2
+  ON p1.term = p2.term AND p1.doc_id < p2.doc_id
+GROUP BY d1, d2
+ORDER BY dot DESC, d1, d2
+LIMIT 10
+"""
+
+
 QUERIES: dict = {
+    "sparse_tfidf_doc_pairs": (sparse_tfidf_doc_pairs, SPARSE_TFIDF_ORACLE),
     "feature_hash_bag": (feature_hash_bag, FEATURE_HASH_ORACLE),
     "bigram_lm_score": (bigram_lm_score, BIGRAM_LM_ORACLE),
     "inverted_index_sample": (inverted_index_sample, INVERTED_INDEX_ORACLE),
