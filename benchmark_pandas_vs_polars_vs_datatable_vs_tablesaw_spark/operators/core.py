@@ -87,6 +87,33 @@ def sql_api_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(FLAGSHIP_ORACLE)
 
 
+PIPE_FLAGSHIP_SQL = """
+FROM lineitem
+|> WHERE l_extendedprice > 500.0
+|> AGGREGATE round(avg(l_quantity), 4) AS qty_mean,
+             round(avg(l_extendedprice), 4) AS price_mean,
+             count(*) AS n_rows
+   GROUP BY l_returnflag
+|> SELECT l_returnflag, qty_mean, price_mean, n_rows
+|> ORDER BY l_returnflag
+"""
+
+
+def sql_pipe_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline through the THIRD front door: Spark 4's
+    SQL pipe syntax (`FROM ... |> WHERE ... |> AGGREGATE`), the
+    operator-chain dialect that reads like the reference notebooks'
+    method chains while still parsing to the identical Catalyst plan
+    as ``flagship_lazy_pipeline`` and ``sql_api_flagship``. The
+    oracle is the classic-SQL formulation, so this entry pins that
+    the pipe dialect is semantics-preserving, not just parseable.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(PIPE_FLAGSHIP_SQL)
+
+
 # --------------------------------------------------------------------------
 # P1 / P2 / P4 — filters and projections
 # --------------------------------------------------------------------------
@@ -587,6 +614,7 @@ def matrix_partition_stats(df: DataFrame) -> DataFrame:
 QUERIES: dict = {
     "flagship_lazy_pipeline": (flagship_lazy_pipeline, FLAGSHIP_ORACLE),
     "sql_api_flagship": (sql_api_flagship, FLAGSHIP_ORACLE),
+    "sql_pipe_flagship": (sql_pipe_flagship, FLAGSHIP_ORACLE),
     "filter_numeric_gt": (
         filter_numeric_gt,
         """

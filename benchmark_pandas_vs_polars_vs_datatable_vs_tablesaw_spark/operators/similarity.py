@@ -1021,9 +1021,13 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = emb.select(
         "vec_id",
         "label",
-        F.expr("transform(embedding, x -> cast(round(x * 10000) as bigint))").alias(
-            "qv"
-        ),
+        # Widen float32 -> double BEFORE the scale multiply: Spark's
+        # float*int stays float32 while DuckDB promotes to double, and
+        # the precision gap flips round() by 1 on some components
+        # (caught at sf0.001).
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))"
+        ).alias("qv"),
     )
     sums = (
         rows.select("label", F.posexplode("qv").alias("pos", "val"))
@@ -1060,7 +1064,8 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBEDDING_OUTLIERS_ORACLE = """
 WITH rows0 AS (
   SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
   FROM embeddings
 ), n AS (
   SELECT label, count(*) AS n FROM rows0 GROUP BY label

@@ -1215,7 +1215,134 @@ ORDER BY touch_type
 """
 
 
+def time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation-lag cohort report: per first-seen-day cohort, how
+    long users took from their first event to their first purchase —
+    the onboarding metric every growth team tracks (and the batch twin
+    of a streaming activation funnel).
+
+    One user-keyed aggregate computes both firsts (min ts, conditional
+    min ts) in a single pass — no self-join, no window; the lag is
+    exact integer hours from the microsecond difference. Cohort
+    rollup: converted count, doubled-median lag (exact under k+0.5),
+    max lag. Users who never purchase count in ``n_users`` but not in
+    the lag stats (NULL-skipping aggregates, mirrored in the oracle).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ev"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lag_h = (
+        (F.unix_micros("first_purchase") - F.unix_micros("first_ev"))
+        / F.lit(3_600_000_000)
+    )
+    cohorts = firsts.select(
+        F.date_format(F.date_trunc("day", "first_ev"), "yyyy-MM-dd").alias(
+            "cohort_day"
+        ),
+        F.floor(lag_h).cast("long").alias("lag_hours"),
+    )
+    return (
+        cohorts.groupBy("cohort_day")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("lag_hours").alias("n_converted"),
+            (F.expr("percentile(lag_hours, 0.5)") * 2)
+            .cast("long")
+            .alias("median_x2_hours"),
+            F.max("lag_hours").alias("max_hours"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+TIME_TO_PURCHASE_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(ts) AS first_ev,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+), cohorts AS (
+  SELECT strftime(date_trunc('day', first_ev), '%Y-%m-%d') AS cohort_day,
+         CAST(floor((epoch_us(first_purchase) - epoch_us(first_ev))
+                    / 3600000000.0) AS BIGINT) AS lag_hours
+  FROM firsts
+)
+SELECT cohort_day, count(*) AS n_users,
+       count(lag_hours) AS n_converted,
+       CAST(quantile_cont(lag_hours, 0.5) * 2 AS BIGINT) AS median_x2_hours,
+       max(lag_hours) AS max_hours
+FROM cohorts
+GROUP BY cohort_day
+ORDER BY cohort_day
+"""
+
+
+RECURSIVE_SPINE_SPARK_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+         CAST(date_trunc('day', max(ts)) AS DATE) AS d1
+  FROM _spine_events
+), spine(day, d1) AS (
+  SELECT d0, d1 FROM bounds
+  UNION ALL
+  SELECT date_add(day, 1), d1 FROM spine WHERE day < d1
+), daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+  FROM _spine_events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT date_format(s.day, 'yyyy-MM-dd') AS day,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n_purchases
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+ORDER BY day
+"""
+
+
+def recursive_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily purchase series via a RECURSIVE CTE date spine —
+    Spark 4's `WITH RECURSIVE` exercised on its canonical use (the
+    other gap-filler, ``events_gapfill_resample``, generates its spine
+    with sequence+explode; this one pins that the recursive-SQL front
+    door produces the identical series, checked against DuckDB's own
+    recursive CTE).
+
+    Scale note: recursion depth = calendar days (metadata scale —
+    ~3.7k iterations for a 10-year history), and each step carries
+    one row; the event table itself is touched only by the ordinary
+    daily aggregate. Recursion over DATA-scale relations stays out of
+    this codebase — the iterative operators (connected components,
+    Lloyd rounds, PageRank) use persisted DataFrame loops instead,
+    where each round is a full parallel job.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_spine_events")
+    return spark.sql(RECURSIVE_SPINE_SPARK_SQL)
+
+
+RECURSIVE_SPINE_ORACLE = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+         CAST(date_trunc('day', max(ts)) AS DATE) AS d1
+  FROM events
+), spine(day, d1) AS (
+  SELECT d0, d1 FROM bounds
+  UNION ALL
+  SELECT CAST(day + INTERVAL 1 DAY AS DATE), d1 FROM spine WHERE day < d1
+), daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n_purchases
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+ORDER BY day
+"""
+
+
 QUERIES: dict = {
+    "recursive_spine_gapfill": (recursive_spine_gapfill, RECURSIVE_SPINE_ORACLE),
+    "time_to_first_purchase": (time_to_first_purchase, TIME_TO_PURCHASE_ORACLE),
     "user_growth_accounting": (user_growth_accounting, USER_GROWTH_ORACLE),
     "multi_touch_attribution_decay": (
         multi_touch_attribution_decay,

@@ -535,7 +535,98 @@ ORDER BY s.source
 """
 
 
+def dataset_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: allocate a training budget (half
+    the corpus's tokens) across sources by two-round integer
+    waterfilling — equal caps, with capacity freed by small sources
+    redistributed to the rest. This is the allocation step between
+    "how many tokens does each source have" and "build the mixture"
+    (``data_mixture_resample`` consumes exactly such quotas).
+
+    Round 1 caps every source at budget//n; round 2 raises the cap by
+    leftover//n_unsaturated for sources that hit the cap. All integer
+    division — the plan is engine-exact, and the residual after round
+    2 is reported per row (a third round at 100 TB is the same two
+    joins again). Scale shape: one 30-key aggregate + two broadcast
+    scalar joins; per-row token counts come from ``size(split())``
+    with zero shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("tokens")
+    )
+    totals = per_source.agg(
+        F.sum("tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    ).select(
+        F.expr("total_tokens div 2").alias("budget"),
+        "n_sources",
+    )
+    r1 = per_source.crossJoin(F.broadcast(totals)).withColumn(
+        "cap1", F.expr("budget div n_sources")
+    )
+    r1_stats = r1.agg(
+        F.sum(F.least("tokens", "cap1")).alias("alloc1"),
+        F.sum(F.when(F.col("tokens") > F.col("cap1"), 1).otherwise(0)).alias(
+            "n_unsat"
+        ),
+    )
+    planned = (
+        r1.crossJoin(F.broadcast(r1_stats))
+        .withColumn(
+            "cap2",
+            F.when(
+                F.col("n_unsat") > 0,
+                F.col("cap1") + F.expr("(budget - alloc1) div n_unsat"),
+            ).otherwise(F.col("cap1")),
+        )
+        .select(
+            "source",
+            "tokens",
+            F.least("tokens", "cap2").cast("long").alias("allocation"),
+            (F.col("tokens") <= F.col("cap2")).alias("fully_taken"),
+            F.col("cap2").cast("long").alias("final_cap"),
+        )
+    )
+    return planned.orderBy("source")
+
+
+MIXTURE_PLAN_ORACLE = """
+WITH per_source AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT CAST(sum(tokens) // 2 AS BIGINT) AS budget,
+         count(*) AS n_sources
+  FROM per_source
+), r1 AS (
+  SELECT p.*, t.budget, t.n_sources,
+         CAST(t.budget // t.n_sources AS BIGINT) AS cap1
+  FROM per_source p, totals t
+), r1_stats AS (
+  SELECT CAST(sum(least(tokens, cap1)) AS BIGINT) AS alloc1,
+         CAST(sum(CASE WHEN tokens > cap1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unsat
+  FROM r1
+)
+SELECT r.source, r.tokens,
+       CAST(least(r.tokens,
+                  CASE WHEN s.n_unsat > 0
+                       THEN r.cap1 + (r.budget - s.alloc1) // s.n_unsat
+                       ELSE r.cap1 END) AS BIGINT) AS allocation,
+       r.tokens <= CASE WHEN s.n_unsat > 0
+                        THEN r.cap1 + (r.budget - s.alloc1) // s.n_unsat
+                        ELSE r.cap1 END AS fully_taken,
+       CAST(CASE WHEN s.n_unsat > 0
+                 THEN r.cap1 + (r.budget - s.alloc1) // s.n_unsat
+                 ELSE r.cap1 END AS BIGINT) AS final_cap
+FROM r1 r, r1_stats s
+ORDER BY r.source
+"""
+
+
 QUERIES: dict = {
+    "dataset_mixture_plan": (dataset_mixture_plan, MIXTURE_PLAN_ORACLE),
     "ks_drift_test": (ks_drift_test, KS_DRIFT_ORACLE),
     "vocab_oov_rate": (vocab_oov_rate, VOCAB_OOV_ORACLE),
     "adaptive_quality_gate": (adaptive_quality_gate, ADAPTIVE_GATE_ORACLE),
