@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "deterministic_shuffle_shard",  # reproducible training shards
     "gdpr_delete_cascade",      # delete-cohort cascade footprint
     "hybrid_rrf_fusion",        # dual-retriever reciprocal-rank fusion
+    "chi2_token_source",        # χ² domain-signature feature selection
+    "asof_forward_tolerance",   # forward as-of w/ tolerance (conversion lag)
 ]
 
 

@@ -1,0 +1,597 @@
+"""ML feature-prep and retrieval-training operators.
+
+Round-4 session additions on top of the curation layer (text.py /
+dedup.py / training.py): the feature-engineering and pair-mining
+machinery that turns a curated corpus into model inputs.
+
+- ``target_encode_smoothed``: smoothed mean target encoding — the
+  classic high-cardinality categorical feature (here: market segment
+  encoded by account balance) with an m-estimate prior so rare
+  categories shrink toward the global mean.
+- ``negative_sampling_pairs``: deterministic cross-source negative
+  mining for contrastive training — hash-bucketed candidate join, so
+  the pair space is O(n·K), never the O(n²) cross join.
+- ``curriculum_shard_plan``: length-ordered curriculum shards via the
+  distributed ``global_rank`` helper (no single-partition window).
+- ``hll_distinct_certificate``: Datasketches HLL per-group distinct
+  estimates PLUS a merged (union) global sketch, certified against the
+  exact distinct counts — the mergeability property is exactly what a
+  1000-executor rollup relies on.
+- ``asof_forward_tolerance``: forward as-of join with a tolerance
+  window (pandas ``merge_asof(direction='forward', tolerance=...)``
+  semantics) as a single-shuffle union-and-carry, not a range join.
+- ``chi2_token_source``: χ² token-vs-source association — the
+  standard feature-selection / domain-signature statistic, computed
+  from integer contingency counts.
+- ``er_weighted_match``: entity-resolution scoring — blocked fuzzy
+  join (levenshtein name similarity + balance proximity) with a
+  deterministic best-match-per-entity pick.
+- ``skyline_pareto_frontier``: 2-D skyline via per-key reduction +
+  running-max window over the distinct-key table (no O(n²)
+  dominance self-join on the fact table).
+
+Scale shapes are documented per operator; nothing materializes
+row-level data on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .core import global_rank
+
+
+# --------------------------------------------------------------------------
+# Smoothed target encoding
+# --------------------------------------------------------------------------
+
+
+def target_encode_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-estimate target encoding of ``c_mktsegment`` by
+    ``c_acctbal``: enc = (sum_y + m·prior) / (n + m) with m=50 and
+    prior = global mean. Rare categories shrink toward the prior, so
+    the encoding never explodes on a 3-row category — the reason this
+    beats a plain group mean as a model feature.
+
+    Scale shape: one map-side-combinable aggregate per category plus a
+    broadcast single-row global aggregate; no row-level shuffle beyond
+    the category groupBy. At 100 TB the category table is tiny
+    relative to the fact table, so the join back (if a caller wants
+    per-row features) is a broadcast.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    m = F.lit(50.0)
+    prior = cust.agg(F.avg("c_acctbal").alias("prior"))
+    per_cat = cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("c_acctbal").alias("sum_y"),
+    )
+    return (
+        per_cat.crossJoin(F.broadcast(prior))
+        .select(
+            "c_mktsegment",
+            "n",
+            F.round((F.col("sum_y") + m * F.col("prior")) / (F.col("n") + m), 4).alias(
+                "enc"
+            ),
+            F.round(F.col("sum_y") / F.col("n") - F.col("prior"), 4).alias(
+                "lift_vs_prior"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+TARGET_ENCODE_ORACLE = """
+WITH prior AS (SELECT avg(c_acctbal) AS prior FROM customer),
+per_cat AS (
+  SELECT c_mktsegment, count(*) AS n, sum(c_acctbal) AS sum_y
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+       round((sum_y + 50.0 * prior) / (n + 50.0), 4) AS enc,
+       round(sum_y / n - prior, 4) AS lift_vs_prior
+FROM per_cat CROSS JOIN prior
+ORDER BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive pair mining)
+# --------------------------------------------------------------------------
+
+_NEG_BUCKETS = 16
+_NEG_K = 3
+
+
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cross-source negative mining: for each anchor
+    document (a 1-in-20 hash sample), pick the K=3 pseudo-random
+    documents from a DIFFERENT source inside the anchor's hash bucket.
+    This is the negative-pair generator for contrastive / embedding
+    training, made reproducible: the "randomness" is a Knuth
+    multiplicative hash of the (anchor, candidate) id pair, so every
+    engine and every rerun mines the identical pairs.
+
+    Scale shape: candidates come from an equi-join on a hash bucket
+    (``_NEG_BUCKETS`` here; at 100 TB the bucket count scales with the
+    corpus so each bucket stays ~constant-size), never a cross join —
+    pair space is O(n/B · n/B · B) = O(n²/B), tuned by B, and the
+    anchor-side 1-in-20 filter cuts it 20× before the join. Top-K per
+    anchor is a bounded window inside the anchor's bucket output.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    bucket = lambda c: (F.col(c) * F.lit(2654435761)) % F.lit(2147483647) % F.lit(
+        _NEG_BUCKETS
+    )
+    anchors = (
+        docs.where(F.col("doc_id") % 20 == 0)
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("source").alias("anchor_source"),
+            bucket("doc_id").alias("b"),
+        )
+    )
+    cands = docs.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("source").alias("neg_source"),
+        bucket("doc_id").alias("b"),
+    )
+    pair_h = (
+        F.col("anchor_id") * F.lit(1000003) + F.col("neg_id") * F.lit(7919)
+    ) % F.lit(999983)
+    w = Window.partitionBy("anchor_id").orderBy(pair_h.asc(), F.col("neg_id").asc())
+    return (
+        anchors.join(cands, "b")
+        .where(F.col("neg_source") != F.col("anchor_source"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= _NEG_K)
+        .select("anchor_id", "neg_id", "neg_rank")
+    )
+
+
+NEGATIVE_SAMPLING_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         (doc_id * 2654435761) % 2147483647 % {_NEG_BUCKETS} AS b
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS anchor_id, c.doc_id AS neg_id,
+         row_number() OVER (
+           PARTITION BY a.doc_id
+           ORDER BY (a.doc_id * 1000003 + c.doc_id * 7919) % 999983, c.doc_id
+         ) AS neg_rank
+  FROM d a JOIN d c USING (b)
+  WHERE a.doc_id % 20 = 0 AND c.source <> a.source
+)
+SELECT anchor_id, neg_id, CAST(neg_rank AS INT) AS neg_rank
+FROM pairs WHERE neg_rank <= {_NEG_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Curriculum sharding
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+def curriculum_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-ordered curriculum shards: rank the corpus easy→hard by
+    ``n_chars`` (tie-break doc_id for determinism) and cut it into 8
+    equal-rank shards — the "train short documents first" schedule.
+    Emits the per-shard manifest (doc count, char range, total chars)
+    a trainer's data loader consumes.
+
+    Scale shape: the global ordering uses :func:`global_rank` (range
+    exchange + broadcast offset table — one full-data shuffle, NO
+    single-partition window), and the shard id is pure arithmetic on
+    the rank, so the whole plan is the same one full sort a 100 TB
+    shard-writer would run anyway. Shard = floor((rank-1)·S/total)+1,
+    identical to rank arithmetic in the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_rank(docs, ["n_chars", "doc_id"])
+    shard = ((F.col("rank") - F.lit(1)) * _N_SHARDS / F.col("_total")).cast(
+        "long"
+    ) + F.lit(1)
+    return (
+        ranked.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+CURRICULUM_SHARD_ORACLE = f"""
+WITH ranked AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS r,
+         count(*) OVER () AS total
+  FROM documents
+)
+SELECT CAST((r - 1) * {_N_SHARDS} // total + 1 AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM ranked
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# HLL sketch merge certificate
+# --------------------------------------------------------------------------
+
+
+def hll_distinct_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL distinct-user estimates per event type PLUS a
+    merged global sketch (``hll_union_agg`` over the per-type
+    sketches), each certified within 5% of the exact distinct count.
+
+    The merge row is the point: at 100 TB you never recount distincts
+    globally — you union per-partition/per-day sketches, and this
+    query certifies that the union estimate matches a from-scratch
+    exact count. The emitted row is the deterministic *certificate*
+    (type, ok) rather than the estimate itself, so the oracle is
+    hash-checkable even though the estimator is approximate (same
+    pattern as the MinHash/SimHash recall certificates).
+
+    Scale shape: sketches are map-side combinable fixed-size state
+    (lgK=12 → 4 KB each); the exact side is one distinct-aggregate
+    used only as the certificate's ground truth.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    per_type = sk.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("est"),
+        "exact",
+    )
+    merged = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    ).crossJoin(
+        F.broadcast(ev.agg(F.count_distinct("user_id").alias("exact")))
+    ).select(F.lit("ALL").alias("event_type"), "est", "exact")
+    return (
+        per_type.unionByName(merged)
+        .select(
+            "event_type",
+            (F.abs(F.col("est") - F.col("exact")) / F.col("exact") <= 0.05).alias(
+                "within_5pct"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+HLL_CERTIFICATE_ORACLE = """
+SELECT event_type, true AS within_5pct
+FROM (SELECT DISTINCT event_type FROM events
+      UNION ALL SELECT 'ALL')
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Forward as-of join with tolerance
+# --------------------------------------------------------------------------
+
+
+def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: for each ``view`` event, the
+    FIRST ``purchase`` by the same user strictly after it and within 6
+    hours — pandas ``merge_asof(direction='forward', tolerance='6h')``
+    semantics, i.e. "did this view convert, and how fast?".
+
+    Scale shape: the same union-and-carry trick as the backward as-of
+    (timeseries.py): tag both streams, ONE shuffle on user_id, scan
+    each user's timeline in DESCENDING time order carrying the
+    last-seen purchase timestamp (which, scanning downward, is the
+    earliest purchase above the current row). Views order before
+    purchases at equal timestamps so "strictly after" holds. No range
+    join, no per-row subquery — one exchange total, and the tolerance
+    filter is applied on the carried value.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_p")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_p"),
+    )
+    tagged = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_p").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "next_purchase_ts",
+        F.last(F.when(F.col("is_p") == 1, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.where(F.col("is_p") == 0)
+        .where(
+            F.col("next_purchase_ts").isNotNull()
+            & (
+                F.unix_micros("next_purchase_ts") - F.unix_micros("ts")
+                <= 21_600_000_000
+            )
+        )
+        .select(
+            "event_id",
+            "user_id",
+            (F.unix_micros("next_purchase_ts") - F.unix_micros("ts")).alias("gap_us"),
+        )
+    )
+
+
+ASOF_FORWARD_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT v.event_id, v.user_id,
+       min(epoch_us(p.ts)) - epoch_us(v.ts) AS gap_us
+FROM v JOIN p ON p.user_id = v.user_id
+              AND p.ts > v.ts
+              AND epoch_us(p.ts) - epoch_us(v.ts) <= 21600000000
+GROUP BY v.event_id, v.user_id, v.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# Chi-square token/source association
+# --------------------------------------------------------------------------
+
+_CHI2_MIN_DF = 5
+_CHI2_TOPK = 5
+
+
+def chi2_token_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² association between token presence and source — the classic
+    feature-selection statistic ("which tokens are the signature of
+    this domain?") used to build domain classifiers and contamination
+    probes. 2×2 contingency per (token, source) over document-level
+    presence: a = docs in source containing token, with b/c/d from the
+    marginals; χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)). Emits the
+    top-5 tokens per source by χ² (round-4 tie-break on token).
+
+    Scale shape: explode → DISTINCT (doc, token) → one
+    map-combinable count per (token, source); marginals are two more
+    small aggregates of that table (token totals, source totals)
+    joined back — broadcast-sized. (ad−bc) is cast to double BEFORE
+    squaring so the statistic never overflows int64 at corpus scale.
+    The top-K window partitions by source over the (token, source)
+    table, never the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pres = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        )
+        .distinct()
+    )
+    n_docs = docs.agg(F.count("*").alias("n"))
+    tok_src = pres.groupBy("token", "source").agg(F.count("*").alias("a"))
+    tok_tot = (
+        tok_src.groupBy("token")
+        .agg(F.sum("a").alias("tok_docs"))
+        .where(F.col("tok_docs") >= _CHI2_MIN_DF)
+    )
+    src_tot = docs.groupBy("source").agg(F.count("*").alias("src_docs"))
+    joined = (
+        tok_src.join(F.broadcast(tok_tot), "token")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(n_docs))
+    )
+    a = F.col("a").cast("double")
+    b = (F.col("tok_docs") - F.col("a")).cast("double")
+    c = (F.col("src_docs") - F.col("a")).cast("double")
+    d = (F.col("n") - F.col("tok_docs") - F.col("src_docs") + F.col("a")).cast("double")
+    det = a * d - b * c
+    chi2 = (
+        F.col("n").cast("double") * det * det / ((a + b) * (c + d) * (a + c) * (b + d))
+    )
+    scored = joined.select(
+        "source", "token", "a", F.round(chi2, 4).alias("chi2")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("chi2").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _CHI2_TOPK)
+        .select("source", "token", F.col("a").alias("df_in_source"), "chi2", "rk")
+    )
+
+
+CHI2_TOKEN_SOURCE_ORACLE = f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, source, t.token
+  FROM documents,
+       LATERAL (SELECT unnest(list_distinct(string_split(text, ' '))) AS token) t
+), n_docs AS (SELECT count(*) AS n FROM documents),
+tok_src AS (
+  SELECT token, source, count(*) AS a FROM pres GROUP BY token, source
+), tok_tot AS (
+  SELECT token, sum(a) AS tok_docs FROM tok_src GROUP BY token
+  HAVING sum(a) >= {_CHI2_MIN_DF}
+), src_tot AS (
+  SELECT source, count(*) AS src_docs FROM documents GROUP BY source
+), scored AS (
+  SELECT ts.source, ts.token, ts.a,
+         round(n * (CAST(a AS DOUBLE) * (n - tok_docs - src_docs + a)
+                    - CAST(tok_docs - a AS DOUBLE) * (src_docs - a))
+                 * (CAST(a AS DOUBLE) * (n - tok_docs - src_docs + a)
+                    - CAST(tok_docs - a AS DOUBLE) * (src_docs - a))
+               / (CAST(tok_docs AS DOUBLE) * (n - tok_docs)
+                  * src_docs * (n - src_docs)), 4) AS chi2
+  FROM tok_src ts JOIN tok_tot USING (token) JOIN src_tot USING (source)
+  CROSS JOIN n_docs
+), ranked AS (
+  SELECT source, token, a AS df_in_source, chi2,
+         row_number() OVER (PARTITION BY source ORDER BY chi2 DESC, token) AS rk
+  FROM scored
+)
+SELECT source, token, df_in_source, chi2, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {_CHI2_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# Entity-resolution weighted match
+# --------------------------------------------------------------------------
+
+
+def er_weighted_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution scorecard: for a 1-in-50 sample of customers,
+    the best-matching supplier in the SAME nation by a weighted fuzzy
+    score — 0.7 · name similarity (1 − levenshtein/max-length) +
+    0.3 · balance proximity (1/(1+|Δbal|)). The deterministic
+    best-match pick (score desc, then suppkey) is the survivorship
+    rule of a record-linkage pipeline.
+
+    Scale shape: BLOCKED comparison — the join key is the nation
+    (blocking key), so the pair space is Σ_block |C_b|·|S_b|, not
+    |C|·|S|; with skewed blocks the standard fix is salting the big
+    block (joins.py salted_skew_agg shows the pattern). Levenshtein
+    runs JVM-side (built-in), scores are rounded to 6 decimals BEFORE
+    ranking so float noise can never flip the cross-engine tie-break.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 50 == 0)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    joined = cust.join(
+        supp, cust.c_nationkey == supp.s_nationkey, "inner"
+    )
+    name_sim = 1 - F.levenshtein("c_name", "s_name") / F.greatest(
+        F.length("c_name"), F.length("s_name")
+    )
+    bal_sim = 1 / (1 + F.abs(F.col("c_acctbal") - F.col("s_acctbal")))
+    score = F.round(0.7 * name_sim + 0.3 * bal_sim, 6)
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("score").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        joined.withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("c_custkey", "s_suppkey", "score")
+    )
+
+
+ER_WEIGHTED_MATCH_ORACLE = """
+WITH pairs AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         round(0.7 * (1 - levenshtein(c.c_name, s.s_name)
+                        / greatest(length(c.c_name), length(s.s_name)))
+               + 0.3 * (1 / (1 + abs(c.c_acctbal - s.s_acctbal))), 6) AS score
+  FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+  WHERE c.c_custkey % 50 = 0
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_custkey ORDER BY score DESC, s_suppkey) AS rk
+  FROM pairs
+)
+SELECT c_custkey, s_suppkey, score FROM ranked WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Pareto skyline
+# --------------------------------------------------------------------------
+
+
+def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline over parts: the Pareto frontier minimizing
+    ``p_retailprice`` while maximizing ``p_size`` — every part no
+    other part beats on both axes (sourcing's "cheapest at this size
+    or bigger" set). Identical (price, size) points all survive, per
+    standard skyline semantics.
+
+    Scale shape: NOT the O(n²) dominance self-join. Reduce to one row
+    per distinct price (only the max-size row per price can be on the
+    frontier) — map-side combinable — then the running "max size at
+    any cheaper price" uses a two-phase distributed prefix-max (range
+    partition by price, local running max, plus a broadcast ≤ n_part
+    per-partition offset table — the ks_drift_test pattern), NEVER a
+    single-partition global window, so the distinct-price table can be
+    arbitrarily large. A broadcast join back tags the surviving
+    (price, size) pairs on the full table.
+    """
+    part = load_table(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("msize"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = per_price.repartitionByRange(n_part, "p_retailprice").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # Offsets: one row per range partition (metadata) — the running
+    # max below runs over <= n_part rows, never the data.
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        ranged.groupBy("_pid")
+        .agg(F.max("msize").alias("pmax"))
+        .select("_pid", F.max("pmax").over(w_prev).alias("off_prev"))
+    )
+    frontier_keys = (
+        ranged.withColumn("loc_prev", F.max("msize").over(w_loc))
+        .join(F.broadcast(off), "_pid")
+        .withColumn("prev_max", F.greatest("loc_prev", "off_prev"))
+        .where(F.col("prev_max").isNull() | (F.col("msize") > F.col("prev_max")))
+        .select("p_retailprice", F.col("msize").alias("p_size"))
+    )
+    return part.join(
+        F.broadcast(frontier_keys), ["p_retailprice", "p_size"], "inner"
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+SKYLINE_ORACLE = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+QUERIES: dict = {
+    "target_encode_smoothed": (target_encode_smoothed, TARGET_ENCODE_ORACLE),
+    "negative_sampling_pairs": (negative_sampling_pairs, NEGATIVE_SAMPLING_ORACLE),
+    "curriculum_shard_plan": (curriculum_shard_plan, CURRICULUM_SHARD_ORACLE),
+    "hll_distinct_certificate": (hll_distinct_certificate, HLL_CERTIFICATE_ORACLE),
+    "asof_forward_tolerance": (asof_forward_tolerance, ASOF_FORWARD_ORACLE),
+    "chi2_token_source": (chi2_token_source, CHI2_TOKEN_SOURCE_ORACLE),
+    "er_weighted_match": (er_weighted_match, ER_WEIGHTED_MATCH_ORACLE),
+    "skyline_pareto_frontier": (skyline_pareto_frontier, SKYLINE_ORACLE),
+}
