@@ -585,8 +585,293 @@ WHERE NOT EXISTS (
 """
 
 
+# --------------------------------------------------------------------------
+# Cross-source quantile normalization
+# --------------------------------------------------------------------------
+
+
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources: map each document's
+    ``n_chars`` onto the GLOBAL length distribution at the same
+    within-source quantile — the standard cross-batch score
+    calibration (a p90-long document of a short-form source maps to
+    the corpus-wide p90 length). Emits a 1-in-10 doc sample with its
+    source-relative rank resolved to the global value.
+
+    Scale shape: per-source percent_rank is an ordinary partitioned
+    window; the global distribution uses :func:`global_rank`. The
+    "largest global value at quantile ≤ p" lookup is NOT a range join
+    — both sides union into one stream ordered by (p, global-first)
+    and a two-phase distributed carry (range partition on p, local
+    last-non-null, broadcast ≤ n_part per-partition offsets) resolves
+    every lookup in one pass. Total cost: two sorts of n rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    s_rows = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.percent_rank().over(w_src).alias("p"),
+        F.lit(0).alias("is_g"),
+        F.lit(None).cast("long").alias("gval"),
+    )
+    ranked = global_rank(docs.select("n_chars", "doc_id"), ["n_chars", "doc_id"])
+    g_rows = ranked.select(
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_chars"),
+        ((F.col("rank") - 1) / (F.col("_total") - 1)).alias("p"),
+        F.lit(1).alias("is_g"),
+        F.col("n_chars").alias("gval"),
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    both = s_rows.unionByName(g_rows).repartitionByRange(
+        n_part, F.col("p").asc(), F.col("is_g").desc()
+    ).withColumn("_pid", F.spark_partition_id())
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("p").asc(), F.col("is_g").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Per-partition offsets: the last global value in every earlier
+    # range partition (globals are nondecreasing in p, so "last" ==
+    # max by p). ≤ n_part metadata rows.
+    w_prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        both.groupBy("_pid")
+        .agg(F.max_by("gval", F.when(F.col("is_g") == 1, F.col("p"))).alias("pg"))
+        .select("_pid", F.last("pg", ignorenulls=True).over(w_prior).alias("prior_g"))
+    )
+    carried = (
+        both.withColumn("loc_g", F.last("gval", ignorenulls=True).over(w_loc))
+        .join(F.broadcast(off), "_pid")
+        .withColumn("norm_chars", F.coalesce("loc_g", "prior_g"))
+    )
+    return (
+        carried.where((F.col("is_g") == 0) & (F.col("doc_id") % 10 == 0))
+        .select("doc_id", "source", "n_chars", "norm_chars")
+    )
+
+
+QUANTILE_NORMALIZE_ORACLE = """
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+  FROM documents
+), g AS (
+  SELECT n_chars AS gval,
+         percent_rank() OVER (ORDER BY n_chars, doc_id) AS gpr
+  FROM documents
+)
+SELECT s.doc_id, s.source, s.n_chars, max(g.gval) AS norm_chars
+FROM s JOIN g ON g.gpr <= s.pr
+WHERE s.doc_id % 10 = 0
+GROUP BY s.doc_id, s.source, s.n_chars
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding per-dimension variance pruning
+# --------------------------------------------------------------------------
+
+
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance profile of the embedding matrix — the
+    feature-selection pre-flight for dimension pruning / PCA ("which
+    of the 64 dims carry the signal?"). Emits the top-16 dims by
+    variance with each dim's share of total variance.
+
+    Determinism at scale: float32 values are quantized to e4 integers
+    FIRST, so the per-dim Σx and Σx² accumulate as exact int64 —
+    reduction order (and engine) cannot change a single bit. The
+    variance numerator n·Σx²−(Σx)² stays integer through the ranking
+    (ties impossible to flip), and only the final reported values
+    divide into doubles. Scale shape: posexplode → one map-side
+    combinable groupBy(dim); the ranking window runs over 64 rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    xi = F.round(F.col("x").cast("double") * 10000).cast("long")
+    per_dim = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .select(F.col("dim").cast("long").alias("dim"), xi.alias("xi"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xi").alias("s"),
+            F.sum(F.col("xi") * F.col("xi")).alias("q"),
+        )
+        .select(
+            "dim",
+            "n",
+            (F.col("n") * F.col("q") - F.col("s") * F.col("s")).alias("num"),
+        )
+    )
+    tot = per_dim.agg(F.sum("num").alias("tot_num"))
+    w = Window.orderBy(F.col("num").desc(), F.col("dim").asc())
+    return (
+        per_dim.crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 16)
+        .select(
+            "dim",
+            F.round(F.col("num") / (F.col("n") * F.col("n")) / 1e8, 6).alias("variance"),
+            F.round(F.col("num") / F.col("tot_num"), 6).alias("var_share"),
+            "rk",
+        )
+    )
+
+
+EMBEDDING_DIM_VARIANCE_ORACLE = """
+WITH x AS (
+  SELECT t.dim - 1 AS dim,
+         CAST(round(CAST(t.x AS DOUBLE) * 10000) AS BIGINT) AS xi
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim) t
+), per_dim AS (
+  SELECT dim, count(*) AS n,
+         CAST(n * CAST(sum(xi * xi) AS BIGINT)
+              - CAST(sum(xi) AS BIGINT) * CAST(sum(xi) AS BIGINT) AS BIGINT) AS num
+  FROM x GROUP BY dim
+), tot AS (SELECT CAST(sum(num) AS BIGINT) AS tot_num FROM per_dim),
+ranked AS (
+  SELECT dim, n, num, tot_num,
+         row_number() OVER (ORDER BY num DESC, dim) AS rk
+  FROM per_dim CROSS JOIN tot
+)
+SELECT dim, round(num / (n * n) / 1e8, 6) AS variance,
+       round(num / tot_num, 6) AS var_share, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 16
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified k-fold assignment
+# --------------------------------------------------------------------------
+
+
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment stratified by
+    label: fold = knuth-hash(vec_id) mod 5, reported as the per
+    (label, fold) balance sheet an eval harness checks before
+    training. Content-hash folds (not row order) make the split
+    identical on any engine, any partitioning, any rerun — the same
+    leakage-safety argument as split_train_holdout.
+
+    Scale shape: one map-side combinable groupBy; the per-label share
+    join is a broadcast of the |labels|-row total table.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    fold = (F.col("vec_id") * F.lit(2654435761)) % F.lit(2147483647) % F.lit(5)
+    per = emb.select("label", fold.alias("fold")).groupBy("label", "fold").agg(
+        F.count("*").alias("n")
+    )
+    tot = emb.groupBy("label").agg(F.count("*").alias("label_n"))
+    return (
+        per.join(F.broadcast(tot), "label")
+        .select(
+            "label",
+            "fold",
+            "n",
+            F.round(F.col("n") / F.col("label_n"), 4).alias("share"),
+        )
+        .orderBy("label", "fold")
+    )
+
+
+STRATIFIED_KFOLD_ORACLE = """
+WITH per AS (
+  SELECT label, (vec_id * 2654435761) % 2147483647 % 5 AS fold, count(*) AS n
+  FROM embeddings GROUP BY 1, 2
+), tot AS (
+  SELECT label, count(*) AS label_n FROM embeddings GROUP BY label
+)
+SELECT per.label, per.fold, per.n, round(per.n / tot.label_n, 4) AS share
+FROM per JOIN tot USING (label)
+ORDER BY label, fold
+"""
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batch planning
+# --------------------------------------------------------------------------
+
+_BATCH_TOKENS = 4096
+
+
+def length_bucket_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan: round each document's token count up
+    to the next power of two (its padding bucket), then report per
+    bucket how many batches a 4096-token budget needs and what
+    fraction of the padded slots is waste — the planner report that
+    decides between bucketed padding and sequence packing
+    (sequence_pack_by_source is the packing alternative).
+
+    Integer-exact everywhere: the power-of-two cap uses the bin-length
+    trick (len(bin(n−1)) = ⌈log2 n⌉, no floating log), batch counts
+    are ceil-divisions, and only the final waste fraction divides into
+    a rounded double. Scale shape: one narrow projection + one
+    map-side combinable groupBy over ≤ ~20 bucket rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    cap = F.expr(
+        "CASE WHEN size(split(text, ' ')) <= 1 THEN CAST(1 AS BIGINT) "
+        "ELSE CAST(shiftleft(CAST(1 AS BIGINT), "
+        "CAST(length(bin(CAST(size(split(text, ' ')) - 1 AS BIGINT))) AS INT)) "
+        "AS BIGINT) END"
+    )
+    per = (
+        docs.select(n_tok.alias("n_tok"), cap.alias("bucket_cap"))
+        .groupBy("bucket_cap")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tokens"))
+    )
+    docs_per_batch = F.greatest(
+        F.lit(1).cast("long"), F.lit(_BATCH_TOKENS).cast("long") / F.col("bucket_cap")
+    ).cast("long")
+    return per.select(
+        "bucket_cap",
+        "n_docs",
+        "sum_tokens",
+        ((F.col("n_docs") + docs_per_batch - 1) / docs_per_batch)
+        .cast("long")
+        .alias("batches"),
+        F.round(
+            1
+            - F.col("sum_tokens")
+            / (F.col("n_docs") * F.col("bucket_cap")),
+            4,
+        ).alias("waste_frac"),
+    ).orderBy("bucket_cap")
+
+
+LENGTH_BUCKET_ORACLE = f"""
+WITH per AS (
+  SELECT CASE WHEN len(string_split(text, ' ')) <= 1 THEN 1
+              ELSE 1 << length(bin(len(string_split(text, ' ')) - 1))
+         END AS bucket_cap,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), agg AS (
+  SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+  FROM per GROUP BY 1
+)
+SELECT bucket_cap, n_docs, sum_tokens,
+       CAST((n_docs + greatest(1, {_BATCH_TOKENS} // bucket_cap) - 1)
+            // greatest(1, {_BATCH_TOKENS} // bucket_cap) AS BIGINT) AS batches,
+       round(1 - sum_tokens / (n_docs * bucket_cap), 4) AS waste_frac
+FROM agg ORDER BY bucket_cap
+"""
+
+
 QUERIES: dict = {
     "target_encode_smoothed": (target_encode_smoothed, TARGET_ENCODE_ORACLE),
+    "quantile_normalize_scores": (quantile_normalize_scores, QUANTILE_NORMALIZE_ORACLE),
+    "embedding_dim_variance": (embedding_dim_variance, EMBEDDING_DIM_VARIANCE_ORACLE),
+    "stratified_kfold_assign": (stratified_kfold_assign, STRATIFIED_KFOLD_ORACLE),
+    "length_bucket_batch_plan": (length_bucket_batch_plan, LENGTH_BUCKET_ORACLE),
     "negative_sampling_pairs": (negative_sampling_pairs, NEGATIVE_SAMPLING_ORACLE),
     "curriculum_shard_plan": (curriculum_shard_plan, CURRICULUM_SHARD_ORACLE),
     "hll_distinct_certificate": (hll_distinct_certificate, HLL_CERTIFICATE_ORACLE),

@@ -1721,7 +1721,94 @@ LIMIT 10
 """
 
 
+def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide collocation mining: the top-20 adjacent token pairs
+    by PMI lift — the classic phrase-detection statistic (word2vec's
+    phrase pass, gensim Phrases). Reported as the integer-rational
+    LIFT = P(w1w2)/(P(w1)P(w2)) = c12·T² / (B·c1·c2) rather than its
+    log: every factor is an exact int64 count product and only ONE
+    division produces the double, so no cross-engine libm-log ulp can
+    reorder the ranking (the bigram_lm_score lesson). PMI = log2(lift)
+    is monotone in it, so the top-k is identical.
+
+    Scale shape: bigrams come from a ZERO-SHUFFLE array fold
+    (arrays_zip of two slices — no posexplode+window like the LM
+    scorer needs for per-doc context); then two map-side combinable
+    count tables, a count join on the bigram key, and TakeOrdered for
+    the top-20. The c12 ≥ 5 floor prunes the long tail before the
+    join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, F.lit(1), F.size(toks) - 1).alias("w1"),
+                F.slice(toks, F.lit(2), F.size(toks) - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12")).where(
+        F.col("c12") >= 5
+    )
+    uni = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    tot = docs.select(F.explode(toks).alias("w")).agg(F.count("*").alias("t"))
+    btot = pairs.agg(F.count("*").alias("b"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        c12.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                (F.col("c12") * F.col("t") * F.col("t")).cast("double")
+                / (F.col("b") * F.col("c1") * F.col("c2")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+COLLOCATION_PMI_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, t.pos, t.w
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos) t
+), bi AS (
+  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+), bi2 AS (
+  SELECT w1, w2 FROM bi WHERE w2 IS NOT NULL
+), pc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi2 GROUP BY 1, 2
+  HAVING count(*) >= 5
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi2)
+SELECT pc.w1, pc.w2, pc.c12,
+       round(CAST(pc.c12 * t * t AS DOUBLE)
+             / CAST(b * u1.c * u2.c AS DOUBLE), 4) AS lift
+FROM pc JOIN uni u1 ON u1.w = pc.w1
+        JOIN uni u2 ON u2.w = pc.w2
+CROSS JOIN tot CROSS JOIN btot
+ORDER BY lift DESC, pc.w1, pc.w2
+LIMIT 20
+"""
+
+
 QUERIES: dict = {
+    "collocation_pmi_top": (collocation_pmi_top, COLLOCATION_PMI_ORACLE),
     "sparse_tfidf_doc_pairs": (sparse_tfidf_doc_pairs, SPARSE_TFIDF_ORACLE),
     "feature_hash_bag": (feature_hash_bag, FEATURE_HASH_ORACLE),
     "bigram_lm_score": (bigram_lm_score, BIGRAM_LM_ORACLE),
