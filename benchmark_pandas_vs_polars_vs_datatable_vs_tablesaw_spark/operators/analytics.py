@@ -1169,6 +1169,270 @@ ORDER BY r_name, region_rank
 """
 
 
+# --------------------------------------------------------------------------
+# Poisson-bootstrap confidence intervals
+# --------------------------------------------------------------------------
+
+
+def bootstrap_ci_group_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 32-replicate confidence interval for the mean
+    order price per priority — THE scale-out bootstrap (each row draws
+    its own replicate multiplicity, so no global resampling pass is
+    ever needed; Chamandy et al.'s estimator family). Deterministic:
+    the Poisson(1) draw is a threshold table over a Knuth hash of
+    (orderkey, replicate), prices accumulate as exact int64 cents, and
+    the CI endpoints are the 2nd-smallest / 2nd-largest replicate
+    means (order statistics of 32 — no interpolated percentile to
+    disagree on).
+
+    Scale shape: the 32× row expansion is a zero-shuffle explode
+    feeding ONE map-side combinable groupBy on (group, replicate);
+    the order-statistics window runs over 32 rows per group.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    reps = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    )
+    u = (
+        F.col("o_orderkey") * F.lit(2654435761) + F.col("b") * F.lit(40503)
+    ) % F.lit(2147483647) % F.lit(1000)
+    w = (
+        F.when(u < 368, 0)
+        .when(u < 736, 1)
+        .when(u < 920, 2)
+        .when(u < 981, 3)
+        .otherwise(4)
+    )
+    rep_means = (
+        reps.withColumn("w", w)
+        .groupBy("o_orderpriority", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "o_orderpriority",
+            "b",
+            (F.col("swx") / (F.lit(100) * F.col("sw"))).alias("rep_mean"),
+        )
+    )
+    wnd = Window.partitionBy("o_orderpriority").orderBy("rep_mean", "b")
+    ranked = rep_means.withColumn("rk", F.row_number().over(wnd))
+    overall = base.groupBy("o_orderpriority").agg(
+        (F.sum("cents") / (F.lit(100.0) * F.count("*"))).alias("mean_raw")
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.min(F.when(F.col("rk") == 2, F.col("rep_mean"))), 4).alias(
+                "ci_lo"
+            ),
+            F.round(F.min(F.when(F.col("rk") == 31, F.col("rep_mean"))), 4).alias(
+                "ci_hi"
+            ),
+        )
+        .join(F.broadcast(overall), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.round("mean_raw", 4).alias("mean_price"),
+            "ci_lo",
+            "ci_hi",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BOOTSTRAP_CI_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), reps AS (
+  SELECT o_orderpriority, cents, b.b,
+         (o_orderkey * 2654435761 + b.b * 40503) % 2147483647 % 1000 AS u
+  FROM base CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+), wtab AS (
+  SELECT o_orderpriority, b, cents,
+         CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1 WHEN u < 920 THEN 2
+              WHEN u < 981 THEN 3 ELSE 4 END AS w
+  FROM reps
+), rm AS (
+  SELECT o_orderpriority, b,
+         CAST(sum(w * cents) AS BIGINT) / (100 * CAST(sum(w) AS BIGINT))
+           AS rep_mean
+  FROM wtab GROUP BY 1, 2
+), rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderpriority ORDER BY rep_mean, b) AS rk
+  FROM rm
+), overall AS (
+  SELECT o_orderpriority,
+         CAST(sum(cents) AS BIGINT) / (100.0 * count(*)) AS mean_raw
+  FROM base GROUP BY 1
+)
+SELECT rk.o_orderpriority, round(overall.mean_raw, 4) AS mean_price,
+       round(min(CASE WHEN rk = 2 THEN rep_mean END), 4) AS ci_lo,
+       round(min(CASE WHEN rk = 31 THEN rep_mean END), 4) AS ci_hi
+FROM rk JOIN overall USING (o_orderpriority)
+GROUP BY rk.o_orderpriority, overall.mean_raw
+ORDER BY rk.o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# A/B proportion z-test
+# --------------------------------------------------------------------------
+
+
+def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per day-of-week: split users into
+    deterministic A/B arms (user_id parity — the hash-bucket
+    assignment every experimentation platform uses), compare each
+    arm's purchase share with the pooled-variance z statistic. The
+    weekly breakdown is the standard "did the effect hold every day?"
+    slice.
+
+    Numerics: counts are exact integers; the only floats are the four
+    final divisions and one sqrt — sqrt is correctly-rounded IEEE (no
+    libm ulp drift, unlike log), so the statistic is bit-identical
+    across engines. One map-side combinable groupBy total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.select(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            (F.col("user_id") % 2).alias("arm"),
+            (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+        )
+        .groupBy("dow")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("arm") == 0, F.col("is_p")).otherwise(0)).alias("x_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(F.col("arm") == 1, F.col("is_p")).otherwise(0)).alias("x_b"),
+        )
+    )
+    pa = F.col("x_a") / F.col("n_a")
+    pb = F.col("x_b") / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (pa - pb) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return agg.select(
+        "dow",
+        "n_a",
+        "n_b",
+        F.round(pa, 4).alias("conv_a"),
+        F.round(pb, 4).alias("conv_b"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    ).orderBy("dow")
+
+
+AB_PROPORTION_ORACLE = """
+WITH agg AS (
+  SELECT date_part('dow', ts) AS dow,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS x_a,
+         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS x_b
+  FROM events GROUP BY 1
+)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(x_a / n_a, 4) AS conv_a,
+       round(x_b / n_b, 4) AS conv_b,
+       round((x_a / n_a - x_b / n_b)
+             / sqrt((x_a + x_b) / (n_a + n_b)
+                    * (1 - (x_a + x_b) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z,
+       abs((x_a / n_a - x_b / n_b)
+           / sqrt((x_a + x_b) / (n_a + n_b)
+                  * (1 - (x_a + x_b) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+FROM agg ORDER BY dow
+"""
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend
+# --------------------------------------------------------------------------
+
+
+def theilsen_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Theil-Sen robust trend per event type: pair each event
+    with the one 50 positions later in time order, take the median of
+    the pairwise slopes (value units per hour). One outlier spike
+    cannot move this estimate the way it drags OLS
+    (trend_regression_by_type is the OLS twin to compare against).
+
+    Determinism: the median is the LOWER-median ELEMENT (row_number
+    pick at ceil(n/2) with an event_id tie-break), never an
+    interpolated percentile two engines could round differently;
+    slopes multiply before the single division. Scale shape: banded
+    pairs are one lead() over one event_type shuffle — O(n) pairs,
+    not Theil-Sen's classic O(n²).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    paired = (
+        ev.select("event_type", "event_id", "ts", "value")
+        .withColumn("v2", F.lead("value", 50).over(w))
+        .withColumn("ts2", F.lead("ts", 50).over(w))
+        .where(F.col("v2").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            (
+                (F.col("v2") - F.col("value"))
+                * F.lit(3600000000.0)
+                / (F.unix_micros("ts2") - F.unix_micros("ts"))
+            ).alias("slope"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "event_id")
+    counted = paired.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    return (
+        counted.where(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("n").alias("n_pairs"),
+            F.round("slope", 6).alias("med_slope_per_hour"),
+        )
+        .orderBy("event_type")
+    )
+
+
+THEILSEN_ORACLE = """
+WITH paired AS (
+  SELECT event_type, event_id,
+         (lead(value, 50) OVER w - value) * 3600000000.0
+           / (epoch_us(lead(ts, 50) OVER w) - epoch_us(ts)) AS slope
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), ok AS (
+  SELECT * FROM paired WHERE slope IS NOT NULL
+), ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ok
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       round(slope, 6) AS med_slope_per_hour
+FROM ranked WHERE rk = (n + 1) // 2
+ORDER BY event_type
+"""
+
+
 QUERIES: dict = {
     "ewma_customer_orders": (ewma_customer_orders, EWMA_ORACLE),
     "revenue_contribution_shares": (
@@ -1193,6 +1457,9 @@ QUERIES: dict = {
     "window_distribution_funcs": (window_distribution_funcs, WINDOW_DIST_ORACLE),
     "approx_quantile_bounds": (approx_quantile_bounds, APPROX_QUANTILE_ORACLE),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_ORACLE),
+    "bootstrap_ci_group_means": (bootstrap_ci_group_means, BOOTSTRAP_CI_ORACLE),
+    "ab_proportion_ztest": (ab_proportion_ztest, AB_PROPORTION_ORACLE),
+    "theilsen_trend_by_type": (theilsen_trend_by_type, THEILSEN_ORACLE),
     "ntile_balance_quartiles": (ntile_balance_quartiles, NTILE_ORACLE),
     "corr_covar_stats": (corr_covar_stats, CORR_ORACLE),
     "histogram_totalprice": (histogram_totalprice, HISTOGRAM_ORACLE),

@@ -1807,7 +1807,69 @@ LIMIT 20
 """
 
 
+def keyword_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical keyword search: score every document against the query
+    terms ('spark', 'join', 'stream') by Σ tf·idf and return the
+    top-10 — the BM25-family retrieval kernel that pairs with the
+    dense ANN side in hybrid search (hybrid_rrf_fusion fuses two
+    dense rankers; this is the sparse ranker it would fuse at scale).
+
+    idf uses the repo's integer floor-log2 convention
+    (sparse_tfidf_doc_pairs): w = tf · (len(bin(N div df)) − 1) — an
+    exact int64 score, so the ranking can never flip between engines.
+    Scale shape: the term filter lands BEFORE tf aggregation (only
+    query-term postings move), df comes from a 3-row broadcast, and
+    the top-10 is a TakeOrdered.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ("spark", "join", "stream")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term")).where(
+        F.col("term").isin(*terms)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "w", F.col("tf") * (F.length(F.expr("bin(n_docs div df)")) - 1)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w").alias("score"),
+            F.count("*").alias("n_hit_terms"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(10)
+
+
+KEYWORD_SEARCH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+  WHERE t.term IN ('spark', 'join', 'stream')
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_id,
+       CAST(sum(tf * (length(bin(n_docs // df)) - 1)) AS BIGINT) AS score,
+       count(*) AS n_hit_terms
+FROM tf JOIN df USING (term) CROSS JOIN nd
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 QUERIES: dict = {
+    "keyword_search_tfidf": (keyword_search_tfidf, KEYWORD_SEARCH_ORACLE),
     "collocation_pmi_top": (collocation_pmi_top, COLLOCATION_PMI_ORACLE),
     "sparse_tfidf_doc_pairs": (sparse_tfidf_doc_pairs, SPARSE_TFIDF_ORACLE),
     "feature_hash_bag": (feature_hash_bag, FEATURE_HASH_ORACLE),

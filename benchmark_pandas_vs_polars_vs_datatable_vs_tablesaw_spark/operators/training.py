@@ -625,6 +625,50 @@ ORDER BY r.source
 """
 
 
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity spectrum — the companion privacy pre-flight to
+    ``k_anonymity_spectrum``: k-anonymity bounds how small a
+    quasi-identifier group can get, l-diversity bounds how UNIFORM a
+    group's sensitive attribute is (a k=50 group whose members all
+    share one salary band is still fully disclosed). Groups customers
+    by QI = (nation, market segment), measures the number of distinct
+    $1000 balance bands per group, and reports the spectrum: for each
+    diversity level l, how many QI groups sit at it and their size
+    range. A release gate reads the l=1 row directly.
+
+    Scale shape: two map-side combinable aggregations (QI+band, then
+    QI), then a spectrum groupBy over the QI-group table — the same
+    cardinality ladder as k_anonymity_spectrum.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    groups = (
+        cust.select("c_nationkey", "c_mktsegment", band.alias("band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("k"), F.count_distinct("band").alias("l"))
+    )
+    return (
+        groups.groupBy("l")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("l")
+    )
+
+
+L_DIVERSITY_ORACLE = """
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS k,
+         count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
+  FROM customer GROUP BY 1, 2
+)
+SELECT l, count(*) AS n_groups, min(k) AS min_k, max(k) AS max_k
+FROM groups GROUP BY l ORDER BY l
+"""
+
+
 QUERIES: dict = {
     "dataset_mixture_plan": (dataset_mixture_plan, MIXTURE_PLAN_ORACLE),
     "ks_drift_test": (ks_drift_test, KS_DRIFT_ORACLE),
@@ -636,6 +680,7 @@ QUERIES: dict = {
     ),
     "dup_ngram_char_fraction": (dup_ngram_char_fraction, DUP_NGRAM_ORACLE),
     "k_anonymity_spectrum": (k_anonymity_spectrum, K_ANONYMITY_ORACLE),
+    "l_diversity_report": (l_diversity_report, L_DIVERSITY_ORACLE),
     "deterministic_shuffle_shard": (
         deterministic_shuffle_shard,
         SHUFFLE_SHARD_ORACLE,
