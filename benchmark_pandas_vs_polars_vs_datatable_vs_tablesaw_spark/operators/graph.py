@@ -372,6 +372,95 @@ ORDER BY degree
 """
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph by iterative peeling: each
+    round drops nodes of degree < 3 and the edges they carry, the
+    standard dense-subgraph / spam-cluster extractor. Emits the
+    per-round shrinkage trace (nodes and edges alive) — the artifact
+    an analyst reads to pick k — over a FIXED 3-round unroll; the
+    rounds are few because each pass removes whole low-degree fringes
+    at once.
+
+    Scale shape: every round is two left-semi joins against the
+    just-computed alive-node set plus one degree aggregate — the same
+    per-round cost as one dedup_clusters_cc iteration; per-round
+    persist() keeps the unrolled lineage linear (at 100 TB,
+    localCheckpoint per round as in the CC operator). The trace rows
+    are 1-row aggregates unioned lazily — nothing collects on the
+    driver.
+    """
+    edges = _cooccurrence_edges(spark, sf_dir).persist()
+    traces = []
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        alive = deg.where(F.col("deg") >= _KCORE_K).select("node").persist()
+        edges = (
+            edges.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+            .persist()
+        )
+        traces.append(
+            alive.agg(F.count("*").alias("n_nodes"))
+            .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+            .select(F.lit(rnd).alias("round"), "n_nodes", "n_edges")
+        )
+    out = traces[0]
+    for t in traces[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("round")
+
+
+KCORE_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  QUALIFY count(DISTINCT l_partkey) OVER (PARTITION BY l_orderkey) <= 50
+), e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(DISTINCT a.l_orderkey) >= 2
+), d1 AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1
+), a1 AS (SELECT node FROM d1 WHERE deg >= {_KCORE_K}),
+e1 AS (
+  SELECT e0.u, e0.v FROM e0
+  WHERE u IN (SELECT node FROM a1) AND v IN (SELECT node FROM a1)
+), d2 AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1
+), a2 AS (SELECT node FROM d2 WHERE deg >= {_KCORE_K}),
+e2 AS (
+  SELECT e1.u, e1.v FROM e1
+  WHERE u IN (SELECT node FROM a2) AND v IN (SELECT node FROM a2)
+), d3 AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1
+), a3 AS (SELECT node FROM d3 WHERE deg >= {_KCORE_K}),
+e3 AS (
+  SELECT e2.u, e2.v FROM e2
+  WHERE u IN (SELECT node FROM a3) AND v IN (SELECT node FROM a3)
+)
+SELECT 1 AS round, (SELECT count(*) FROM a1) AS n_nodes,
+       (SELECT count(*) FROM e1) AS n_edges
+UNION ALL
+SELECT 2, (SELECT count(*) FROM a2), (SELECT count(*) FROM e2)
+UNION ALL
+SELECT 3, (SELECT count(*) FROM a3), (SELECT count(*) FROM e3)
+ORDER BY round
+"""
+
+
 QUERIES: dict = {
     "market_basket_rules": (market_basket_rules, MARKET_BASKET_ORACLE),
     "copurchase_degree_distribution": (
@@ -380,4 +469,5 @@ QUERIES: dict = {
     ),
     "triangle_count_copurchase": (triangle_count, TRIANGLE_COUNT_ORACLE),
     "pagerank_nation_trade": (pagerank_nation_trade, PAGERANK_ORACLE),
+    "kcore_copurchase_peel": (kcore_copurchase_peel, KCORE_ORACLE),
 }

@@ -546,8 +546,24 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     per_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("msize"))
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = per_price.repartitionByRange(n_part, "p_retailprice").withColumn(
-        "_pid", F.spark_partition_id()
+    # Bucket id is ARITHMETIC on the key (broadcast min/max scale), not
+    # spark_partition_id() over a range exchange: the prefix's local
+    # and offset branches re-execute the exchange (no ReusedExchange in
+    # this plan shape) and re-sampled boundaries could disagree between
+    # them; a data-derived bucket is identical in both by construction.
+    bounds = per_price.agg(
+        F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi")
+    )
+    ranged = per_price.crossJoin(F.broadcast(bounds)).withColumn(
+        "_pid",
+        F.least(
+            F.floor(
+                (F.col("p_retailprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo") + 1e-9)
+                * n_part
+            ).cast("int"),
+            F.lit(n_part - 1),
+        ),
     )
     w_loc = (
         Window.partitionBy("_pid")
@@ -626,9 +642,14 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("gval"),
     )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    both = s_rows.unionByName(g_rows).repartitionByRange(
-        n_part, F.col("p").asc(), F.col("is_g").desc()
-    ).withColumn("_pid", F.spark_partition_id())
+    # Bucket arithmetically on p ∈ [0,1] (not spark_partition_id over a
+    # range exchange): the carry's local and offset branches re-execute
+    # the exchange, and re-sampled boundaries could disagree between
+    # them — a data-derived bucket cannot.
+    both = s_rows.unionByName(g_rows).withColumn(
+        "_pid",
+        F.least(F.floor(F.col("p") * n_part).cast("int"), F.lit(n_part - 1)),
+    )
     w_loc = (
         Window.partitionBy("_pid")
         .orderBy(F.col("p").asc(), F.col("is_g").desc())
@@ -866,8 +887,81 @@ FROM agg ORDER BY bucket_cap
 """
 
 
+# --------------------------------------------------------------------------
+# Per-user feature vector assembly
+# --------------------------------------------------------------------------
+
+
+def user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store materialization: ONE wide row per user from the
+    event stream — type counts (conditional aggregation, not pivot:
+    the column set is pinned by the feature contract, not by the
+    data), exact int64-cents purchase value, distinct active days, and
+    recency against the corpus watermark. This is the offline half of
+    a feature store; the online half serves these rows by user_id.
+
+    Scale shape: a single map-side combinable groupBy(user_id) builds
+    every feature in one pass over the stream — no per-feature joins,
+    no pivot shuffle; the corpus max-date is a broadcast scalar.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    maxd = ev.agg(F.max(F.to_date("ts")).alias("corpus_max_d"))
+    feats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchase"
+        ),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("purchase_cents"),
+        F.count_distinct(F.to_date("ts")).alias("days_active"),
+        F.max(F.to_date("ts")).alias("last_d"),
+    )
+    return (
+        feats.crossJoin(F.broadcast(maxd))
+        .select(
+            "user_id",
+            "n_events",
+            "n_click",
+            "n_view",
+            "n_purchase",
+            "purchase_cents",
+            "days_active",
+            F.datediff("corpus_max_d", "last_d").cast("long").alias("recency_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_FEATURE_ORACLE = """
+WITH maxd AS (SELECT max(CAST(ts AS DATE)) AS corpus_max_d FROM events)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS purchase_cents,
+       count(DISTINCT CAST(ts AS DATE)) AS days_active,
+       CAST(corpus_max_d - max(CAST(ts AS DATE)) AS BIGINT) AS recency_days
+FROM events CROSS JOIN maxd
+GROUP BY user_id, corpus_max_d
+ORDER BY user_id
+"""
+
+
 QUERIES: dict = {
     "target_encode_smoothed": (target_encode_smoothed, TARGET_ENCODE_ORACLE),
+    "user_feature_vector": (user_feature_vector, USER_FEATURE_ORACLE),
     "quantile_normalize_scores": (quantile_normalize_scores, QUANTILE_NORMALIZE_ORACLE),
     "embedding_dim_variance": (embedding_dim_variance, EMBEDDING_DIM_VARIANCE_ORACLE),
     "stratified_kfold_assign": (stratified_kfold_assign, STRATIFIED_KFOLD_ORACLE),

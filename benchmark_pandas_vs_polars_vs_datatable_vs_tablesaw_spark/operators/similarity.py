@@ -1204,6 +1204,113 @@ QUALIFY fused_rank <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Product quantization codebook stats
+# --------------------------------------------------------------------------
+
+_PQ_SUBS = 8  # 64 dims -> 8 subspaces of 8 dims
+_PQ_DIMS = 8
+_PQ_CENTERS = 4
+
+
+def pq_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization assignment pass: split each 64-dim vector
+    into 8 subvectors, snap each to its nearest of 4 codebook centers,
+    and report per (subspace, center) the assignment count and mean
+    quantization error — the codebook-health report an IVF-PQ index
+    build emits (ivf_ann_topk is the IVF half; PQ is how the residuals
+    compress 8× at 100 TB).
+
+    Determinism: the codebook is a seeded integer-hash literal table
+    (trained centroids drop in as the same broadcast), coordinates
+    quantize to e4 ints FIRST, so every squared distance is an exact
+    int64 and the argmin (distance, center tie-break) can never flip
+    between engines. Scale shape: posexplode → broadcast-join the
+    256-row codebook → two map-side combinable aggregations; the
+    argmin is a 4-row-per-key window.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim") / _PQ_DIMS).cast("int").alias("sub"),
+        (F.col("dim") % _PQ_DIMS).alias("j"),
+        F.round(F.col("x").cast("double") * 10000).cast("long").alias("xi"),
+    )
+    centers = spark.range(_PQ_SUBS * _PQ_CENTERS * _PQ_DIMS).select(
+        (F.col("id") / (_PQ_CENTERS * _PQ_DIMS)).cast("int").alias("sub"),
+        ((F.col("id") / _PQ_DIMS).cast("long") % _PQ_CENTERS).alias("center"),
+        (F.col("id") % _PQ_DIMS).alias("j"),
+        (
+            (
+                (F.col("id") / (_PQ_CENTERS * _PQ_DIMS)).cast("long") * 73856093
+                + ((F.col("id") / _PQ_DIMS).cast("long") % _PQ_CENTERS) * 19349663
+                + (F.col("id") % _PQ_DIMS) * 83492791
+            )
+            % 2147483647
+            % 10001
+            - 5000
+        ).alias("ci"),
+    )
+    dists = (
+        dims.join(F.broadcast(centers), ["sub", "j"])
+        .groupBy("vec_id", "sub", "center")
+        .agg(
+            F.sum((F.col("xi") - F.col("ci")) * (F.col("xi") - F.col("ci"))).alias(
+                "d2"
+            )
+        )
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "center")
+    assigned = dists.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return (
+        assigned.groupBy("sub", "center")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.round(F.sum("d2") / F.count("*") / 1e8, 4).alias("avg_err"),
+        )
+        .orderBy("sub", "center")
+    )
+
+
+PQ_QUANTIZE_ORACLE = f"""
+WITH dims AS (
+  SELECT vec_id,
+         CAST((t.dim - 1) // {_PQ_DIMS} AS INT) AS sub,
+         (t.dim - 1) % {_PQ_DIMS} AS j,
+         CAST(round(CAST(t.x AS DOUBLE) * 10000) AS BIGINT) AS xi
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim) t
+), centers AS (
+  SELECT CAST(i // ({_PQ_CENTERS} * {_PQ_DIMS}) AS INT) AS sub,
+         CAST((i // {_PQ_DIMS}) % {_PQ_CENTERS} AS BIGINT) AS center,
+         i % {_PQ_DIMS} AS j,
+         CAST((i // ({_PQ_CENTERS} * {_PQ_DIMS})) * 73856093
+              + ((i // {_PQ_DIMS}) % {_PQ_CENTERS}) * 19349663
+              + (i % {_PQ_DIMS}) * 83492791 AS BIGINT)
+           % 2147483647 % 10001 - 5000 AS ci
+  FROM (SELECT unnest(generate_series(0,
+         {_PQ_SUBS * _PQ_CENTERS * _PQ_DIMS - 1})) AS i)
+), dists AS (
+  SELECT vec_id, sub, center,
+         CAST(sum((xi - ci) * (xi - ci)) AS BIGINT) AS d2
+  FROM dims JOIN centers USING (sub, j)
+  GROUP BY 1, 2, 3
+), assigned AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id, sub ORDER BY d2, center) AS rk
+  FROM dists
+)
+SELECT sub, center, count(*) AS n_assigned,
+       round(CAST(sum(d2) AS BIGINT) / count(*) / 1e8, 4) AS avg_err
+FROM assigned WHERE rk = 1
+GROUP BY sub, center
+ORDER BY sub, center
+"""
+
+
 QUERIES: dict = {
     "embedding_centroid_outliers": (
         embedding_centroid_outliers,
@@ -1226,4 +1333,5 @@ QUERIES: dict = {
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_ORACLE),
     "kmeans_assign_fixed": (kmeans_assign_fixed, KMEANS_ASSIGN_ORACLE),
     "kmeans_lloyd_two_rounds": (kmeans_lloyd_two_rounds, KMEANS_LLOYD_ORACLE),
+    "pq_quantize_stats": (pq_quantize_stats, PQ_QUANTIZE_ORACLE),
 }

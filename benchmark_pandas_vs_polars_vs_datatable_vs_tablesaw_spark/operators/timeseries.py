@@ -1340,6 +1340,82 @@ ORDER BY day
 """
 
 
+def late_event_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness audit (batch replay): treat ``event_id`` as
+    the arrival order, replay a 10-minute watermark (running max event
+    time seen so far, minus 10 min) over the stream, and count per
+    event type how many events would arrive BEHIND it — the offline
+    audit that sizes a Structured Streaming watermark before anyone
+    ships it (streaming/windows.py holds the online operators this
+    calibrates).
+
+    Scale shape: a two-phase distributed prefix max — but unlike the
+    ks_drift_test pattern, the bucket id here is ARITHMETIC on the key
+    (event_id scaled by the broadcast max), not spark_partition_id()
+    over a range exchange: the prefix's local and offset branches must
+    agree on every row's bucket, and a re-executed range exchange
+    re-SAMPLES its boundaries (observed flaking once at sf0.01), while
+    a data-derived bucket is identical in both branches by
+    construction, whatever the physical partitioning does. Local
+    running max per bucket, broadcast ≤ n_part per-bucket offset
+    maxima, then one map-side combinable groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bounds = ev.agg(F.max("event_id").alias("max_id"))
+    ranged = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "_pid",
+        (F.col("event_id") / (F.col("max_id") + 1) * n_part).cast("int"),
+    )
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        ranged.groupBy("_pid")
+        .agg(F.max("ts_us").alias("pmax"))
+        .select("_pid", F.max("pmax").over(w_prev).alias("off_max"))
+    )
+    flagged = (
+        ranged.withColumn("loc_max", F.max("ts_us").over(w_loc))
+        .join(F.broadcast(off), "_pid")
+        .withColumn("wm", F.greatest("loc_max", "off_max") - F.lit(600_000_000))
+        .withColumn(
+            "is_late", (F.col("wm").isNotNull() & (F.col("ts_us") < F.col("wm"))).cast("long")
+        )
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_late").alias("n_late"),
+            F.round(F.sum("is_late") / F.count("*"), 4).alias("late_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+LATE_EVENT_ORACLE = """
+WITH flagged AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) <
+                max(epoch_us(ts)) OVER (ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                - 600000000
+              THEN 1 ELSE 0 END AS is_late
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(is_late) AS BIGINT) AS n_late,
+       round(CAST(sum(is_late) AS BIGINT) / count(*), 4) AS late_frac
+FROM flagged GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES: dict = {
     "recursive_spine_gapfill": (recursive_spine_gapfill, RECURSIVE_SPINE_ORACLE),
     "time_to_first_purchase": (time_to_first_purchase, TIME_TO_PURCHASE_ORACLE),
@@ -1380,4 +1456,5 @@ QUERIES: dict = {
     "events_json_extract": (events_json_extract, EVENTS_JSON_ORACLE),
     "events_variant_json": (events_variant_json, EVENTS_VARIANT_ORACLE),
     "events_topk_users_per_type": (events_topk_users_per_type, EVENTS_TOPK_ORACLE),
+    "late_event_accounting": (late_event_accounting, LATE_EVENT_ORACLE),
 }

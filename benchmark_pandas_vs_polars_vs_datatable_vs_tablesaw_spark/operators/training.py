@@ -74,8 +74,23 @@ def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = perv.repartitionByRange(n_part, "value").withColumn(
-        "_pid", F.spark_partition_id()
+    # Bucket id is ARITHMETIC on the key (broadcast min/max scale), not
+    # spark_partition_id() over a range exchange: the prefix sum's
+    # local and offset branches re-execute the exchange (no
+    # ReusedExchange in this plan shape), and independently re-sampled
+    # range boundaries could disagree between them — a data-derived
+    # bucket is identical in both branches by construction.
+    vbounds = perv.agg(F.min("value").alias("vlo"), F.max("value").alias("vhi"))
+    ranged = perv.crossJoin(F.broadcast(vbounds)).withColumn(
+        "_pid",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vlo"))
+                / (F.col("vhi") - F.col("vlo") + 1e-9)
+                * n_part
+            ).cast("int"),
+            F.lit(n_part - 1),
+        ),
     )
     w_loc = (
         Window.partitionBy("_pid")
