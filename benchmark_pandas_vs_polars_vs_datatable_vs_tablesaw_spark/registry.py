@@ -145,15 +145,11 @@ _PRIORITY = (
     "streaming_interval_join",
     # (c) fixed vacuous fixture match
     "q22_sales_opportunity",
-    # (d) this session's mlprep additions — the round-4 window above is
-    # already exactly 50, so these queue FIRST for the round-5 rotation
-    # (positions 51-54); target_encode_smoothed, negative_sampling_pairs,
-    # curriculum_shard_plan and er_weighted_match follow in module order.
-    # All 8 are differential-tested in tests/test_differential.py today.
-    "hll_distinct_certificate",
-    "asof_forward_tolerance",
-    "chi2_token_source",
-    "skyline_pareto_frontier",
+    # The 22 round-4-session additions (mlprep.py, collocation/keyword
+    # search, bootstrap/z-test/Theil-Sen, l-diversity, k-core, PQ stats,
+    # lateness audit) queue behind the window in module order for the
+    # round-5 rotation; every one is oracle-checked today in
+    # tests/test_differential.py and scripts/drive_contract.py.
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
