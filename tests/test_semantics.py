@@ -451,3 +451,116 @@ def test_random_projection_preserves_pair_distances(spark, sf_dir):
     gm = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
     assert all(0.15 <= r <= 4.0 for r in ratios), f"distortion out of envelope: {ratios}"
     assert 0.6 <= gm <= 1.6, f"systematic scale error: geomean {gm}"
+
+
+def test_skyline_is_antichain_and_complete(spark, sf_dir):
+    """Frontier rows must not dominate each other (anti-chain), and
+    every non-frontier part must be dominated by some frontier row —
+    the defining skyline properties, independent of the oracle SQL."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.mlprep import (
+        skyline_pareto_frontier,
+    )
+
+    front = [
+        (r.p_retailprice, r.p_size)
+        for r in skyline_pareto_frontier(spark, sf_dir).collect()
+    ]
+    allp = [
+        (r.p_retailprice, r.p_size)
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominates(q, p):
+        return (
+            q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+        )
+
+    for a in front:
+        assert not any(dominates(b, a) for b in front if b != a), (a, "dominated")
+    front_set = set(front)
+    for p in allp:
+        if p not in front_set:
+            assert any(dominates(f, p) for f in front), (p, "not dominated by frontier")
+
+
+def test_negative_sampling_constraints_and_determinism(spark, sf_dir):
+    """Every mined pair must cross sources, respect the K cap and the
+    1-in-20 anchor sample, and two independent executions must produce
+    the identical pair set (the whole point of hash-derived picks)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.mlprep import (
+        _NEG_K,
+        negative_sampling_pairs,
+    )
+
+    docs = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    }
+    rows = negative_sampling_pairs(spark, sf_dir).collect()
+    per_anchor = {}
+    for r in rows:
+        assert r.anchor_id % 20 == 0
+        assert docs[r.anchor_id] != docs[r.neg_id], "same-source negative"
+        per_anchor.setdefault(r.anchor_id, []).append(r.neg_rank)
+    for ranks in per_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= _NEG_K
+    again = {(r.anchor_id, r.neg_id, r.neg_rank) for r in negative_sampling_pairs(spark, sf_dir).collect()}
+    assert again == {(r.anchor_id, r.neg_id, r.neg_rank) for r in rows}
+
+
+def test_kcore_trace_monotone_and_converged(spark, sf_dir):
+    """Peeling can only shrink the graph, and on the fixture the
+    3-core must reach a fixpoint within the 3-round unroll (equal
+    consecutive rounds witness convergence)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.graph import (
+        kcore_copurchase_peel,
+    )
+
+    trace = sorted(
+        ((r.round, r.n_nodes, r.n_edges) for r in kcore_copurchase_peel(spark, sf_dir).collect())
+    )
+    assert [t[0] for t in trace] == [1, 2, 3]
+    for (_, n1, e1), (_, n2, e2) in zip(trace, trace[1:]):
+        assert n2 <= n1 and e2 <= e1, "peeling grew the graph"
+    assert trace[-1][1:] == trace[-2][1:], "did not converge in 3 rounds"
+
+
+def test_quantile_normalize_monotone_within_source(spark, sf_dir):
+    """The normalization maps within-source rank order onto the global
+    distribution, so within a source the normalized value must be
+    nondecreasing in the raw value (monotone calibration)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.mlprep import (
+        quantile_normalize_scores,
+    )
+
+    rows = quantile_normalize_scores(spark, sf_dir).collect()
+    assert rows, "empty sample"
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append((r.n_chars, r.doc_id, r.norm_chars))
+    for vals in by_source.values():
+        vals.sort()
+        for (c1, _, n1), (c2, _, n2) in zip(vals, vals[1:]):
+            assert n1 <= n2, f"non-monotone mapping: {c1}->{n1} vs {c2}->{n2}"
+        for c, _, n in vals:
+            assert n is not None
+
+
+def test_pq_assignment_partitions_every_vector(spark, sf_dir):
+    """Each subspace must assign every vector to exactly one center:
+    per-subspace assignment counts sum to the vector count."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.similarity import (
+        pq_quantize_stats,
+    )
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    per_sub = {}
+    for r in pq_quantize_stats(spark, sf_dir).collect():
+        per_sub[r.sub] = per_sub.get(r.sub, 0) + r.n_assigned
+        assert r.avg_err >= 0
+    assert set(per_sub) == set(range(8))
+    for sub, total in per_sub.items():
+        assert total == n_vecs, f"subspace {sub}: {total} != {n_vecs}"
