@@ -1170,6 +1170,139 @@ ORDER BY r_name, region_rank
 
 
 # --------------------------------------------------------------------------
+# CUSUM change-point detection
+# --------------------------------------------------------------------------
+
+
+def cusum_changepoint_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type: the time index where the
+    drift-adjusted cumulative sum D_i = n·S_i − i·S_n peaks in
+    magnitude — the standard 'where did this metric's level shift?'
+    detector. D is pure integer arithmetic on e4-quantized values
+    (n·prefix − i·total), so the argmax can never move by a float ulp;
+    the reported peak converts to value units only at the end.
+
+    Scale shape: per-type prefix sums use the arithmetic-bucket
+    two-phase pattern (bucket on the ORDER key — event time — with
+    broadcast bounds; local running sums per (type, bucket); a
+    ≤ types×n_part offset table), so one series never lands in one
+    task; the final argmax is a map-side combinable max_by with an
+    encoded (|D|, −ts, −id) tie-break — no global window anywhere.
+    Overflow headroom: n·prefix stays under int64 to ~10⁹ e4-values
+    per series; past that, quantize coarser or lift to decimal(38).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("tsu"),
+        F.round(F.col("value") * 10000).cast("long").alias("xi"),
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bounds = ev.agg(F.min("tsu").alias("lo"), F.max("tsu").alias("hi"))
+    bucketed = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "_pid",
+        F.least(
+            F.floor(
+                (F.col("tsu") - F.col("lo"))
+                / (F.col("hi") - F.col("lo") + 1)
+                * n_part
+            ).cast("int"),
+            F.lit(n_part - 1),
+        ),
+    )
+    w_loc = (
+        Window.partitionBy("event_type", "_pid")
+        .orderBy("tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.select(
+        "event_type",
+        "event_id",
+        "tsu",
+        F.sum("xi").over(w_loc).alias("loc_s"),
+        F.count("*").over(w_loc).alias("loc_i"),
+        "_pid",
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        bucketed.groupBy("event_type", "_pid")
+        .agg(F.sum("xi").alias("s"), F.count("*").alias("c"))
+        .select(
+            "event_type",
+            "_pid",
+            F.coalesce(F.sum("s").over(w_cum), F.lit(0)).alias("off_s"),
+            F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("off_c"),
+        )
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.sum("xi").alias("total"), F.count("*").alias("n")
+    )
+    d = (
+        local.join(F.broadcast(off), ["event_type", "_pid"])
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            "tsu",
+            "n",
+            (
+                (F.col("loc_s") + F.col("off_s")) * F.col("n")
+                - (F.col("loc_i") + F.col("off_c")) * F.col("total")
+            ).alias("dd"),
+        )
+    )
+    peak = d.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max_by(
+            F.struct("tsu", "event_id", F.abs(F.col("dd")).alias("absd")),
+            F.struct(F.abs(F.col("dd")).alias("o1"), (-F.col("tsu")).alias("o2"), (-F.col("event_id")).alias("o3")),
+        ).alias("pk"),
+    )
+    return peak.select(
+        "event_type",
+        "n",
+        F.timestamp_micros(F.col("pk.tsu")).alias("change_ts"),
+        F.round(F.col("pk.absd") / F.col("n") / 1e4, 4).alias("cusum_peak"),
+    ).orderBy("event_type")
+
+
+CUSUM_ORACLE = """
+WITH base AS (
+  SELECT event_type, event_id, epoch_us(ts) AS tsu,
+         CAST(round(value * 10000) AS BIGINT) AS xi
+  FROM events
+), pre AS (
+  SELECT event_type, event_id, tsu,
+         CAST(sum(xi) OVER (PARTITION BY event_type ORDER BY tsu, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+         CAST(row_number() OVER (PARTITION BY event_type
+           ORDER BY tsu, event_id) AS BIGINT) AS i
+  FROM base
+), tot AS (
+  SELECT event_type, CAST(sum(xi) AS BIGINT) AS total,
+         count(*) AS n
+  FROM base GROUP BY 1
+), d AS (
+  SELECT p.event_type, p.event_id, p.tsu, t.n,
+         abs(p.s * t.n - p.i * t.total) AS absd
+  FROM pre p JOIN tot t USING (event_type)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+    ORDER BY absd DESC, tsu, event_id) AS rk
+  FROM d
+)
+SELECT event_type, n, make_timestamp(tsu) AS change_ts,
+       round(CAST(absd AS BIGINT) / n / 1e4, 4) AS cusum_peak
+FROM ranked WHERE rk = 1
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Poisson-bootstrap confidence intervals
 # --------------------------------------------------------------------------
 
@@ -1458,6 +1591,7 @@ QUERIES: dict = {
     "approx_quantile_bounds": (approx_quantile_bounds, APPROX_QUANTILE_ORACLE),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_ORACLE),
     "bootstrap_ci_group_means": (bootstrap_ci_group_means, BOOTSTRAP_CI_ORACLE),
+    "cusum_changepoint_by_type": (cusum_changepoint_by_type, CUSUM_ORACLE),
     "ab_proportion_ztest": (ab_proportion_ztest, AB_PROPORTION_ORACLE),
     "theilsen_trend_by_type": (theilsen_trend_by_type, THEILSEN_ORACLE),
     "ntile_balance_quartiles": (ntile_balance_quartiles, NTILE_ORACLE),

@@ -461,6 +461,66 @@ ORDER BY round
 """
 
 
+def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction on the co-purchase graph: the
+    top-15 part pairs that are NOT connected but share the most
+    neighbors — the classic 'frequently bought together' candidate
+    generator (and the baseline every learned link predictor is
+    measured against).
+
+    Scale shape: symmetric adjacency → one two-hop self-join through
+    the shared neighbor (the wedge join triangle counting already
+    uses; at 100 TB orient the wedge by degree to bound fan-out by
+    arboricity), a map-side combinable wedge count per pair, one
+    left-anti join against the existing edge list, and TakeOrdered for
+    the top-15. The deterministic (cn desc, u, v) total order pins the
+    cut.
+    """
+    e = _cooccurrence_edges(spark, sf_dir).persist()
+    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    h1 = adj.select(F.col("u").alias("a"), F.col("v").alias("x"))
+    h2 = adj.select(F.col("u").alias("x"), F.col("v").alias("b"))
+    wedges = (
+        h1.join(h2, "x")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+    )
+    candidates = wedges.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return candidates.orderBy(
+        F.col("cn").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(15)
+
+
+LINK_PREDICTION_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  QUALIFY count(DISTINCT l_partkey) OVER (PARTITION BY l_orderkey) <= 50
+), e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(DISTINCT a.l_orderkey) >= 2
+), adj AS (
+  SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+), wedges AS (
+  SELECT h1.u AS a, h2.v AS b, count(*) AS cn
+  FROM adj h1 JOIN adj h2 ON h1.v = h2.u
+  WHERE h1.u < h2.v
+  GROUP BY 1, 2
+)
+SELECT a, b, cn FROM wedges w
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.b)
+ORDER BY cn DESC, a, b
+LIMIT 15
+"""
+
+
 QUERIES: dict = {
     "market_basket_rules": (market_basket_rules, MARKET_BASKET_ORACLE),
     "copurchase_degree_distribution": (
@@ -470,4 +530,8 @@ QUERIES: dict = {
     "triangle_count_copurchase": (triangle_count, TRIANGLE_COUNT_ORACLE),
     "pagerank_nation_trade": (pagerank_nation_trade, PAGERANK_ORACLE),
     "kcore_copurchase_peel": (kcore_copurchase_peel, KCORE_ORACLE),
+    "link_prediction_common_neighbors": (
+        link_prediction_common_neighbors,
+        LINK_PREDICTION_ORACLE,
+    ),
 }

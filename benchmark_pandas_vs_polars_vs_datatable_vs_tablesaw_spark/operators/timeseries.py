@@ -1416,6 +1416,93 @@ FROM flagged GROUP BY event_type ORDER BY event_type
 """
 
 
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: for each first-activity-day
+    cohort, cumulative purchase value per cohort member at day ages
+    0..7 — the revenue companion to retention_cohort_matrix (the two
+    together are the core product-analytics pair). Value accumulates
+    as exact int64 cents; only the final per-user division produces a
+    double.
+
+    Scale shape: one distinct-day pass + per-user min (the cohort
+    assignment retention already computes), a join back on user_id,
+    one (cohort, age) aggregate, and the cumulative sum runs over ≤ 8
+    rows per cohort — a |days|×8 window, never the event stream.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cohort = (
+        ev.select("user_id", "day")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+    )
+    sizes = cohort.groupBy("cohort_day").agg(F.count("*").alias("cohort_n"))
+    spend = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("age"),
+            "cents",
+        )
+        .where(F.col("age") <= 7)
+        .groupBy("cohort_day", "age")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spend.withColumn("cum_cents", F.sum("day_cents").over(w))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "age",
+            "cum_cents",
+            F.round(F.col("cum_cents") / (F.lit(100.0) * F.col("cohort_n")), 4).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_day", "age")
+    )
+
+
+COHORT_LTV_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+), sizes AS (
+  SELECT cohort_day, count(*) AS cohort_n FROM cohort GROUP BY cohort_day
+), spend AS (
+  SELECT c.cohort_day,
+         CAST(CAST(e.ts AS DATE) - c.cohort_day AS BIGINT) AS age,
+         CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events e JOIN cohort c USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND CAST(e.ts AS DATE) - c.cohort_day <= 7
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort_day, age,
+         CAST(sum(day_cents) OVER (PARTITION BY cohort_day ORDER BY age
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+  FROM spend
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, age, cum_cents,
+       round(cum_cents / (100.0 * cohort_n), 4) AS ltv_per_user
+FROM cum JOIN sizes USING (cohort_day)
+ORDER BY 1, age
+"""
+
+
 QUERIES: dict = {
     "recursive_spine_gapfill": (recursive_spine_gapfill, RECURSIVE_SPINE_ORACLE),
     "time_to_first_purchase": (time_to_first_purchase, TIME_TO_PURCHASE_ORACLE),
@@ -1457,4 +1544,5 @@ QUERIES: dict = {
     "events_variant_json": (events_variant_json, EVENTS_VARIANT_ORACLE),
     "events_topk_users_per_type": (events_topk_users_per_type, EVENTS_TOPK_ORACLE),
     "late_event_accounting": (late_event_accounting, LATE_EVENT_ORACLE),
+    "cohort_ltv_curve": (cohort_ltv_curve, COHORT_LTV_ORACLE),
 }
