@@ -211,3 +211,68 @@ emit(
     n_late=int(late_total),
     note="distributed prefix max over arrival order; planted ~0.1% stragglers detected",
 )
+
+
+# ---------------------------------------------------------------- probe 4
+def cusum_30m():
+    ev = spark.range(N_ROWS).select(
+        (F.col("id") % 5).alias("event_type"),
+        F.col("id").alias("event_id"),
+        (F.col("id") * 7).alias("tsu"),
+        # planted level shift at the 2/3 point of each series
+        (
+            ((F.col("id") * 48271) % 2001) - 1000
+            + F.when(F.col("id") > 2 * N_ROWS / 3, 500).otherwise(0)
+        ).alias("xi"),
+    )
+    n_p = 32
+    bounds = ev.agg(F.min("tsu").alias("lo"), F.max("tsu").alias("hi"))
+    bucketed = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "_pid",
+        F.least(
+            F.floor((F.col("tsu") - F.col("lo")) / (F.col("hi") - F.col("lo") + 1) * n_p).cast("int"),
+            F.lit(n_p - 1),
+        ),
+    )
+    w_loc = (
+        Window.partitionBy("event_type", "_pid")
+        .orderBy("tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.select(
+        "event_type", "event_id", "tsu",
+        F.sum("xi").over(w_loc).alias("loc_s"),
+        F.count("*").over(w_loc).alias("loc_i"), "_pid",
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        bucketed.groupBy("event_type", "_pid")
+        .agg(F.sum("xi").alias("s"), F.count("*").alias("c"))
+        .select("event_type", "_pid",
+                F.coalesce(F.sum("s").over(w_cum), F.lit(0)).alias("off_s"),
+                F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("off_c"))
+    )
+    tot = ev.groupBy("event_type").agg(F.sum("xi").alias("total"), F.count("*").alias("n"))
+    d = (
+        local.join(F.broadcast(off), ["event_type", "_pid"])
+        .join(F.broadcast(tot), "event_type")
+        .select("event_type", "event_id", "n",
+                ((F.col("loc_s") + F.col("off_s")) * F.col("n")
+                 - (F.col("loc_i") + F.col("off_c")) * F.col("total")).alias("dd"))
+    )
+    return d.groupBy("event_type").agg(
+        F.max_by("event_id", F.abs(F.col("dd"))).alias("change_id")
+    )
+
+
+sec = timed(cusum_30m)
+rows = {r.event_type: r.change_id for r in cusum_30m().collect()}
+planted = 2 * N_ROWS // 3
+ok = all(abs(cid - planted) < N_ROWS * 0.01 for cid in rows.values())
+emit(
+    probe="cusum_changepoint_30m",
+    n_rows=N_ROWS,
+    sec=sec,
+    located_within_1pct=bool(ok),
+    note=f"planted level shift at id {planted}; argmax per series found within 1%",
+)
