@@ -387,7 +387,61 @@ ORDER BY table_name
 """
 
 
+def observe_metrics_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ metrics via ``df.observe()``: attach named aggregate metrics
+    to a REAL query so the scan that produces the business result also
+    produces the data-quality counters — one pass, zero extra jobs
+    (the production alternative to running dq_constraint_report as a
+    second scan of the same table). The business query here is the
+    flagship priority/revenue aggregate; the observation collects row
+    count, null-key count, and the revenue checksum alongside it.
+
+    The emitted rows are the OBSERVATION (tiny, driver-side by
+    design — observation results are accumulator metadata, not data),
+    returned as a DataFrame so the oracle can check the counters are
+    exactly the aggregates a second scan would have produced.
+    """
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkey"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "price_cents_sum"
+        ),
+    )
+    # The business action that triggers the single pass:
+    observed.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    got = obs.get
+    return spark.createDataFrame(
+        [
+            ("n_rows", int(got["n_rows"])),
+            ("null_custkey", int(got["null_custkey"])),
+            ("price_cents_sum", int(got["price_cents_sum"])),
+        ],
+        "metric STRING, value BIGINT",
+    ).orderBy("metric")
+
+
+OBSERVE_METRICS_ORACLE = """
+SELECT 'n_rows' AS metric, count(*) AS value FROM orders
+UNION ALL
+SELECT 'null_custkey',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'price_cents_sum',
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+FROM orders
+ORDER BY metric
+"""
+
+
 QUERIES: dict = {
+    "observe_metrics_single_pass": (observe_metrics_single_pass, OBSERVE_METRICS_ORACLE),
     "gdpr_delete_cascade": (gdpr_delete_cascade, GDPR_CASCADE_ORACLE),
     "dq_constraint_report": (dq_constraint_report, DQ_CONSTRAINT_REPORT_ORACLE),
     "key_skew_report": (key_skew_report, KEY_SKEW_REPORT_ORACLE),

@@ -642,7 +642,55 @@ def intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.intersect(supp)
 
 
+def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL correlated subquery (Spark 4): the top-2 customers
+    by balance for each nation, written the way an analyst writes it —
+    a per-nation correlated LIMIT — and decorrelated by Catalyst into
+    the same ranked-window plan the explicit formulation produces.
+    The third front door (DataFrame, classic SQL, pipe syntax) gains a
+    fourth: correlated LATERAL.
+
+    Scale shape: Catalyst rewrites the correlated limit to a
+    partitioned rank — one shuffle on the correlation key, no
+    per-nation re-execution (the plan is identical to
+    events_topk_users_per_type's window form; LATERAL is surface
+    syntax, not a nested loop).
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM nation n,
+             LATERAL (
+               SELECT c_custkey, c_acctbal
+               FROM customer
+               WHERE c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+               LIMIT 2
+             ) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey
+        """
+    )
+
+
+LATERAL_TOPN_ORACLE = """
+SELECT n.n_name, c.c_custkey, c.c_acctbal
+FROM nation n,
+     LATERAL (
+       SELECT c_custkey, c_acctbal
+       FROM customer
+       WHERE c_nationkey = n.n_nationkey
+       ORDER BY c_acctbal DESC, c_custkey
+       LIMIT 2
+     ) c
+ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey
+"""
+
+
 QUERIES: dict = {
+    "lateral_topn_per_nation": (lateral_topn_per_nation, LATERAL_TOPN_ORACLE),
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
     "q3_shipping_priority": (q3_shipping_priority, Q3_ORACLE),
     "q5_revenue_by_nation": (q5_revenue_by_nation, Q5_ORACLE),

@@ -33,7 +33,7 @@ from .operators import (
     training,
 )
 from .shipping import ensure_package_on_workers
-from .sources import storage
+from .sources import pysource, storage
 from .streaming import windows as streaming_windows
 
 _MODULES = (
@@ -49,6 +49,7 @@ _MODULES = (
     streaming_windows,
     arrays,
     storage,
+    pysource,
     training,
     mlprep,
     core,
