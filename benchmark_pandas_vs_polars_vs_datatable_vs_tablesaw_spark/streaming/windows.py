@@ -416,6 +416,115 @@ FROM ranked WHERE rn = 1
 """
 
 
+try:  # Spark 4+ second-gen stateful API
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        """Per-user running (count, sum, max) in a named ValueState.
+
+        Module-level (not a closure): the TransformWithStateInPySpark
+        driver worker re-imports the processor by qualified name, the
+        same shipping constraint ``_stateful_count`` documents."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n BIGINT, vsum DOUBLE, vmax DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            import pandas as pd
+
+            if self._agg.exists():
+                n, vsum, vmax = self._agg.get()
+            else:
+                n, vsum, vmax = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                vsum += float(pdf["value"].sum())
+                vmax = max(vmax, float(pdf["value"].max()))
+            self._agg.update((n, vsum, vmax))
+            (user_id,) = key
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "value_sum": [round(vsum, 4)],
+                    "value_max": [round(vmax, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # pragma: no cover — pre-4.0 Spark
+    _RunningStats = None
+
+try:  # the TWS wire protocol needs protobuf on driver + workers
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _TWS_AVAILABLE = _RunningStats is not None
+except ImportError:
+    _TWS_AVAILABLE = False
+
+
+def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation arbitrary stateful processing via Spark 4's
+    ``transformWithStateInPandas`` (SPARK-46815): the successor API to
+    ``applyInPandasWithState`` (streaming_stateful_counter is the v1
+    twin) with an object-oriented StatefulProcessor, named typed state
+    variables on a handle, timers, and a mandatory RocksDB state store
+    — the API new stateful pipelines should target. Keeps per-user
+    running (count, value-sum, value-max) in a ValueState.
+
+    Environment gate: the TWS state protocol runs over protobuf
+    (``pyspark/sql/streaming/proto``); this container has no
+    ``google.protobuf``, so the registry includes this query ONLY when
+    the import succeeds (``_TWS_AVAILABLE``) — the v1 operator covers
+    the driver row either way, and this code path activates unchanged
+    on any standard cluster image (protobuf ships with
+    ``pyspark[connect]`` and every Databricks/EMR runtime).
+
+    The fixture drive-through is one micro-batch, so the final update
+    per user equals the batch aggregate — the oracle. At scale the
+    RocksDB store shards by key, spills off-heap, and checkpoints
+    incrementally (changelog), which is exactly why this API mandates
+    it over the HDFS-backed map store.
+    """
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = _events_stream(spark, sf_dir)
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_RunningStats(),
+            outputStructType=(
+                "user_id bigint, n_events bigint, value_sum double, value_max double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        return _drain(out, spark, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+STREAMING_TWS_ORACLE = """
+SELECT user_id, count(*) AS n_events,
+       round(sum(value), 4) AS value_sum,
+       round(max(value), 4) AS value_max
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES: dict = {
     "streaming_hourly_agg": (streaming_hourly_agg, STREAMING_HOURLY_ORACLE),
     "streaming_foreachbatch_upsert": (streaming_foreachbatch_upsert, STREAMING_UPSERT_ORACLE),
@@ -430,3 +539,8 @@ QUERIES: dict = {
     ),
     "streaming_stateful_counter": (streaming_stateful_counter, STREAMING_STATEFUL_ORACLE),
 }
+if _TWS_AVAILABLE:
+    QUERIES["streaming_transform_with_state"] = (
+        streaming_transform_with_state,
+        STREAMING_TWS_ORACLE,
+    )
