@@ -1416,6 +1416,91 @@ FROM flagged GROUP BY event_type ORDER BY event_type
 """
 
 
+def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join with tolerance — the third pandas
+    ``merge_asof`` direction (backward lives in asof_join_purchase_view,
+    forward in asof_forward_tolerance): for each view event, the
+    purchase by the same user CLOSEST in time within ±6 h, ties to the
+    earlier side (pandas' rule). Completes the as-of trio, so a pandas
+    user can port any merge_asof call.
+
+    Scale shape: ONE shuffle on user_id feeds two carries over the
+    same partitioning — ascending scan carries the previous purchase,
+    descending scan carries the next (each is a sort within the
+    already-exchanged partitions, no second exchange) — and a final
+    projection picks the smaller |gap|. No range join, no per-row
+    probe.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tsu"), F.lit(0).alias("is_p")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("tsu"),
+        F.lit(1).alias("is_p"),
+    )
+    tagged = views.unionByName(purchases).repartition("user_id")
+    # Ascending scan: purchases sort BEFORE views at equal timestamps
+    # (is_p desc) so an exact-time match lands on the backward side —
+    # pandas merge_asof includes exact matches; the forward scan keeps
+    # them excluded (strictly-after) to avoid double-casting the tie.
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("tsu").asc(), F.col("is_p").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("tsu").desc(), F.col("is_p").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tol = 21_600_000_000
+    carried = tagged.withColumn(
+        "prev_ts", F.last(F.when(F.col("is_p") == 1, F.col("tsu")), True).over(w_back)
+    ).withColumn(
+        "next_ts", F.last(F.when(F.col("is_p") == 1, F.col("tsu")), True).over(w_fwd)
+    )
+    prev_gap = F.col("tsu") - F.col("prev_ts")
+    next_gap = F.col("next_ts") - F.col("tsu")
+    prev_ok = F.col("prev_ts").isNotNull() & (prev_gap <= tol)
+    next_ok = F.col("next_ts").isNotNull() & (next_gap <= tol)
+    pick_prev = prev_ok & (~next_ok | (prev_gap <= next_gap))
+    return (
+        carried.where(F.col("is_p") == 0)
+        .where(prev_ok | next_ok)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(pick_prev, F.col("prev_ts")).otherwise(F.col("next_ts")).alias(
+                "matched_tsu"
+            ),
+            F.when(pick_prev, -prev_gap).otherwise(next_gap).alias("signed_gap_us"),
+        )
+    )
+
+
+ASOF_NEAREST_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+  WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, epoch_us(ts) AS ptsu FROM events WHERE event_type = 'purchase'
+), cand AS (
+  SELECT v.event_id, v.user_id, v.tsu, p.ptsu,
+         row_number() OVER (
+           PARTITION BY v.event_id
+           ORDER BY abs(p.ptsu - v.tsu), p.ptsu) AS rk
+  FROM v JOIN p ON p.user_id = v.user_id
+              AND abs(p.ptsu - v.tsu) <= 21600000000
+)
+SELECT event_id, user_id, ptsu AS matched_tsu,
+       ptsu - tsu AS signed_gap_us
+FROM cand WHERE rk = 1
+"""
+
+
 def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curve: for each first-activity-day
     cohort, cumulative purchase value per cohort member at day ages
@@ -1545,4 +1630,5 @@ QUERIES: dict = {
     "events_topk_users_per_type": (events_topk_users_per_type, EVENTS_TOPK_ORACLE),
     "late_event_accounting": (late_event_accounting, LATE_EVENT_ORACLE),
     "cohort_ltv_curve": (cohort_ltv_curve, COHORT_LTV_ORACLE),
+    "asof_nearest_tolerance": (asof_nearest_tolerance, ASOF_NEAREST_ORACLE),
 }
