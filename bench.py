@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "hybrid_rrf_fusion",        # dual-retriever reciprocal-rank fusion
     "chi2_token_source",        # χ² domain-signature feature selection
     "asof_forward_tolerance",   # forward as-of w/ tolerance (conversion lag)
+    "cusum_changepoint_by_type",  # two-phase prefix-sum change-point
+    "link_prediction_common_neighbors",  # wedge-join link prediction
 ]
 
 

@@ -186,7 +186,73 @@ ORDER BY cell_y, cell_x
 """
 
 
+# Convex quadrilateral in integer milli-degrees, counter-clockwise
+# (cross-products of consecutive edges all positive — verified).
+_POLY = ((40200, -73800), (40850, -73700), (40800, -73200), (40150, -73350))
+
+
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon classification (geofencing): count customers
+    inside a convex service-area polygon, per market segment. The
+    winding test runs in INTEGER milli-degrees — each of the four edge
+    cross-products (x1−x0)(yp−y0) − (y1−y0)(xp−x0) is exact int64, so
+    'inside' can never flip on a float ulp; strict inequality puts
+    boundary points outside in both engines identically.
+
+    Scale shape: a pure per-row projection (four multiplications per
+    edge, no join, no shuffle beyond the final segment groupBy) — the
+    shape a geofence filter keeps at any scale. Non-convex fences
+    decompose into convex pieces and OR the tests.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    lat_p = "(40000 + (c_custkey * 37) % 1000)"
+    lon_p = "(-74000 + (c_custkey * 73) % 1000)"
+    edges = []
+    n = len(_POLY)
+    for i in range(n):
+        (y0, x0), (y1, x1) = _POLY[i], _POLY[(i + 1) % n]
+        edges.append(
+            f"(({y1} - {y0}) * ({lon_p} - {x0})"
+            f" - (({x1} - {x0})) * ({lat_p} - {y0}) > 0)"
+        )
+    inside = F.expr(" AND ".join(edges))
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(inside.cast("long")).alias("n_inside"),
+            F.round(F.sum(inside.cast("long")) / F.count("*"), 4).alias("share"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _poly_edges_sql(lat_p: str, lon_p: str) -> str:
+    n = len(_POLY)
+    edges = []
+    for i in range(n):
+        (y0, x0), (y1, x1) = _POLY[i], _POLY[(i + 1) % n]
+        edges.append(
+            f"(({y1} - {y0}) * ({lon_p} - {x0})"
+            f" - (({x1} - {x0})) * ({lat_p} - {y0}) > 0)"
+        )
+    return " AND ".join(edges)
+
+
+GEO_POINT_IN_POLYGON_ORACLE = f"""
+SELECT c_mktsegment, count(*) AS n_total,
+       CAST(sum(CASE WHEN {_poly_edges_sql("(40000 + (c_custkey * 37) % 1000)", "(-74000 + (c_custkey * 73) % 1000)")}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+       round(sum(CASE WHEN {_poly_edges_sql("(40000 + (c_custkey * 37) % 1000)", "(-74000 + (c_custkey * 73) % 1000)")}
+                 THEN 1 ELSE 0 END) / count(*), 4) AS share
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict = {
     "geo_nearest_supplier": (geo_nearest_supplier, GEO_NEAREST_ORACLE),
     "geo_cell_density": (geo_cell_density, GEO_CELL_DENSITY_ORACLE),
+    "geo_point_in_polygon": (geo_point_in_polygon, GEO_POINT_IN_POLYGON_ORACLE),
 }
