@@ -1170,6 +1170,43 @@ ORDER BY r_name, region_rank
 
 
 # --------------------------------------------------------------------------
+# SQL:2023 LISTAGG
+# --------------------------------------------------------------------------
+
+
+def listagg_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 ``LISTAGG ... WITHIN GROUP`` (new in Spark 4): the
+    standard ordered string aggregation — per order priority, the
+    sorted distinct status set as one delimited string. The portable
+    spelling of the collect_list→sort_array→array_join chain; the
+    WITHIN GROUP ordering is what makes the result deterministic (an
+    unordered LISTAGG would differ run to run at scale).
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+LISTAGG_ORACLE = """
+SELECT o_orderpriority, count(*) AS n,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # CUSUM change-point detection
 # --------------------------------------------------------------------------
 
@@ -1592,6 +1629,7 @@ QUERIES: dict = {
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_ORACLE),
     "bootstrap_ci_group_means": (bootstrap_ci_group_means, BOOTSTRAP_CI_ORACLE),
     "cusum_changepoint_by_type": (cusum_changepoint_by_type, CUSUM_ORACLE),
+    "listagg_status_rollup": (listagg_status_rollup, LISTAGG_ORACLE),
     "ab_proportion_ztest": (ab_proportion_ztest, AB_PROPORTION_ORACLE),
     "theilsen_trend_by_type": (theilsen_trend_by_type, THEILSEN_ORACLE),
     "ntile_balance_quartiles": (ntile_balance_quartiles, NTILE_ORACLE),
