@@ -440,7 +440,44 @@ ORDER BY metric
 """
 
 
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: one row per fixture table with row count and
+    column count — the catalog-level inventory a dataset release ships
+    (the per-column detail lives in dq_constraint_report; this is the
+    table-of-contents layer above it). Ten cheap count aggregates
+    unioned lazily; Spark runs them as independent stages.
+    """
+    from ..catalog import TABLES, load_table
+
+    parts = []
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        parts.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.count("*").alias("n_rows"),
+                F.lit(len(df.columns)).cast("long").alias("n_cols"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+_CARD_COLS = {
+    "region": 2, "nation": 3, "customer": 5, "supplier": 4, "part": 6,
+    "orders": 6, "lineitem": 11, "events": 6, "documents": 5, "embeddings": 3,
+}
+DATASET_CARD_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, count(*) AS n_rows, "
+    f"CAST({c} AS BIGINT) AS n_cols FROM {t}"
+    for t, c in _CARD_COLS.items()
+) + "\nORDER BY table_name"
+
+
 QUERIES: dict = {
+    "dataset_card_stats": (dataset_card_stats, DATASET_CARD_ORACLE),
     "observe_metrics_single_pass": (observe_metrics_single_pass, OBSERVE_METRICS_ORACLE),
     "gdpr_delete_cascade": (gdpr_delete_cascade, GDPR_CASCADE_ORACLE),
     "dq_constraint_report": (dq_constraint_report, DQ_CONSTRAINT_REPORT_ORACLE),
