@@ -461,6 +461,9 @@ ORDER BY round
 """
 
 
+_WEDGE_DEG_CAP = 512
+
+
 def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbors link prediction on the co-purchase graph: the
     top-15 part pairs that are NOT connected but share the most
@@ -470,16 +473,30 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
 
     Scale shape: symmetric adjacency → one two-hop self-join through
     the shared neighbor (the wedge join triangle counting already
-    uses; at 100 TB orient the wedge by degree to bound fan-out by
-    arboricity), a map-side combinable wedge count per pair, one
-    left-anti join against the existing edge list, and TakeOrdered for
-    the top-15. The deterministic (cn desc, u, v) total order pins the
-    cut.
+    uses), a map-side combinable wedge count per pair, one left-anti
+    join against the existing edge list, and TakeOrdered for the
+    top-15. The deterministic (cn desc, u, v) total order pins the
+    cut. Hub guard: only centers with degree ≤ ``_WEDGE_DEG_CAP``
+    enumerate wedges — a center's wedge space is deg², so skewed hubs
+    are what explode the join (scripts/graph_scale_probe.py measures a
+    27× wedge-space cut from exactly this cap on a 1M-node hub graph);
+    a node co-purchased with everything predicts nothing specific, so
+    dropping hub CENTERS (their pairs still form through other shared
+    neighbors) is the semantic as well as the physical choice. The
+    fixture graph's max degree sits far below the cap, so the cap is
+    exercised as a plan shape and a no-op filter here.
     """
     e = _cooccurrence_edges(spark, sf_dir).persist()
     adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    h1 = adj.select(F.col("u").alias("a"), F.col("v").alias("x"))
-    h2 = adj.select(F.col("u").alias("x"), F.col("v").alias("b"))
+    low = (
+        adj.groupBy("u")
+        .agg(F.count("*").alias("deg"))
+        .where(F.col("deg") <= _WEDGE_DEG_CAP)
+        .select("u")
+    )
+    adj_c = adj.join(low, "u", "left_semi")
+    h1 = adj_c.select(F.col("v").alias("a"), F.col("u").alias("x"))
+    h2 = adj_c.select(F.col("u").alias("x"), F.col("v").alias("b"))
     wedges = (
         h1.join(h2, "x")
         .where(F.col("a") < F.col("b"))
@@ -508,10 +525,14 @@ WITH li AS (
   HAVING count(DISTINCT a.l_orderkey) >= 2
 ), adj AS (
   SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+), low AS (
+  SELECT u FROM adj GROUP BY u HAVING count(*) <= 512
+), adj_c AS (
+  SELECT adj.u, adj.v FROM adj WHERE u IN (SELECT u FROM low)
 ), wedges AS (
-  SELECT h1.u AS a, h2.v AS b, count(*) AS cn
-  FROM adj h1 JOIN adj h2 ON h1.v = h2.u
-  WHERE h1.u < h2.v
+  SELECT h1.v AS a, h2.v AS b, count(*) AS cn
+  FROM adj_c h1 JOIN adj_c h2 ON h1.u = h2.u
+  WHERE h1.v < h2.v
   GROUP BY 1, 2
 )
 SELECT a, b, cn FROM wedges w
