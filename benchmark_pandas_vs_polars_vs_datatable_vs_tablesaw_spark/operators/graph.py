@@ -70,22 +70,51 @@ def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle participation on the co-purchase graph.
 
-    Triangles come from the two-hop oriented join e1(u,v) ⋈ e2(v,w) ⋈
-    e3(u,w): with u < v < w enforced by the edge orientation, each
-    triangle matches exactly once. Each triangle then credits its
-    three corners (union-all unpivot, no explode shuffle) and a final
-    groupBy yields the per-node count. Three hash joins on an edge
-    list that the support floor keeps sparse; no driver-side loop.
+    Triangles come from the classic DEGREE-ORDERED wedge join: orient
+    every edge from the (degree, key)-smaller endpoint to the larger,
+    form wedges only at each triangle's π-least corner, and close them
+    against the oriented edge list — each triangle matches exactly
+    once, and every node's out-degree (hence its wedge fan-out) is
+    bounded by the graph's arboricity instead of its raw degree, which
+    is what keeps the wedge space linear-ish on skewed graphs (the
+    hub-graph measurement is scripts/graph_scale_probe.py; key-only
+    orientation lets one hub own O(deg²) wedges). The triangle SET is
+    orientation-invariant, so the oracle needs no knowledge of the
+    orientation. Corners credit via union-all unpivot, one final
+    groupBy.
     """
     e = _cooccurrence_edges(spark, sf_dir).persist()
-    e1 = e.select(F.col("u").alias("tu"), F.col("v").alias("tv"))
-    e2 = e.select(F.col("u").alias("tv"), F.col("v").alias("tw"))
-    e3 = e.select(F.col("u").alias("tu"), F.col("v").alias("tw"))
-    tri = e1.join(e2, ["tv"]).join(e3, ["tu", "tw"])
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    ).persist()
+    p1 = o.select("s", F.col("t").alias("b"), F.col("dt").alias("db"))
+    p2 = o.select("s", F.col("t").alias("c"), F.col("dt").alias("dc"))
+    wedges = p1.join(p2, "s").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    # π(b) < π(c), so if the closing edge exists it is oriented b→c.
+    tri = wedges.join(
+        o.select(F.col("s").alias("b"), F.col("t").alias("c")), ["b", "c"]
+    )
     corners = (
-        tri.select(F.col("tu").alias("part"))
-        .unionAll(tri.select(F.col("tv").alias("part")))
-        .unionAll(tri.select(F.col("tw").alias("part")))
+        tri.select(F.col("s").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
     )
     return (
         corners.groupBy("part")
