@@ -470,24 +470,44 @@ def er_weighted_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     best-match pick (score desc, then suppkey) is the survivorship
     rule of a record-linkage pipeline.
 
-    Scale shape: BLOCKED comparison — the join key is the nation
-    (blocking key), so the pair space is Σ_block |C_b|·|S_b|, not
-    |C|·|S|; with skewed blocks the standard fix is salting the big
-    block (joins.py salted_skew_agg shows the pattern). Levenshtein
-    runs JVM-side (built-in), scores are rounded to 6 decimals BEFORE
-    ranking so float noise can never flip the cross-engine tie-break.
+    Scale shape: BLOCKED comparison on a COMPOSITE key — (nation,
+    name-length band of width 4), with the supplier side exploded to
+    its ±1 band neighborhood (the geo 3×3 pattern), so candidates are
+    complete for any length difference ≤ 3 while the pair space is
+    Σ_block |C_b|·|S_b| over much finer blocks than nation alone
+    (levenshtein ≥ |length difference|, so a big length gap cannot be
+    a close name anyway). With skewed blocks the further fix is
+    salting the hot block (joins.py salted_skew_agg shows the
+    pattern). Levenshtein runs JVM-side (built-in); scores round to 6
+    decimals BEFORE ranking so float noise can never flip the
+    cross-engine tie-break. The fixture's names share one length, so
+    here the band adds no pruning — it is exercised as the plan shape
+    the oracle also enforces.
     """
     cust = (
         load_table(spark, sf_dir, "customer")
         .where(F.col("c_custkey") % 50 == 0)
-        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_nationkey").alias("nationkey"),
+            "c_acctbal",
+            (F.length("c_name") / 4).cast("int").alias("band"),
+        )
     )
-    supp = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("s_nationkey").alias("nationkey"),
+            "s_acctbal",
+            (F.length("s_name") / 4).cast("int").alias("sband"),
+        )
+        .withColumn("band", F.explode(F.array(F.col("sband") - 1, F.col("sband"), F.col("sband") + 1)))
+        .drop("sband")
     )
-    joined = cust.join(
-        supp, cust.c_nationkey == supp.s_nationkey, "inner"
-    )
+    joined = cust.join(supp, ["nationkey", "band"], "inner")
     name_sim = 1 - F.levenshtein("c_name", "s_name") / F.greatest(
         F.length("c_name"), F.length("s_name")
     )
@@ -510,7 +530,10 @@ WITH pairs AS (
          round(0.7 * (1 - levenshtein(c.c_name, s.s_name)
                         / greatest(length(c.c_name), length(s.s_name)))
                + 0.3 * (1 / (1 + abs(c.c_acctbal - s.s_acctbal))), 6) AS score
-  FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+  FROM customer c JOIN supplier s
+    ON c.c_nationkey = s.s_nationkey
+   AND abs(CAST(length(c.c_name) // 4 AS INT)
+           - CAST(length(s.s_name) // 4 AS INT)) <= 1
   WHERE c.c_custkey % 50 = 0
 ), ranked AS (
   SELECT *, row_number() OVER (
