@@ -1311,6 +1311,273 @@ ORDER BY sub, center
 """
 
 
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse inverted lists + product-quantized scoring + exact re-rank
+# --------------------------------------------------------------------------
+
+_PQ_SHORTLIST = 50
+_IVFPQ_CENTERS = 16  # 4-bit codes — pq_quantize_stats keeps its 2-bit demo table
+
+
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the production 100 TB vector-index architecture,
+    composed end-to-end from this module's two halves: the IVF coarse
+    quantizer (probed inverted lists, ivf_ann_topk) and the PQ
+    codebook (pq_quantize_stats). Probed candidates are scored by
+    ASYMMETRIC DISTANCE COMPUTATION: the corpus vector is replaced by
+    its 8 subspace code centers, the query stays exact, and the
+    approximate dot product is a per-(query, subspace, center) lookup
+    — 320 integers broadcast everywhere. The PQ shortlist (top 30 by
+    approximate score) then re-ranks EXACTLY, so the PQ error can only
+    cost recall, never report a wrong score.
+
+    Fully deterministic, fully oracle-checked: the coarse centroids
+    are data-sampled (ivf convention), the PQ codebook is the seeded
+    integer table, and both the codes and the ADC scores are exact
+    int64 arithmetic on e4-quantized coordinates — reduction order
+    cannot move a single candidate across the shortlist boundary.
+
+    At 100 TB: codes are 4 bytes/vector (8 subspaces × 4-bit, vs 256
+    bytes for float32×64) — the whole probed list scans from RAM; the
+    ADC lookup table is built once per query batch; only the
+    ≤ SHORTLIST exact re-rank touches full vectors. Measured PQ-layer
+    quality (tests/test_semantics.py): recalls ≥ 80% of IVF-Flat's
+    top-k from the SAME probe set with this seeded (untrained)
+    codebook on the near-random fixture vectors — a trained codebook
+    drops into the same broadcast table. Probe-set recall itself is
+    the IVF layer's property (SCALE.md known-fixture-artifacts).
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", vectors.norm(F.col("embedding")))
+    )
+    cents = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)
+    ).select(
+        (F.col("vec_id") - 100).alias("cent_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    assign_cos = F.round(
+        vectors.dot(F.col("embedding"), F.col("c_vec"))
+        / (F.col("nrm") * F.col("c_nrm")),
+        4,
+    )
+    assigned = (
+        emb.join(F.broadcast(cents), F.lit(True))
+        .withColumn("a_cos", assign_cos)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cent_id"), F.col("embedding"), F.col("nrm")),
+                F.struct(F.col("a_cos").alias("c"), (-F.col("cent_id")).alias("t")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.embedding").alias("embedding"),
+            F.col("best.nrm").alias("nrm"),
+            F.col("best.cent_id").alias("list_id"),
+        )
+    )
+
+    # PQ codebook (pq_quantize_stats' seeded integer table) + codes.
+    centers = spark.range(_PQ_SUBS * _IVFPQ_CENTERS * _PQ_DIMS).select(
+        (F.col("id") / (_IVFPQ_CENTERS * _PQ_DIMS)).cast("int").alias("sub"),
+        ((F.col("id") / _PQ_DIMS).cast("long") % _IVFPQ_CENTERS).alias("center"),
+        (F.col("id") % _PQ_DIMS).alias("j"),
+        (
+            (
+                (F.col("id") / (_IVFPQ_CENTERS * _PQ_DIMS)).cast("long") * 73856093
+                + ((F.col("id") / _PQ_DIMS).cast("long") % _IVFPQ_CENTERS) * 19349663
+                + (F.col("id") % _PQ_DIMS) * 83492791
+            )
+            % 2147483647
+            % 10001
+            - 5000
+        ).alias("ci"),
+    )
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim") / _PQ_DIMS).cast("int").alias("sub"),
+        (F.col("dim") % _PQ_DIMS).alias("j"),
+        F.round(F.col("x").cast("double") * 10000).cast("long").alias("xi"),
+    )
+    codes = (
+        dims.join(F.broadcast(centers), ["sub", "j"])
+        .groupBy("vec_id", "sub", "center")
+        .agg(F.sum((F.col("xi") - F.col("ci")) * (F.col("xi") - F.col("ci"))).alias("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("center", F.struct("d2", "center")).alias("code"))
+    )
+
+    # Query side: probes (exact to coarse centroids) + ADC lookup table.
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    probe_cos = F.round(
+        vectors.dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")),
+        4,
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("p_cos").desc(), F.col("cent_id").asc())
+    probes = (
+        queries.join(F.broadcast(cents), F.lit(True))
+        .withColumn("p_cos", probe_cos)
+        .withColumn("p_rank", F.row_number().over(wp))
+        .filter(F.col("p_rank") <= N_PROBE)
+        .select("q_id", "q_vec", "q_nrm", F.col("cent_id").alias("list_id"))
+    )
+    qdims = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "q_id",
+            (F.col("dim") / _PQ_DIMS).cast("int").alias("sub"),
+            (F.col("dim") % _PQ_DIMS).alias("j"),
+            F.round(F.col("x").cast("double") * 10000).cast("long").alias("qi"),
+        )
+    )
+    ldot = (
+        qdims.join(F.broadcast(centers), ["sub", "j"])
+        .groupBy("q_id", "sub", "center")
+        .agg(F.sum(F.col("qi") * F.col("ci")).alias("part_dot"))
+    )
+
+    # ADC scoring of probed candidates -> shortlist -> exact re-rank.
+    cand = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_vec", "q_nrm", "vec_id", "embedding", "nrm")
+    )
+    approx = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(ldot.withColumnRenamed("center", "code")),
+            ["q_id", "sub", "code"],
+        )
+        .groupBy("q_id", "q_vec", "q_nrm", "vec_id", "embedding", "nrm")
+        .agg(F.sum("part_dot").alias("adc"))
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+    shortlist = (
+        approx.withColumn("s_rank", F.row_number().over(ws))
+        .filter(F.col("s_rank") <= _PQ_SHORTLIST)
+    )
+    cos = F.round(
+        vectors.dot(F.col("q_vec"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+        4,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        shortlist.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+IVFPQ_ANN_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id - 100 AS cent_id, embedding AS c_vec
+  FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS list_id
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.embedding', b='c.c_vec')} DESC,
+                      c.cent_id ASC) AS a_rank
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE a_rank = 1
+),
+probes AS (
+  SELECT q_id, q_vec, cent_id AS list_id
+  FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cent_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a='q.embedding', b='c.c_vec')} DESC,
+                      c.cent_id ASC) AS p_rank
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE p_rank <= {N_PROBE}
+),
+pq_centers AS (
+  SELECT CAST(i // ({_IVFPQ_CENTERS} * {_PQ_DIMS}) AS INT) AS sub,
+         CAST((i // {_PQ_DIMS}) % {_IVFPQ_CENTERS} AS BIGINT) AS center,
+         i % {_PQ_DIMS} AS j,
+         CAST((i // ({_IVFPQ_CENTERS} * {_PQ_DIMS})) * 73856093
+              + ((i // {_PQ_DIMS}) % {_IVFPQ_CENTERS}) * 19349663
+              + (i % {_PQ_DIMS}) * 83492791 AS BIGINT)
+           % 2147483647 % 10001 - 5000 AS ci
+  FROM (SELECT unnest(generate_series(0,
+         {_PQ_SUBS * _IVFPQ_CENTERS * _PQ_DIMS - 1})) AS i)
+),
+dims AS (
+  SELECT vec_id,
+         CAST((t.dim - 1) // {_PQ_DIMS} AS INT) AS sub,
+         (t.dim - 1) % {_PQ_DIMS} AS j,
+         CAST(round(CAST(t.x AS DOUBLE) * 10000) AS BIGINT) AS xi
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim) t
+),
+codes AS (
+  SELECT vec_id, sub, center AS code
+  FROM (
+    SELECT vec_id, sub, center,
+           row_number() OVER (
+             PARTITION BY vec_id, sub
+             ORDER BY CAST(sum((xi - ci) * (xi - ci)) AS BIGINT), center) AS rk
+    FROM dims JOIN pq_centers USING (sub, j)
+    GROUP BY vec_id, sub, center
+  ) WHERE rk = 1
+),
+ldot AS (
+  SELECT d.vec_id AS q_id, c.sub, c.center AS code,
+         CAST(sum(d.xi * c.ci) AS BIGINT) AS part_dot
+  FROM dims d JOIN pq_centers c USING (sub, j)
+  WHERE d.vec_id < {N_QUERIES}
+  GROUP BY 1, 2, 3
+),
+approx AS (
+  SELECT p.q_id, p.q_vec, a.vec_id, a.embedding,
+         CAST(sum(l.part_dot) AS BIGINT) AS adc
+  FROM assigned a
+  JOIN probes p USING (list_id)
+  JOIN codes k ON k.vec_id = a.vec_id
+  JOIN ldot l ON l.q_id = p.q_id AND l.sub = k.sub AND l.code = k.code
+  WHERE a.vec_id <> p.q_id
+  GROUP BY 1, 2, 3, 4
+),
+shortlist AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY q_id ORDER BY adc DESC, vec_id) AS s_rank
+    FROM approx
+  ) WHERE s_rank <= {_PQ_SHORTLIST}
+)
+SELECT q_id, vec_id, cos, rank
+FROM (
+  SELECT q_id, vec_id,
+         {_COS_SQL.format(a='q_vec', b='embedding')} AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY {_COS_SQL.format(a='q_vec', b='embedding')} DESC,
+                    vec_id ASC) AS INT) AS rank
+  FROM shortlist
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES: dict = {
     "embedding_centroid_outliers": (
         embedding_centroid_outliers,
@@ -1334,4 +1601,5 @@ QUERIES: dict = {
     "kmeans_assign_fixed": (kmeans_assign_fixed, KMEANS_ASSIGN_ORACLE),
     "kmeans_lloyd_two_rounds": (kmeans_lloyd_two_rounds, KMEANS_LLOYD_ORACLE),
     "pq_quantize_stats": (pq_quantize_stats, PQ_QUANTIZE_ORACLE),
+    "ivfpq_ann_topk": (ivfpq_ann_topk, IVFPQ_ANN_ORACLE),
 }

@@ -564,3 +564,19 @@ def test_pq_assignment_partitions_every_vector(spark, sf_dir):
     assert set(per_sub) == set(range(8))
     for sub, total in per_sub.items():
         assert total == n_vecs, f"subspace {sub}: {total} != {n_vecs}"
+
+
+def test_ivfpq_recalls_most_of_ivf_flat(spark, sf_dir):
+    """The PQ layer's quality measured against IVF-Flat over the SAME
+    probe set (probe loss is the IVF layer's property): the 4-bit
+    seeded codebook must recall >= 70% of the exact-rerank results."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivfpq_ann_topk,
+    )
+
+    ivf = {(r.q_id, r.vec_id) for r in ivf_ann_topk(spark, sf_dir).collect()}
+    pq = {(r.q_id, r.vec_id) for r in ivfpq_ann_topk(spark, sf_dir).collect()}
+    assert ivf, "IVF returned nothing"
+    recall = len(pq & ivf) / len(ivf)
+    assert recall >= 0.7, f"PQ shortlist lost too much: recall {recall}"
