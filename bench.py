@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "asof_forward_tolerance",   # forward as-of w/ tolerance (conversion lag)
     "cusum_changepoint_by_type",  # two-phase prefix-sum change-point
     "link_prediction_common_neighbors",  # wedge-join link prediction
+    "ivfpq_ann_topk",           # composed IVF-PQ index (ADC + exact rerank)
 ]
 
 

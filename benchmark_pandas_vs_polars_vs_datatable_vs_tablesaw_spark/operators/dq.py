@@ -476,7 +476,48 @@ DATASET_CARD_ORACLE = "\nUNION ALL\n".join(
 ) + "\nORDER BY table_name"
 
 
+def corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed corpus fingerprint: per source, an ADDITIVE
+    digest of canonical row hashes (md5 of a '|'-joined canonical
+    row → 15 hex digits → int64 → mod-prime → SUM). Addition is
+    commutative, so the digest is identical under ANY partitioning,
+    row order, or cluster size — two corpus snapshots compare by 7
+    rows instead of a full anti-join, and a single changed byte in any
+    document moves its source's digest. This is the cheap first tier
+    of snapshot diffing (snapshot_diff_cdc is the row-level second
+    tier you run only on sources whose digests moved).
+
+    Only exactly-stringifiable columns enter the canonical form (ints
+    + strings — never floats, whose formatting differs across
+    engines). Scale shape: one map-side combinable aggregate; the
+    digest state is 16 bytes per source per task.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.expr(
+        "CAST(conv(substr(md5(concat_ws('|', doc_id, lang, source, n_chars, text)),"
+        " 1, 15), 16, 10) AS BIGINT) % 1000000007"
+    )
+    return (
+        docs.select("source", digest.alias("d"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("d").alias("digest_sum"))
+        .orderBy("source")
+    )
+
+
+CORPUS_FINGERPRINT_ORACLE = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CAST(('0x' || substr(md5(
+              concat_ws('|', doc_id, lang, source, n_chars, text)), 1, 15))
+            AS BIGINT) % 1000000007) AS BIGINT) AS digest_sum
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES: dict = {
+    "corpus_fingerprint": (corpus_fingerprint, CORPUS_FINGERPRINT_ORACLE),
     "dataset_card_stats": (dataset_card_stats, DATASET_CARD_ORACLE),
     "observe_metrics_single_pass": (observe_metrics_single_pass, OBSERVE_METRICS_ORACLE),
     "gdpr_delete_cascade": (gdpr_delete_cascade, GDPR_CASCADE_ORACLE),
