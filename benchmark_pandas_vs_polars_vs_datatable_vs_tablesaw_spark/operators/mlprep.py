@@ -982,8 +982,218 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Retrieval evaluation: MRR + NDCG@5
+# --------------------------------------------------------------------------
+
+# 1/log2(r+1) for r=1..5 and their running sums, as FIXED literals —
+# log2 is not correctly-rounded libm, so each engine computing the
+# discount itself could differ in the last ulp; identical literal
+# strings parse to identical doubles everywhere.
+_DISC = ("1.0", "0.63092975357", "0.5", "0.43067655807", "0.38685280723")
+_IDCG = ("1.0", "1.63092975357", "2.13092975357", "2.56160631164", "2.94845911887")
+
+
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the exact cosine retriever:
+    per query, MRR and NDCG@5 against label-match relevance (a
+    candidate is relevant iff it shares the query's label) — the
+    metric layer every retriever/reranker change is judged by, run
+    distributively over the ranking the engine itself produced
+    (similarity.ann_cosine_topk). The ideal DCG uses the query's TRUE
+    relevant-count (same-label corpus vectors, self excluded), capped
+    at the cutoff.
+
+    Numerics: relevance is integer, MRR is max(rel/rank) (one exact
+    division), and the log2 discounts are fixed literals (not engine
+    libm calls), so every metric is bit-portable. Scale shape: the
+    ranking join is the retriever's own; the metric pass adds two
+    broadcast label lookups and one groupBy(q_id) over k rows per
+    query.
+    """
+    from .similarity import ann_cosine_topk
+
+    ranked = ann_cosine_topk(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q_lab = emb.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"))
+    c_lab = emb.select("vec_id", F.col("label").alias("c_label"))
+    label_n = emb.groupBy("label").agg(F.count("*").alias("n_label"))
+    rel = (F.col("c_label") == F.col("q_label")).cast("int")
+    disc = F.expr(
+        "CASE rank WHEN 1 THEN {} WHEN 2 THEN {} WHEN 3 THEN {} "
+        "WHEN 4 THEN {} ELSE {} END".format(*_DISC)
+    )
+    idcg = F.expr(
+        "CASE least(n_label - 1, 5) WHEN 0 THEN NULL WHEN 1 THEN {} "
+        "WHEN 2 THEN {} WHEN 3 THEN {} WHEN 4 THEN {} ELSE {} END".format(*_IDCG)
+    )
+    return (
+        ranked.join(F.broadcast(q_lab), "q_id")
+        .join(F.broadcast(c_lab), "vec_id")
+        .join(F.broadcast(label_n), F.col("q_label") == F.col("label"))
+        .select(
+            "q_id",
+            "rank",
+            rel.alias("rel"),
+            disc.alias("disc"),
+            idcg.alias("idcg"),
+        )
+        .groupBy("q_id")
+        .agg(
+            F.round(F.max(F.col("rel") / F.col("rank")), 4).alias("mrr"),
+            F.round(
+                F.coalesce(F.sum(F.col("rel") * F.col("disc")) / F.first("idcg"), F.lit(0.0)),
+                4,
+            ).alias("ndcg_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
+RETRIEVAL_NDCG_ORACLE = f"""
+WITH emb AS (SELECT vec_id, embedding, label FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+      FROM emb WHERE vec_id < 10),
+ranked AS (
+  SELECT q_id, vec_id, q_label, c_label, rank FROM (
+    SELECT q.q_id, e.vec_id, q.q_label, e.label AS c_label,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY {{cos}} DESC, e.vec_id ASC) AS rank
+    FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id
+  ) WHERE rank <= 5
+),
+label_n AS (SELECT label, count(*) AS n_label FROM emb GROUP BY label)
+SELECT q_id,
+       round(max(CASE WHEN c_label = q_label THEN 1.0 / rank ELSE 0 END), 4)
+         AS mrr,
+       round(coalesce(
+         sum(CASE WHEN c_label = q_label THEN
+               CASE rank WHEN 1 THEN {_DISC[0]} WHEN 2 THEN {_DISC[1]}
+                    WHEN 3 THEN {_DISC[2]} WHEN 4 THEN {_DISC[3]}
+                    ELSE {_DISC[4]} END ELSE 0 END)
+         / max(CASE least(n_label - 1, 5) WHEN 0 THEN NULL
+                    WHEN 1 THEN {_IDCG[0]} WHEN 2 THEN {_IDCG[1]}
+                    WHEN 3 THEN {_IDCG[2]} WHEN 4 THEN {_IDCG[3]}
+                    ELSE {_IDCG[4]} END), 0.0), 4) AS ndcg_at_5
+FROM ranked JOIN label_n ON label_n.label = ranked.q_label
+GROUP BY q_id
+ORDER BY q_id
+"""
+RETRIEVAL_NDCG_ORACLE = RETRIEVAL_NDCG_ORACLE.replace(
+    "{cos}",
+    """round(
+  list_sum(list_transform(range(1, len(q.q_vec) + 1),
+           i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)""",
+)
+
+
+# --------------------------------------------------------------------------
+# Classifier evaluation: precision / recall / F1
+# --------------------------------------------------------------------------
+
+
+def classifier_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 of the hashed linear quality classifier
+    (training.linear_quality_classifier's margin rule) against a
+    deterministic quality proxy (distinct-token ratio ≥ 0.55 — the
+    repetition gate) — the confusion-matrix layer a model-backed
+    curation gate ships with. All four cells are exact integer counts;
+    precision/recall/F1 are single rational divisions (F1 computed as
+    2·tp/(2·tp+fp+fn) — one division, no compounding).
+
+    Scale shape: the classifier's own explode→hash→groupBy(doc) pass
+    plus one row-level proxy projection; the confusion matrix is a
+    4-integer aggregate.
+    """
+    from .text import _hex4_bucket, _tokens
+    from .training import _W_SQL
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    w = F.expr(_W_SQL.format(b=_hex4_bucket("token", 64)))
+    margins = (
+        tok.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("long").alias("margin"))
+    )
+    toks = _tokens()
+    truth = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) * 100 >= F.size(toks) * 55).cast("int").alias(
+            "is_good"
+        ),
+    )
+    cells = (
+        margins.join(truth, "doc_id")
+        .select(
+            (F.col("margin") > 0).cast("int").alias("pred"),
+            "is_good",
+        )
+        .agg(
+            F.sum(F.expr("CASE WHEN pred = 1 AND is_good = 1 THEN 1 ELSE 0 END")).alias("tp"),
+            F.sum(F.expr("CASE WHEN pred = 1 AND is_good = 0 THEN 1 ELSE 0 END")).alias("fp"),
+            F.sum(F.expr("CASE WHEN pred = 0 AND is_good = 1 THEN 1 ELSE 0 END")).alias("fn"),
+            F.sum(F.expr("CASE WHEN pred = 0 AND is_good = 0 THEN 1 ELSE 0 END")).alias("tn"),
+        )
+    )
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 4).alias("precision"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 4).alias("recall"),
+        F.round(2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 4).alias("f1"),
+    )
+
+
+def _classifier_pr_oracle() -> str:
+    # The margin expression must be the classifier's own portable SQL
+    # (training._LINEAR_W = weight-of-hash-bucket), not a re-derivation.
+    from .training import _LINEAR_W
+
+    return _CLASSIFIER_PR_ORACLE_TEMPLATE.format(w=_LINEAR_W)
+
+
+_CLASSIFIER_PR_ORACLE_TEMPLATE = """
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+), margins AS (
+  SELECT doc_id, CAST(sum({w}) AS BIGINT) AS margin
+  FROM tok GROUP BY doc_id
+), truth AS (
+  SELECT doc_id,
+         CASE WHEN len(list_distinct(string_split(text, ' '))) * 100
+                   >= len(string_split(text, ' ')) * 55
+              THEN 1 ELSE 0 END AS is_good
+  FROM documents
+), cells AS (
+  SELECT
+    CAST(sum(CASE WHEN margin > 0 AND is_good = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN margin > 0 AND is_good = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN margin <= 0 AND is_good = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN margin <= 0 AND is_good = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM margins JOIN truth USING (doc_id)
+)
+SELECT tp, fp, fn, tn,
+       round(tp / (tp + fp), 4) AS precision,
+       round(tp / (tp + fn), 4) AS recall,
+       round(2 * tp / (2 * tp + fp + fn), 4) AS f1
+FROM cells
+"""
+
+CLASSIFIER_PR_ORACLE = _classifier_pr_oracle()
+
+
 QUERIES: dict = {
     "target_encode_smoothed": (target_encode_smoothed, TARGET_ENCODE_ORACLE),
+    "retrieval_ndcg_eval": (retrieval_ndcg_eval, RETRIEVAL_NDCG_ORACLE),
+    "classifier_pr_eval": (classifier_pr_eval, CLASSIFIER_PR_ORACLE),
     "user_feature_vector": (user_feature_vector, USER_FEATURE_ORACLE),
     "quantile_normalize_scores": (quantile_normalize_scores, QUANTILE_NORMALIZE_ORACLE),
     "embedding_dim_variance": (embedding_dim_variance, EMBEDDING_DIM_VARIANCE_ORACLE),
