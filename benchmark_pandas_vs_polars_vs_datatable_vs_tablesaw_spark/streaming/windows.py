@@ -470,6 +470,90 @@ except ImportError:
     _TWS_AVAILABLE = False
 
 
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import read_raw
+
+    schema = read_raw(spark, sf_dir, "documents").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation: the text_quality_score gate applied
+    to a DOCUMENT stream (the batch operators' formulas run unchanged
+    on readStream — the point of declaring them as column expressions)
+    with per-(source, lang) keep accounting in complete mode. This is
+    the continuously-ingesting front half of the curation pipeline;
+    the batch aggregate over the same fixture is the oracle.
+
+    Scale shape: the gate is a pure projection+filter (pushes into
+    the stream scan); the rollup state is |sources×langs| rows.
+    """
+    from ..operators.text import STOPWORDS
+
+    docs = _documents_stream(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens
+    score = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (F.lit(1.0) - stop_ratio), 4
+    )
+    gated = docs.withColumn("score", score).where(F.col("score") >= 0.5)
+    out = gated.groupBy("source", "lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("kept_tokens"),
+    )
+    return _drain(out, spark, "complete").orderBy("source", "lang")
+
+
+STREAMING_DOC_QUALITY_ORACLE = """
+WITH scored AS (
+  SELECT source, lang, len(string_split(text, ' ')) AS n_tokens,
+         round(least(1.0, len(string_split(text, ' ')) / 100.0)
+               * (1.0 - len(list_filter(string_split(text, ' '),
+                                        t -> t IN ('the','a','and','of')))
+                 / len(string_split(text, ' '))), 4) AS score
+  FROM documents
+)
+SELECT source, lang, count(*) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+FROM scored WHERE score >= 0.5
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+def streaming_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus fingerprint (dq.corpus_fingerprint) computed
+    INCREMENTALLY over a document stream: the additive mod-prime
+    digest is a plain SUM aggregate, so streaming state folds each
+    micro-batch in and the final digest is bit-identical to the batch
+    one — the mergeability property that lets a 100 TB pipeline keep a
+    live content-address of an ever-growing corpus. The oracle is the
+    batch operator's oracle, verbatim.
+    """
+    docs = _documents_stream(spark, sf_dir)
+    digest = F.expr(
+        "CAST(conv(substr(md5(concat_ws('|', doc_id, lang, source, n_chars, text)),"
+        " 1, 15), 16, 10) AS BIGINT) % 1000000007"
+    )
+    out = (
+        docs.select("source", digest.alias("d"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("d").alias("digest_sum"))
+    )
+    return _drain(out, spark, "complete").orderBy("source")
+
+
+def _streaming_fingerprint_oracle() -> str:
+    from ..operators.dq import CORPUS_FINGERPRINT_ORACLE
+
+    return CORPUS_FINGERPRINT_ORACLE
+
+
 def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-generation arbitrary stateful processing via Spark 4's
     ``transformWithStateInPandas`` (SPARK-46815): the successor API to
@@ -538,6 +622,14 @@ QUERIES: dict = {
         STREAMING_SESSION_CERTIFICATE_ORACLE,
     ),
     "streaming_stateful_counter": (streaming_stateful_counter, STREAMING_STATEFUL_ORACLE),
+    "streaming_doc_quality_gate": (
+        streaming_doc_quality_gate,
+        STREAMING_DOC_QUALITY_ORACLE,
+    ),
+    "streaming_corpus_fingerprint": (
+        streaming_corpus_fingerprint,
+        _streaming_fingerprint_oracle(),
+    ),
 }
 if _TWS_AVAILABLE:
     QUERIES["streaming_transform_with_state"] = (
