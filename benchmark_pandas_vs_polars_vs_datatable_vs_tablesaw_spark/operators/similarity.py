@@ -1312,6 +1312,87 @@ ORDER BY sub, center
 
 
 # --------------------------------------------------------------------------
+# Label centroid similarity matrix
+# --------------------------------------------------------------------------
+
+
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity matrix between per-label embedding centroids
+    — the cluster-confusability report ("which classes does the
+    embedding space blur together?") a labeled embedding set ships
+    with. All 45 unordered label pairs.
+
+    Integer-exact geometry: coordinates quantize to e4 ints, per-label
+    per-dim SUMS are exact int64, and the cosine of two centroids
+    Σs_a·s_b / (√Σs_a²·√Σs_b²) is computed from integer sums of
+    products (the per-label count cancels out of the cosine), so only
+    the final sqrt/division is floating point. Scale shape: one
+    map-side combinable groupBy(label, dim), then a |labels|²·dim
+    self-join over the 640-row centroid table — trivially broadcast.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sums = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("x").cast("double") * 10000).cast("long").alias("xi"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("xi").alias("s"))
+    )
+    a = sums.select(F.col("label").alias("la"), "dim", F.col("s").alias("sa"))
+    b = sums.select(F.col("label").alias("lb"), "dim", F.col("s").alias("sb"))
+    prods = (
+        a.join(b, "dim")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    norms = sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("q"))
+    return (
+        prods.join(norms.select(F.col("label").alias("la"), F.col("q").alias("qa")), "la")
+        .join(norms.select(F.col("label").alias("lb"), F.col("q").alias("qb")), "lb")
+        .select(
+            "la",
+            "lb",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("qa").cast("double") * F.col("qb").cast("double")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy("la", "lb")
+    )
+
+
+LABEL_CENTROID_SIM_ORACLE = """
+WITH x AS (
+  SELECT label, t.dim - 1 AS dim,
+         CAST(round(CAST(t.x AS DOUBLE) * 10000) AS BIGINT) AS xi
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim) t
+), sums AS (
+  SELECT label, dim, CAST(sum(xi) AS BIGINT) AS s FROM x GROUP BY 1, 2
+), prods AS (
+  SELECT a.label AS la, b.label AS lb,
+         CAST(sum(a.s * b.s) AS BIGINT) AS dot
+  FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+), norms AS (
+  SELECT label, CAST(sum(s * s) AS BIGINT) AS q FROM sums GROUP BY label
+)
+SELECT la, lb,
+       round(CAST(dot AS DOUBLE)
+             / sqrt(CAST(na.q AS DOUBLE) * CAST(nb.q AS DOUBLE)), 4) AS cos_sim
+FROM prods JOIN norms na ON na.label = prods.la
+           JOIN norms nb ON nb.label = prods.lb
+ORDER BY la, lb
+"""
+
+
+# --------------------------------------------------------------------------
 # IVF-PQ: coarse inverted lists + product-quantized scoring + exact re-rank
 # --------------------------------------------------------------------------
 
@@ -1602,4 +1683,8 @@ QUERIES: dict = {
     "kmeans_lloyd_two_rounds": (kmeans_lloyd_two_rounds, KMEANS_LLOYD_ORACLE),
     "pq_quantize_stats": (pq_quantize_stats, PQ_QUANTIZE_ORACLE),
     "ivfpq_ann_topk": (ivfpq_ann_topk, IVFPQ_ANN_ORACLE),
+    "label_centroid_similarity": (
+        label_centroid_similarity,
+        LABEL_CENTROID_SIM_ORACLE,
+    ),
 }

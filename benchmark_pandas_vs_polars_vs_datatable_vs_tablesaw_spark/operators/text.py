@@ -1868,8 +1868,71 @@ LIMIT 10
 """
 
 
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between every source pair — the domain-
+    proximity map ("which sources speak the same language?") that
+    complements chi2_token_source (which finds what SEPARATES them).
+    |V_a ∩ V_b| comes from a postings self-join on the DISTINCT
+    (token, source) table; the union is by inclusion-exclusion from
+    exact per-source vocabulary counts, so no union materializes.
+
+    Scale shape: the distinct (token, source) table is vocabulary-
+    sized; the self-join fans out each token to its source-pair count
+    (bounded by |sources|²) — for web-scale source counts the standard
+    fix is min-hashing each source's vocabulary instead (dedup.py's
+    MinHash machinery applies unchanged).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("v"))
+    a = vocab.select(F.col("source").alias("sa"), "token")
+    b = vocab.select(F.col("source").alias("sb"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.select(F.col("source").alias("sa"), F.col("v").alias("va"))), "sa")
+        .join(F.broadcast(sizes.select(F.col("source").alias("sb"), F.col("v").alias("vb"))), "sb")
+        .select(
+            "sa",
+            "sb",
+            "n_inter",
+            F.round(
+                F.col("n_inter") / (F.col("va") + F.col("vb") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+SOURCE_VOCAB_OVERLAP_ORACLE = """
+WITH vocab AS (
+  SELECT DISTINCT source, t.token
+  FROM documents,
+       LATERAL (SELECT unnest(list_distinct(string_split(text, ' '))) AS token) t
+), sizes AS (
+  SELECT source, count(*) AS v FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS n_inter
+  FROM vocab a JOIN vocab b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa, sb, n_inter,
+       round(n_inter / (za.v + zb.v - n_inter), 4) AS jaccard
+FROM inter JOIN sizes za ON za.source = inter.sa
+           JOIN sizes zb ON zb.source = inter.sb
+ORDER BY sa, sb
+"""
+
+
 QUERIES: dict = {
     "keyword_search_tfidf": (keyword_search_tfidf, KEYWORD_SEARCH_ORACLE),
+    "source_vocab_overlap": (source_vocab_overlap, SOURCE_VOCAB_OVERLAP_ORACLE),
     "collocation_pmi_top": (collocation_pmi_top, COLLOCATION_PMI_ORACLE),
     "sparse_tfidf_doc_pairs": (sparse_tfidf_doc_pairs, SPARSE_TFIDF_ORACLE),
     "feature_hash_bag": (feature_hash_bag, FEATURE_HASH_ORACLE),

@@ -1501,6 +1501,196 @@ FROM cand WHERE rk = 1
 """
 
 
+def session_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict in-session funnel: view → click → purchase must occur IN
+    ORDER within one 30-minute-gap session (events_funnel_conversion
+    is the whole-user-history variant; product analytics wants the
+    session-scoped one). Stage k's timestamp is the first occurrence
+    STRICTLY AFTER stage k-1's — three conditional-min aggregate
+    passes over the sessionized stream, each a broadcast join back on
+    the session key, never a per-row subquery.
+
+    Sessions are the standard gaps-and-islands (new session when the
+    user's gap > 30 min — the events_sessionization rule). Output is
+    the funnel table: sessions at each stage + exact-rational
+    conversion rates.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tsu")
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu")
+    sess = ev.withColumn(
+        "new_s",
+        (
+            F.coalesce(
+                (F.col("tsu") - F.lag("tsu").over(w)) > 1_800_000_000, F.lit(True)
+            )
+        ).cast("long"),
+    ).withColumn("session_id", F.sum("new_s").over(w))
+    key = ["user_id", "session_id"]
+    t1 = sess.groupBy(*key).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("tsu"))).alias("t_view")
+    )
+    s2 = sess.join(F.broadcast(t1), key)
+    t2 = s2.groupBy(*key).agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("tsu") > F.col("t_view")),
+                F.col("tsu"),
+            )
+        ).alias("t_click")
+    )
+    s3 = sess.join(F.broadcast(t1), key).join(F.broadcast(t2), key)
+    t3 = s3.groupBy(*key).agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("tsu") > F.col("t_click")),
+                F.col("tsu"),
+            )
+        ).alias("t_buy")
+    )
+    stages = (
+        t1.join(t2, key).join(t3, key)
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_view"),
+            F.sum(F.col("t_click").isNotNull().cast("long")).alias("n_view_click"),
+            F.sum(F.col("t_buy").isNotNull().cast("long")).alias("n_full_funnel"),
+        )
+    )
+    return stages.select(
+        "n_sessions",
+        "n_view",
+        "n_view_click",
+        "n_full_funnel",
+        F.round(F.col("n_view_click") / F.col("n_view"), 4).alias("click_rate"),
+        F.round(F.col("n_full_funnel") / F.col("n_view_click"), 4).alias("buy_rate"),
+    )
+
+
+SESSION_FUNNEL_ORACLE = """
+WITH sess AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tsu,
+         sum(CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id
+          ORDER BY epoch_us(ts)) AS prev FROM events)
+), t1 AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'view' THEN tsu END) AS t_view
+  FROM sess GROUP BY 1, 2
+), t2 AS (
+  SELECT s.user_id, s.session_id,
+         min(CASE WHEN s.event_type = 'click' AND s.tsu > t1.t_view
+                  THEN s.tsu END) AS t_click
+  FROM sess s JOIN t1 USING (user_id, session_id) GROUP BY 1, 2
+), t3 AS (
+  SELECT s.user_id, s.session_id,
+         min(CASE WHEN s.event_type = 'purchase' AND s.tsu > t2.t_click
+                  THEN s.tsu END) AS t_buy
+  FROM sess s JOIN t1 USING (user_id, session_id)
+              JOIN t2 USING (user_id, session_id)
+  GROUP BY 1, 2
+)
+SELECT count(*) AS n_sessions,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_click,
+       CAST(sum(CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full_funnel,
+       round(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+             / sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END), 4)
+         AS click_rate,
+       round(sum(CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END)
+             / sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END), 4)
+         AS buy_rate
+FROM t1 JOIN t2 USING (user_id, session_id) JOIN t3 USING (user_id, session_id)
+"""
+
+
+def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality detection: autocorrelation of each event type's
+    HOURLY count series at lags 24 h (daily cycle) and 168 h (weekly),
+    computed Pearson-exactly from integer sums — n·Σxy − Σx·Σy over
+    the sqrt of the two integer variances, ONE division and ONE sqrt
+    per statistic, so no accumulation-order float drift. A high
+    lag-24 value tells a capacity planner the load is diurnal.
+
+    Scale shape: the raw stream reduces to an |hours|×|types| count
+    table first; the lag join is a self-join on (type, hour+lag) over
+    that small table, and the correlation is one aggregate over it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.unix_micros("ts") / 3_600_000_000)).alias("h"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    out = []
+    for lag_h in (24, 168):
+        a = hourly.select("event_type", "h", F.col("c").alias("x"))
+        b = hourly.select(
+            "event_type", (F.col("h") + lag_h).alias("h"), F.col("c").alias("y")
+        )
+        pairs = a.join(b, ["event_type", "h"])
+        stats = pairs.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        den = F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        )
+        out.append(
+            stats.select(
+                "event_type",
+                F.lit(lag_h).cast("long").alias("lag_hours"),
+                "n",
+                F.round(num.cast("double") / den, 4).alias("autocorr"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("event_type", "lag_hours")
+
+
+HOURLY_AUTOCORR_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+), lags AS (
+  SELECT 24 AS lag_hours UNION ALL SELECT 168
+), pairs AS (
+  SELECT a.event_type, l.lag_hours,
+         CAST(a.c AS BIGINT) AS x, CAST(b.c AS BIGINT) AS y
+  FROM hourly a
+  CROSS JOIN lags l
+  JOIN hourly b ON b.event_type = a.event_type AND b.h + l.lag_hours = a.h
+), stats AS (
+  SELECT event_type, lag_hours, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag_hours AS BIGINT) AS lag_hours, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS autocorr
+FROM stats
+ORDER BY event_type, lag_hours
+"""
+
+
 def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curve: for each first-activity-day
     cohort, cumulative purchase value per cohort member at day ages
@@ -1631,4 +1821,6 @@ QUERIES: dict = {
     "late_event_accounting": (late_event_accounting, LATE_EVENT_ORACLE),
     "cohort_ltv_curve": (cohort_ltv_curve, COHORT_LTV_ORACLE),
     "asof_nearest_tolerance": (asof_nearest_tolerance, ASOF_NEAREST_ORACLE),
+    "session_funnel_strict": (session_funnel_strict, SESSION_FUNNEL_ORACLE),
+    "hourly_autocorrelation": (hourly_autocorrelation, HOURLY_AUTOCORR_ORACLE),
 }
