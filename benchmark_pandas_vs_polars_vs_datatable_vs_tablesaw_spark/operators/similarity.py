@@ -1312,6 +1312,98 @@ ORDER BY sub, center
 
 
 # --------------------------------------------------------------------------
+# Late-interaction (MaxSim) retrieval
+# --------------------------------------------------------------------------
+
+
+def latesim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT's MaxSim): treat each
+    vector's 8 subvectors as per-token embeddings and score
+    score(q, d) = Σ_s max_t ⟨q_s, d_t⟩ — every query part finds its
+    best-matching document part, the scoring family multi-vector
+    retrievers use instead of one pooled dot product. Top-3 per query
+    (self excluded).
+
+    Integer-exact: subvector dots are int64 sums of e4-int products,
+    the max and the outer sum stay integer, so the ranking is
+    bit-portable with no rounding step at all. Scale shape: this is
+    the exact BRUTE-FORCE baseline (|Q|×|C|×64 subpair dots via one
+    map-side-combinable aggregate chain); production narrows |C| with
+    the ANN candidates first (ivf/ivfpq) and MaxSim re-scores only the
+    shortlist — the same composition pattern as ivfpq_ann_topk.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim") / _PQ_DIMS).cast("int").alias("sub"),
+        (F.col("dim") % _PQ_DIMS).alias("j"),
+        F.round(F.col("x").cast("double") * 10000).cast("long").alias("xi"),
+    )
+    qparts = parts.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("sub").alias("qsub"),
+        "j",
+        F.col("xi").alias("qi"),
+    )
+    # subpair dots: for each (q, doc, q-part, doc-part) the int64 dot,
+    # then max over doc-parts, then sum over q-parts.
+    dots = (
+        parts.join(F.broadcast(qparts), "j")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id", "qsub", "sub")
+        .agg(F.sum(F.col("qi") * F.col("xi")).alias("pdot"))
+    )
+    maxsim = (
+        dots.groupBy("q_id", "vec_id", "qsub")
+        .agg(F.max("pdot").alias("best"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("best").alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        maxsim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("q_id", "vec_id", "score", "rank")
+    )
+
+
+LATESIM_MAXSIM_ORACLE = f"""
+WITH parts AS (
+  SELECT vec_id,
+         CAST((t.dim - 1) // {_PQ_DIMS} AS INT) AS sub,
+         (t.dim - 1) % {_PQ_DIMS} AS j,
+         CAST(round(CAST(t.x AS DOUBLE) * 10000) AS BIGINT) AS xi
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim) t
+), qparts AS (
+  SELECT vec_id AS q_id, sub AS qsub, j, xi AS qi
+  FROM parts WHERE vec_id < {N_QUERIES}
+), dots AS (
+  SELECT q.q_id, p.vec_id, q.qsub, p.sub,
+         CAST(sum(q.qi * p.xi) AS BIGINT) AS pdot
+  FROM parts p JOIN qparts q USING (j)
+  WHERE p.vec_id <> q.q_id
+  GROUP BY 1, 2, 3, 4
+), maxsim AS (
+  SELECT q_id, vec_id, CAST(sum(best) AS BIGINT) AS score
+  FROM (
+    SELECT q_id, vec_id, qsub, max(pdot) AS best
+    FROM dots GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)
+SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM maxsim
+) WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # Label centroid similarity matrix
 # --------------------------------------------------------------------------
 
@@ -1687,4 +1779,5 @@ QUERIES: dict = {
         label_centroid_similarity,
         LABEL_CENTROID_SIM_ORACLE,
     ),
+    "latesim_maxsim_topk": (latesim_maxsim_topk, LATESIM_MAXSIM_ORACLE),
 }

@@ -1611,6 +1611,79 @@ FROM t1 JOIN t2 USING (user_id, session_id) JOIN t3 USING (user_id, session_id)
 """
 
 
+def kaplan_meier_churn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn table: survival analysis of user lifetime
+    (days from first to last activity), right-censored for users still
+    active within 7 days of the corpus watermark. Emits the KM TABLE —
+    per distinct churn day: users at risk, churn events, and the
+    per-step survival factor (1 − d/n) — rather than the chained
+    product curve: each row is one exact integer ratio, so no
+    cumulative float product (or exp-sum-log detour through libm) can
+    drift between engines; the curve is a trivial running product for
+    whoever plots it.
+
+    Scale shape: lifetimes are one groupBy(user); the at-risk counts
+    come from a suffix sum over the |distinct lifetimes| table
+    (window over distinct-day rows, not users).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    maxd = ev.agg(F.max("day").alias("corpus_max"))
+    lifet = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("first_d"), F.max("day").alias("last_d"))
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.datediff("last_d", "first_d").cast("long").alias("t"),
+            (F.datediff("corpus_max", "last_d") > 7).cast("long").alias("churned"),
+        )
+    )
+    per_t = lifet.groupBy("t").agg(
+        F.count("*").alias("ending"),
+        F.sum("churned").alias("d"),
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_t.withColumn("n_risk", F.sum("ending").over(w))
+        .where(F.col("d") > 0)
+        .select(
+            "t",
+            "n_risk",
+            "d",
+            F.round(1 - F.col("d") / F.col("n_risk"), 4).alias("km_factor"),
+        )
+        .orderBy("t")
+    )
+
+
+KAPLAN_MEIER_ORACLE = """
+WITH maxd AS (SELECT max(CAST(ts AS DATE)) AS corpus_max FROM events),
+lifet AS (
+  SELECT CAST(max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS BIGINT) AS t,
+         CASE WHEN corpus_max - max(CAST(ts AS DATE)) > 7 THEN 1 ELSE 0 END
+           AS churned
+  FROM events CROSS JOIN maxd
+  GROUP BY user_id, corpus_max
+), per_t AS (
+  SELECT t, count(*) AS ending, CAST(sum(churned) AS BIGINT) AS d
+  FROM lifet GROUP BY t
+)
+SELECT t,
+       CAST(sum(ending) OVER (ORDER BY t DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
+       d,
+       round(1 - d / CAST(sum(ending) OVER (ORDER BY t DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 4)
+         AS km_factor
+FROM per_t
+QUALIFY d > 0
+ORDER BY t
+"""
+
+
 def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonality detection: autocorrelation of each event type's
     HOURLY count series at lags 24 h (daily cycle) and 168 h (weekly),
@@ -1822,5 +1895,6 @@ QUERIES: dict = {
     "cohort_ltv_curve": (cohort_ltv_curve, COHORT_LTV_ORACLE),
     "asof_nearest_tolerance": (asof_nearest_tolerance, ASOF_NEAREST_ORACLE),
     "session_funnel_strict": (session_funnel_strict, SESSION_FUNNEL_ORACLE),
+    "kaplan_meier_churn_table": (kaplan_meier_churn_table, KAPLAN_MEIER_ORACLE),
     "hourly_autocorrelation": (hourly_autocorrelation, HOURLY_AUTOCORR_ORACLE),
 }
