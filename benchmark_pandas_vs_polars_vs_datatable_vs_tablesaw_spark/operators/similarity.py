@@ -1403,6 +1403,173 @@ FROM (
 """
 
 
+def latesim_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxSim over ANN candidates — the PRODUCTION multi-vector shape:
+    the IVF coarse quantizer narrows each query to its probed inverted
+    lists (ivf_ann_topk's exact machinery), and only those candidates
+    pay the late-interaction Σ_s max_t integer subvector scoring
+    (latesim_maxsim_topk is the brute-force twin this narrows). Top-3
+    per query.
+
+    Everything stays deterministic: the coarse side is the
+    data-sampled-centroid pipeline, the rescoring is pure int64. At
+    100 TB the candidate restriction is the whole game — MaxSim costs
+    |parts|² per pair, so it must only ever see a shortlist.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("nrm", vectors.norm(F.col("embedding")))
+    )
+    cents = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)
+    ).select(
+        (F.col("vec_id") - 100).alias("cent_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    assign_cos = F.round(
+        vectors.dot(F.col("embedding"), F.col("c_vec"))
+        / (F.col("nrm") * F.col("c_nrm")),
+        4,
+    )
+    assigned = (
+        emb.join(F.broadcast(cents), F.lit(True))
+        .withColumn("a_cos", assign_cos)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cent_id"),
+                F.struct(F.col("a_cos").alias("c"), (-F.col("cent_id")).alias("t")),
+            ).alias("list_id")
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    probe_cos = F.round(
+        vectors.dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")),
+        4,
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("p_cos").desc(), F.col("cent_id").asc())
+    probes = (
+        queries.join(F.broadcast(cents), F.lit(True))
+        .withColumn("p_cos", probe_cos)
+        .withColumn("p_rank", F.row_number().over(wp))
+        .filter(F.col("p_rank") <= N_PROBE)
+        .select("q_id", F.col("cent_id").alias("list_id"))
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    parts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim") / _PQ_DIMS).cast("int").alias("sub"),
+        (F.col("dim") % _PQ_DIMS).alias("j"),
+        F.round(F.col("x").cast("double") * 10000).cast("long").alias("xi"),
+    )
+    qparts = parts.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("sub").alias("qsub"),
+        "j",
+        F.col("xi").alias("qi"),
+    )
+    dots = (
+        parts.join(cand, "vec_id")
+        .join(F.broadcast(qparts), ["q_id", "j"])
+        .groupBy("q_id", "vec_id", "qsub", "sub")
+        .agg(F.sum(F.col("qi") * F.col("xi")).alias("pdot"))
+    )
+    maxsim = (
+        dots.groupBy("q_id", "vec_id", "qsub")
+        .agg(F.max("pdot").alias("best"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("best").alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        maxsim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("q_id", "vec_id", "score", "rank")
+    )
+
+
+LATESIM_RERANK_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id - 100 AS cent_id, embedding AS c_vec
+  FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, cent_id AS list_id
+  FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.embedding', b='c.c_vec')} DESC,
+                      c.cent_id ASC) AS a_rank
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE a_rank = 1
+),
+probes AS (
+  SELECT q_id, cent_id AS list_id
+  FROM (
+    SELECT q.vec_id AS q_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a='q.embedding', b='c.c_vec')} DESC,
+                      c.cent_id ASC) AS p_rank
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE p_rank <= {N_PROBE}
+),
+cand AS (
+  SELECT p.q_id, a.vec_id
+  FROM assigned a JOIN probes p USING (list_id)
+  WHERE a.vec_id <> p.q_id
+),
+parts AS (
+  SELECT vec_id,
+         CAST((t.dim - 1) // {_PQ_DIMS} AS INT) AS sub,
+         (t.dim - 1) % {_PQ_DIMS} AS j,
+         CAST(round(CAST(t.x AS DOUBLE) * 10000) AS BIGINT) AS xi
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim) t
+),
+qparts AS (
+  SELECT vec_id AS q_id, sub AS qsub, j, xi AS qi
+  FROM parts WHERE vec_id < {N_QUERIES}
+),
+dots AS (
+  SELECT c.q_id, c.vec_id, q.qsub, p.sub,
+         CAST(sum(q.qi * p.xi) AS BIGINT) AS pdot
+  FROM cand c
+  JOIN parts p ON p.vec_id = c.vec_id
+  JOIN qparts q ON q.q_id = c.q_id AND q.j = p.j
+  GROUP BY 1, 2, 3, 4
+),
+maxsim AS (
+  SELECT q_id, vec_id, CAST(sum(best) AS BIGINT) AS score
+  FROM (
+    SELECT q_id, vec_id, qsub, max(pdot) AS best
+    FROM dots GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)
+SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM maxsim
+) WHERE rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Label centroid similarity matrix
 # --------------------------------------------------------------------------
@@ -1780,4 +1947,5 @@ QUERIES: dict = {
         LABEL_CENTROID_SIM_ORACLE,
     ),
     "latesim_maxsim_topk": (latesim_maxsim_topk, LATESIM_MAXSIM_ORACLE),
+    "latesim_rerank_ann": (latesim_rerank_ann, LATESIM_RERANK_ORACLE),
 }
