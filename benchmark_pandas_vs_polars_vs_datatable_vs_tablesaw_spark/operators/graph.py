@@ -416,14 +416,16 @@ def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: every round is two left-semi joins against the
     just-computed alive-node set plus one degree aggregate — the same
-    per-round cost as one dedup_clusters_cc iteration; per-round
-    persist() keeps the unrolled lineage linear (at 100 TB,
-    localCheckpoint per round as in the CC operator). The trace rows
-    are 1-row aggregates unioned lazily — nothing collects on the
-    driver.
+    per-round cost as one dedup_clusters_cc iteration, and the same
+    lineage rule applies: each round's frontier is cut with an EAGER
+    ``localCheckpoint`` (lazy persist left six lazy count branches
+    re-deriving the whole peel chain — measured 14 s vs 3 s at sf0.1;
+    SCALE.md "iterative DataFrame loop" rule). Only the six trace
+    scalars cross to the driver (the CC convergence-witness pattern);
+    the 3-row trace is rebuilt from them.
     """
-    edges = _cooccurrence_edges(spark, sf_dir).persist()
-    traces = []
+    edges = _cooccurrence_edges(spark, sf_dir).localCheckpoint()
+    trace_rows = []
     for rnd in range(1, _KCORE_ROUNDS + 1):
         deg = (
             edges.select(F.col("u").alias("node"))
@@ -431,21 +433,18 @@ def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
         )
-        alive = deg.where(F.col("deg") >= _KCORE_K).select("node").persist()
+        alive = (
+            deg.where(F.col("deg") >= _KCORE_K).select("node").localCheckpoint()
+        )
         edges = (
             edges.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
-            .persist()
+            .localCheckpoint()
         )
-        traces.append(
-            alive.agg(F.count("*").alias("n_nodes"))
-            .crossJoin(edges.agg(F.count("*").alias("n_edges")))
-            .select(F.lit(rnd).alias("round"), "n_nodes", "n_edges")
-        )
-    out = traces[0]
-    for t in traces[1:]:
-        out = out.unionByName(t)
-    return out.orderBy("round")
+        trace_rows.append((rnd, alive.count(), edges.count()))
+    return spark.createDataFrame(
+        trace_rows, "round INT, n_nodes BIGINT, n_edges BIGINT"
+    ).orderBy("round")
 
 
 KCORE_ORACLE = f"""
