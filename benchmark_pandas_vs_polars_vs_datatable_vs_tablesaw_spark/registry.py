@@ -60,98 +60,89 @@ _MODULES = (
 
 # Registration order == driver correctness-check order (the driver
 # verifies the first N registry entries per round; N has been 50).
-# Rounds 1-3 cumulatively proved 137/148 hash-green. The round-4
-# window (exactly 50) fronts, in order of need:
-# (a00) every query that has NEVER had a driver row — the round-3
-#       additions the 50-window never reached, the round-4 additions
-#       (dedup/storage/streaming/stats/graph/CDC), and this session's
-#       new operators (dq report, skew diagnostic, transition matrix,
-#       attribution, EWMA, quantile binning);
-# (b)   the 5 events queries the TIMESTAMP_NTZ drift broke outright
-#       (fixed in catalog.normalize_events_ts — fresh rows required);
-# (c)   q22_sales_opportunity, whose anti-join side changed to be
-#       non-vacuous (was a 0-row hash match).
-# The 15 late-round-4 additions (training.py, gdpr_delete_cascade,
-# inter-event/growth/attribution/Pareto/RFM/shipping-lag analytics,
-# hybrid_rrf_fusion, copurchase_degree_distribution) queue behind the
-# window for the round-5 rotation — every named verdict item keeps its
-# slot; all 15 are differential-tested in tests/test_differential.py.
-# Nine round-4 additions with strong independent pytest evidence
-# (zorder file-span, schema-evolution, JL distortion-envelope, bloom
-# no-false-negative, blocked-edit-distance, foreachBatch idempotent-
-# merge, star-contraction==CC equivalence, winsorized-stats,
-# streaming-session-subset tests — the last also covered by its
-# in-window oracle certificate) plus the type-touched-but-output-
-# identical events/streaming queries (green r2) wait behind the
-# window for the round-5 rotation; all remain covered by
-# tests/test_differential.py.
+# Rounds 1-4 cumulatively proved 186/270 driver rows (zero red);
+# 84 queries had never had a driver row entering round 5 — the
+# round-4 registry growth (+122) outran the 50/round window
+# (round-4 verdict, "What's missing #1"). The round-5 window
+# (exactly 50, enforced by tests/test_harness.py) fronts 50 of the
+# 84, flagship-first per the verdict's named list; ZERO new queries
+# were added this round so the backlog drains instead of growing.
 _PRIORITY = (
-    # (a00-i) this session's additions
-    "dq_constraint_report",
-    "key_skew_report",
-    "event_transition_matrix",
-    "purchase_attribution_last_touch",
-    "ewma_customer_orders",
-    "quantile_bin_features",
-    "geo_nearest_supplier",
-    "geo_cell_density",
-    "feature_hash_bag",
-    "mad_outlier_events",
-    "m4_downsample_events",
-    "join_cardinality_report",
-    "bitmap_distinct_users",
-    "hierarchical_rollup_events",
-    "revenue_contribution_shares",
-    "bigram_lm_score",
-    "inverted_index_sample",
-    "frequent_event_paths",
-    # (a00-ii) earlier round-4 additions — first driver rows
-    "retention_cohort_matrix",
-    "interval_concurrency_peak",
-    "events_anomaly_zscore",
-    "triangle_count_copurchase",
-    "pagerank_nation_trade",
-    "boilerplate_phrase_ratio",
-    "weighted_reservoir_sample",
-    "scd2_priority_history",
-    "snapshot_diff_cdc",
-    "incremental_agg_maintenance",
-    "ab_test_welch",
-    "weighted_median_by_group",
-    "rolling_median_by_user",
-    "trend_regression_by_type",
-    # (a00-iii) round-4 oracle upgrades: ann_lsh_topk's candidate
-    # pipeline is deterministic (seeded-LCG planes) and now carries a
-    # full DuckDB oracle; the three recall certificates give the
-    # hash/RNG-dependent schemes (MinHash, SimHash, MLlib LSH) their
-    # first hash-checkable rows; dedup_containment is new.
-    "ann_lsh_topk",
-    "dedup_minhash_recall",
-    "dedup_simhash_recall",
-    "mllib_lsh_recall",
-    "quality_percentile_rank",
-    "fuzzy_dedup_pipeline",
-    "streaming_session_certificate",
-    # (a00-iv) round-3 additions — never driver-checked
-    "dedup_semantic_clusters",
-    "kmeans_lloyd_two_rounds",
-    "token_rarity_score",
-    "chunk_documents",
-    "mixture_temperature_resample",
-    "compact_small_files",
-    # (b) events queries broken by the NTZ drift, now fixed
-    "asof_join_purchase_view",
-    "events_sessionization",
-    "streaming_dedup_events",
-    "streaming_interval_join",
-    # (c) fixed vacuous fixture match
-    "q22_sales_opportunity",
-    # The 22 round-4-session additions (mlprep.py, collocation/keyword
-    # search, bootstrap/z-test/Theil-Sen, l-diversity, k-core, PQ stats,
-    # lateness audit) queue behind the window in module order for the
-    # round-5 rotation; every one is oracle-checked today in
-    # tests/test_differential.py and scripts/drive_contract.py.
+    # (i) round-4 flagship work, named in VERDICT.md "Next round" #1
+    "ivfpq_ann_topk",
+    "latesim_maxsim_topk",
+    "latesim_rerank_ann",
+    "ks_drift_test",
+    "hybrid_rrf_fusion",
+    "kcore_copurchase_peel",
+    "session_funnel_strict",
+    "kaplan_meier_churn_table",
+    "streaming_doc_quality_gate",
+    "streaming_corpus_fingerprint",
+    "sql_pipe_flagship",
+    "lateral_topn_per_nation",
+    "recursive_spine_gapfill",
+    "python_datasource_scan",
+    "bloom_prefilter_join",
+    "pit_dimension_join",
+    # (ii) all 15 mlprep.py queries (also verdict-named)
+    "target_encode_smoothed",
+    "retrieval_ndcg_eval",
+    "classifier_pr_eval",
+    "user_feature_vector",
+    "quantile_normalize_scores",
+    "embedding_dim_variance",
+    "stratified_kfold_assign",
+    "length_bucket_batch_plan",
+    "negative_sampling_pairs",
+    "curriculum_shard_plan",
+    "hll_distinct_certificate",
+    "asof_forward_tolerance",
+    "chi2_token_source",
+    "er_weighted_match",
+    "skyline_pareto_frontier",
+    # (iii) remaining never-checked, module spread — dedup first
+    # (the largest unattested family), then dq/graph/similarity/
+    # text/timeseries/streaming/storage/analytics representatives
+    "dedup_containment",
+    "dedup_clusters_star_contraction",
+    "dedup_incremental_exact",
+    "dedup_survivorship",
+    "dedup_edit_distance_blocked",
+    "gdpr_delete_cascade",
+    "corpus_fingerprint",
+    "market_basket_rules",
+    "link_prediction_common_neighbors",
+    "copurchase_degree_distribution",
+    "pq_quantize_stats",
+    "embedding_random_projection",
+    "heavy_hitters_twophase",
+    "collocation_pmi_top",
+    "asof_nearest_tolerance",
+    "late_event_accounting",
+    "streaming_foreachbatch_upsert",
+    "schema_evolution_read",
+    "cusum_changepoint_by_type",
 )
+# ROUND-6 ROTATION (the remaining 34 never-driver-checked queries —
+# promote these to _PRIORITY next round, nothing else jumps the
+# queue; all 34 are oracle-differential-green today in
+# tests/test_differential.py):
+#   geo_point_in_polygon, dataset_card_stats,
+#   observe_metrics_single_pass, embedding_centroid_outliers,
+#   label_centroid_similarity, multimodal_phash_dedup,
+#   keyword_search_tfidf, source_vocab_overlap,
+#   sparse_tfidf_doc_pairs, token_entropy_quality,
+#   quota_sample_per_source, time_to_first_purchase,
+#   user_growth_accounting, multi_touch_attribution_decay,
+#   inter_event_time_stats, cohort_ltv_curve, hourly_autocorrelation,
+#   zorder_layout_stats, dataset_mixture_plan, vocab_oov_rate,
+#   adaptive_quality_gate, linear_quality_classifier,
+#   dup_ngram_char_fraction, k_anonymity_spectrum, l_diversity_report,
+#   deterministic_shuffle_shard, rfm_segmentation,
+#   pareto_revenue_share, shipping_lag_stats,
+#   winsorized_stats_by_group, bootstrap_ci_group_means,
+#   listagg_status_rollup, ab_proportion_ztest, theilsen_trend_by_type
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 for _m in _MODULES:
