@@ -67,14 +67,29 @@ def bench_json(results: dict[str, timing.OpTiming], sf: float) -> str:
 
 
 def plot_results(results: dict[str, timing.OpTiming], path: str) -> bool:
-    """H7 — grouped bar chart of per-op medians (matplotlib optional)."""
+    """H7 — bar chart of per-op medians.
+
+    matplotlib when available (the reference's renderer, `NB-main`
+    cells 6-7); otherwise the stdlib SVG fallback so an offline
+    container still produces a rendered artifact (round-4 verdict
+    "Next round" #6). Returns True when something was written."""
     try:
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
     except ImportError:
-        return False
+        from . import svgplot
+
+        svg_path = path if path.endswith(".svg") else path + ".svg"
+        rows = [(name, t.median_s, False) for name, t in results.items()]
+        svgplot.render_bar_panels(
+            [("median seconds", rows)],
+            svg_path,
+            title="Per-operation median runtime",
+            note="stdlib SVG fallback (matplotlib unavailable)",
+        )
+        return True
     names = list(results)
     vals = [results[n].median_s for n in names]
     fig, ax = plt.subplots(figsize=(max(6, len(names) * 0.6), 4))

@@ -1,0 +1,65 @@
+"""S4 — remote URL scan over real HTTP (SURVEY.md §2.1 S4).
+
+The reference reads its seed CSV over HTTPS (`NB-main:64-65`). The
+sandbox has no external network, so these tests serve a CSV from a
+loopback ``http.server`` — `read_remote_csv` exercises the identical
+code path (SparkContext.addFile fetch over HTTP, then the normal CSV
+scan) without leaving the machine.
+"""
+
+from __future__ import annotations
+
+import http.server
+import socketserver
+import threading
+
+import pytest
+
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.sources import csv_io
+
+CSV_BODY = "id,name,score\n1,alpha,0.5\n2,beta,1.5\n3,gamma,-2.0\n"
+
+
+@pytest.fixture(scope="module")
+def http_csv_url(tmp_path_factory):
+    root = tmp_path_factory.mktemp("http_csv")
+    (root / "seed.csv").write_text(CSV_BODY)
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *args, **kwargs):
+            super().__init__(*args, directory=str(root), **kwargs)
+
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), Handler) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{port}/seed.csv"
+        httpd.shutdown()
+        t.join(timeout=5)
+
+
+def test_read_remote_csv_over_http(spark, http_csv_url):
+    df = csv_io.read_remote_csv(spark, http_csv_url)
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(rows) == {"alpha", "beta", "gamma"}
+    # schema inference ran (no explicit schema passed)
+    assert dict(df.dtypes)["id"] in ("int", "bigint")
+    assert rows["gamma"]["score"] == -2.0
+
+
+def test_read_remote_csv_with_explicit_schema(spark, http_csv_url):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = csv_io.read_remote_csv(spark, http_csv_url, schema=schema)
+    assert df.schema == schema
+    assert df.count() == 3
