@@ -13,8 +13,10 @@ Modes:
   window is emitted and the result equals the batch computation
   row-for-row;
 - the session-window query uses a watermark + append (the production
-  shape for unbounded state) and is therefore rows-only checked —
-  append withholds sessions newer than the final watermark by design.
+  shape for unbounded state); over a pinned single-file source the
+  drain is deterministic (one micro-batch + flush), so since round 5
+  it carries a full oracle — "closed sessions only" is expressible as
+  a watermark predicate over the batch sessionization.
 
 At scale: state lives in the state store keyed by (window, type);
 watermarks bound it. The fixture drive-through is single-batch, but
@@ -125,8 +127,18 @@ GROUP BY 1, 2
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user with a 1-hour watermark —
     the production stateful shape: state bounded by the watermark,
-    append-mode emission of closed sessions only. Rows-only check
-    (append intentionally withholds sessions past the final watermark).
+    append-mode emission of closed sessions only.
+
+    Fully oracled since round 5: over a pinned file list the drain is
+    deterministic — the single events.parquet file arrives in one
+    micro-batch (no maxFilesPerTrigger), the watermark then advances
+    to max(ts) - 1h, and processAllAvailable runs the flush batch that
+    emits every closed session. The emitted set is therefore exactly
+    "sessions whose end (last event + 30 min) precedes the final
+    watermark", which STREAMING_SESSION_ORACLE reproduces. Boundary
+    conventions (diff == gap, end == watermark) were verified
+    indistinguishable on the fixtures — all four operator combinations
+    hash-match at sf0.001 and sf0.01.
     """
     ev = _events_stream(spark, sf_dir)
     agg = (
@@ -140,6 +152,32 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, spark, "append")
+
+
+STREAMING_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       user_id, CAST(n_events AS BIGINT) AS n_events
+FROM per_session
+WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+"""
 
 
 def streaming_session_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,7 +654,7 @@ QUERIES: dict = {
     "streaming_dedup_events": (streaming_dedup_events, STREAMING_DEDUP_ORACLE),
     "streaming_interval_join": (streaming_interval_join, STREAMING_INTERVAL_JOIN_ORACLE),
     "streaming_sliding_agg": (streaming_sliding_agg, STREAMING_SLIDING_ORACLE),
-    "streaming_session_window": (streaming_session_window, None),
+    "streaming_session_window": (streaming_session_window, STREAMING_SESSION_ORACLE),
     "streaming_session_certificate": (
         streaming_session_certificate,
         STREAMING_SESSION_CERTIFICATE_ORACLE,

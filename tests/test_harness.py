@@ -33,3 +33,50 @@ def test_registry_priority_fits_driver_window():
     from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.registry import _PRIORITY
 
     assert len(_PRIORITY) <= 50, f"priority window overflow: {len(_PRIORITY)}"
+
+def test_gc_heap_probe_positive_and_bounded(spark):
+    # the r4 artifact recorded -18 GB "deltas" across GC boundaries;
+    # the replacement probe is retained heap after a forced full GC —
+    # always positive and far below the configured max heap
+    live = memory.jvm_heap_after_gc_mb(spark)
+    assert 1.0 < live < 130_000.0
+
+
+def test_priority_window_is_all_never_driver_checked():
+    # round-5 discipline: every slot in the window must be a query
+    # with no driver row in CORRECTNESS_r01..r04 — the window exists
+    # to drain that backlog, not to re-check green queries
+    import json
+    import os
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.registry import _PRIORITY
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for r in (1, 2, 3, 4):
+        path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                checked |= set(json.load(f))
+    stale = [n for n in _PRIORITY if n in checked]
+    assert not stale, f"window wastes slots on already-checked queries: {stale}"
+
+
+def test_svg_fallback_renders_valid_artifact(tmp_path):
+    import xml.dom.minidom
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.harness import runner
+
+    results = {
+        "read": timing.OpTiming(operation="read", times_s=[0.2], median_s=0.2, memory_mb=0.0),
+        "sort": timing.OpTiming(operation="sort", times_s=[1.6], median_s=1.6, memory_mb=0.0),
+    }
+    out = tmp_path / "h7.svg"
+    assert runner.plot_results(results, str(out)) is True
+    rendered = out if out.exists() else tmp_path / "h7.svg.svg"
+    dom = xml.dom.minidom.parse(str(rendered))
+    assert dom.documentElement.tagName == "svg"
+    texts = [
+        t.firstChild.data for t in dom.getElementsByTagName("text") if t.firstChild is not None
+    ]
+    assert any("read" in t for t in texts) and any("1.60" in t for t in texts)
