@@ -182,17 +182,17 @@ WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
 
 def streaming_session_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checkable certificate for :func:`streaming_session_window`
-    (same pattern as the dedup/ANN recall certificates): the append-
-    mode session list itself is watermark-dependent — sessions past
-    the final watermark are intentionally withheld, so no SQL oracle
-    can reproduce the exact rows — but the CONTAINMENT invariant is a
-    deterministic scalar: every user's streamed session count must be
-    <= the batch sessionization's count (same 30-minute gap rule), and
-    the stream must emit at least one session. The oracle recomputes
-    the batch side's user count exactly and asserts the invariant
-    flag; a watermark/session-window regression that emits spurious or
-    zero sessions flips it. Robust to micro-batch splitting by
-    construction — containment holds under any drain schedule.
+    (same pattern as the dedup/ANN recall certificates). Since round 5
+    the base query carries its own exact oracle (the single-file drain
+    is deterministic), but this certificate stays registered because
+    it checks the complementary, schedule-independent invariant: every
+    user's streamed session count must be <= the batch sessionization's
+    count (same 30-minute gap rule), and the stream must emit at least
+    one session — containment holds under ANY micro-batch split, so
+    this is the check that would survive a multi-file or maxFilesPer-
+    Trigger deployment where the exact oracle wouldn't. The oracle
+    recomputes the batch side's user count exactly and asserts the
+    invariant flag.
     """
     from ..operators.timeseries import events_sessionization
 
