@@ -27,6 +27,20 @@ written to results/b13_spark_results.csv (committed next to SCALE.md
 so BASELINE.md has a same-shape Spark column).
 
 Usage: python scripts/b13_benchmark.py [out_csv] [work_dir]
+
+Set SPARK_GRAFT_B13_JVMS=N (use 3 when generating the committed
+artifact) to run the whole suite N times in FRESH JVMs and keep each
+op's minimum. Why: the hosting VM has multi-minute contention waves
+(invisible to guest steal/iowait counters — hypervisor-level) that
+hit the JVM->Python Arrow exchange ~10x while leaving cache-resident
+JVM compute almost untouched; to_np measures 0.7-1.0 s in calm
+windows vs 7-24 s inside a wave, for the SAME code/config/JVM-flag
+matrix (verified: unaffected by maxRecordsPerBatch, maxBytesPerBatch,
+recompilation-cutoff flags, or -XX:-TieredCompilation — whole trial
+batches flip fast/slow together with the wall clock, the signature of
+external contention). Min-across-fresh-JVMs is the same clean-run
+policy the bench rebaselines use (SCALE.md), and matches the
+reference's one-process-per-engine methodology.
 """
 
 from __future__ import annotations
@@ -192,5 +206,40 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
 
 
+def _multi_jvm(n: int, out_csv: str) -> None:
+    """Run the suite n times in fresh JVMs; keep each op's best run."""
+    import csv
+    import json
+    import subprocess
+
+    best: dict[str, dict] = {}
+    for i in range(n):
+        tmp = f"{out_csv}.jvm{i}"
+        env = dict(os.environ, SPARK_GRAFT_B13_JVMS="1")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), tmp],
+            check=True,
+            env=env,
+            timeout=1800,
+        )
+        with open(tmp) as f:
+            for row in csv.DictReader(f):
+                op = row["operation"]
+                if op not in best or float(row["time"]) < float(best[op]["time"]):
+                    best[op] = row
+        os.remove(tmp)
+        print(f"jvm {i + 1}/{n}: " + json.dumps({r["operation"]: r["time"] for r in best.values()}), file=sys.stderr)
+    rows = [
+        ResultRow(size=int(r["size"]), operation=r["operation"], time=float(r["time"]), memory=float(r["memory"]))
+        for r in best.values()
+    ]
+    write_results(rows, out_csv)
+    print(f"results: {out_csv} (min over {n} fresh JVMs)")
+
+
 if __name__ == "__main__":
-    main()
+    _n_jvms = int(os.environ.get("SPARK_GRAFT_B13_JVMS", "1"))
+    if _n_jvms > 1:
+        _multi_jvm(_n_jvms, sys.argv[1] if len(sys.argv) > 1 else "results/b13_spark_results.csv")
+    else:
+        main()
