@@ -179,14 +179,23 @@ def main() -> None:
     except OSError as exc:
         print(f"  detail write failed: {exc}", file=sys.stderr)
 
-    out = {
-        "metric": "total_sec",
-        "value": round(sum(per_query.values()), 4),
-        "unit": "sec",
-        "queries": per_query,
-        "sf": sf,
-    }
-    print(json.dumps(out))
+    print(contract_line(per_query, sf))
+
+
+def contract_line(per_query: dict[str, float], sf: float) -> str:
+    """The single driver-contract stdout line. Keys are EXACTLY
+    {metric, value, unit, queries, sf} — anything more belongs in
+    results/bench_detail.json (round-4's artifact was lost to this
+    line outgrowing the driver's tail capture)."""
+    return json.dumps(
+        {
+            "metric": "total_sec",
+            "value": round(sum(per_query.values()), 4),
+            "unit": "sec",
+            "queries": per_query,
+            "sf": sf,
+        }
+    )
 
 
 if __name__ == "__main__":

@@ -59,10 +59,20 @@ def jvm_heap_after_gc_mb(spark) -> float:
 
 
 def executor_peaks_mb(spark) -> dict[str, float]:
-    """Per-executor peak memory from the status API (REST
-    /api/v1/.../executors analogue via statusTracker in local mode)."""
+    """Per-executor storage-memory usage (used = max - remaining) from
+    the block-manager status — the REST /api/v1/.../executors analogue
+    that works in local mode. Keys are 'host:port' block-manager ids;
+    local mode has exactly one entry covering all 32 task threads."""
     try:
-        tracker = spark.sparkContext.statusTracker()
-        return {str(e): 0.0 for e in tracker.getExecutorInfos()}  # ids only in local mode
+        sc = spark.sparkContext
+        status = sc._jsc.sc().getExecutorMemoryStatus()  # noqa: SLF001
+        it = status.iterator()
+        out: dict[str, float] = {}
+        while it.hasNext():
+            kv = it.next()
+            max_mb = kv._2()._1() / 1e6  # noqa: SLF001
+            remaining_mb = kv._2()._2() / 1e6  # noqa: SLF001
+            out[str(kv._1())] = round(max_mb - remaining_mb, 1)
+        return out
     except Exception:
         return {}

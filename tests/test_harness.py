@@ -80,3 +80,28 @@ def test_svg_fallback_renders_valid_artifact(tmp_path):
         t.firstChild.data for t in dom.getElementsByTagName("text") if t.firstChild is not None
     ]
     assert any("read" in t for t in texts) and any("1.60" in t for t in texts)
+
+
+def test_bench_contract_line_shape():
+    # the driver stores only a stdout tail window; the contract line
+    # must stay compact and carry exactly the agreed keys
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    line = bench.contract_line({f"q{i}": 0.1234 for i in range(60)}, 0.1)
+    parsed = json.loads(line)
+    assert set(parsed) == {"metric", "value", "unit", "queries", "sf"}
+    assert parsed["unit"] == "sec" and parsed["sf"] == 0.1
+    assert abs(parsed["value"] - 60 * 0.1234) < 1e-6
+    assert len(line) < 4096, f"contract line too large for tail capture: {len(line)}B"
+
+
+def test_executor_peaks_report_real_usage(spark):
+    peaks = memory.executor_peaks_mb(spark)
+    assert peaks, "local mode must report at least the driver block manager"
+    for used in peaks.values():
+        assert 0.0 <= used < 130_000.0
