@@ -580,3 +580,28 @@ def test_ivfpq_recalls_most_of_ivf_flat(spark, sf_dir):
     assert ivf, "IVF returned nothing"
     recall = len(pq & ivf) / len(ivf)
     assert recall >= 0.7, f"PQ shortlist lost too much: recall {recall}"
+
+
+def test_streaming_session_multibatch_equals_batch():
+    """Multi-batch incremental certificate (scripts/streaming_scale_probe.py
+    at test scale): replaying time-sliced files as separate micro-batches
+    through the watermarked session window must emit EXACTLY the batch
+    sessionization under the final-watermark predicate — including
+    sessions whose events arrive in different micro-batches."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "streaming_scale_probe.py"), "300", "3", "5"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["micro_batches"] > 1, "probe must exercise the incremental path"
+    assert res["exact_match"], res
+    assert res["state_rows_peak"] < res["truth_sessions"], "watermark must evict state"
