@@ -605,3 +605,27 @@ def test_streaming_session_multibatch_equals_batch():
     assert res["micro_batches"] > 1, "probe must exercise the incremental path"
     assert res["exact_match"], res
     assert res["state_rows_peak"] < res["truth_sessions"], "watermark must evict state"
+
+
+def test_streaming_interval_join_multibatch_equals_batch():
+    """Multi-batch certificate for the stream-stream interval join
+    (scripts/streaming_join_scale_probe.py at test scale): pairs whose
+    two sides arrive in different micro-batches must still join, orphan
+    purchases outside the 30-min window must not, and the result must
+    equal the batch interval join exactly."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "streaming_join_scale_probe.py"), "300", "4"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["micro_batches"] > 1
+    assert res["exact_match"] and res["truth_matches_arithmetic"], res
