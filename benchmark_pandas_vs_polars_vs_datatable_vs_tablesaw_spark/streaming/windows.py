@@ -20,7 +20,13 @@ Modes:
 
 At scale: state lives in the state store keyed by (window, type);
 watermarks bound it. The fixture drive-through is single-batch, but
-the plan is the real incremental one (StateStoreSave in explain()).
+the plan is the real incremental one (StateStoreSave in explain()),
+and the incremental path itself is certified multi-batch: the session
+window and the interval join replay 10M/3M-row fixtures as 10-20 real
+micro-batches with exact batch-equality checks and measured state
+eviction (scripts/streaming_scale_probe.py,
+scripts/streaming_join_scale_probe.py; reduced-scale pytest twins in
+tests/test_semantics.py).
 """
 
 from __future__ import annotations
