@@ -282,19 +282,29 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Duplicates are injected by unioning the stream with a copy of its
     own event_id < 100 slice (same trick as the batch dedup corpus);
-    the operator must emit each event_id exactly once. Dedup state is
-    keyed by event_id in the state store; the watermark lets Spark
-    expire keys older than the lateness bound instead of holding every
-    key forever — THE knob that makes streaming dedup viable on an
-    unbounded stream. Oracle = the batch distinct (event_ids are unique
-    in the fixture, so that is just ``events`` itself).
+    the operator must emit each event_id exactly once.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+), NOT plain
+    ``dropDuplicates``: with a non-event-time dedup key, plain
+    dropDuplicates keeps every key in the state store FOREVER even
+    under a watermark — round 5's multi-batch probe
+    (scripts/streaming_dedup_scale_probe.py) measured exactly that
+    (state peak == total unique keys, zero eviction), falsifying this
+    docstring's earlier claim. The WithinWatermark form is the one
+    where the watermark actually expires keys — THE knob that makes
+    streaming dedup viable on an unbounded stream; its contract
+    (duplicates arriving within the lateness bound dedup; a dup
+    older than the watermark may re-emit) is the honest production
+    semantics. Oracle = the batch distinct (event_ids are unique in
+    the fixture and the injected dups arrive in-batch, so the output
+    is identical to ``events`` itself).
     """
     ev = _events_stream(spark, sf_dir).select("event_id", "ts", "event_type")
     dups = ev.filter(F.col("event_id") < 100)
     deduped = (
         ev.union(dups)
         .withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type")
     )
     return _drain(deduped, spark, "append")

@@ -629,3 +629,33 @@ def test_streaming_interval_join_multibatch_equals_batch():
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["micro_batches"] > 1
     assert res["exact_match"] and res["truth_matches_arithmetic"], res
+
+
+def test_streaming_dedup_multibatch_bounded_state():
+    """Multi-batch certificate for watermarked streaming dedup
+    (scripts/streaming_dedup_scale_probe.py at test scale): duplicates
+    arriving in later micro-batches must still dedup, every id emits
+    exactly once, AND state must evict — the probe at full scale is
+    what exposed that plain dropDuplicates+watermark never evicts a
+    non-event-time key (motivating dropDuplicatesWithinWatermark in
+    streaming_dedup_events)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "streaming_dedup_scale_probe.py"), "20000"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["micro_batches"] > 1
+    assert res["exact_match"], res
+    assert res["state_rows_peak"] < res["unique"] // 2, (
+        f"watermark failed to evict dedup state: peak {res['state_rows_peak']}"
+        f" of {res['unique']} keys"
+    )
