@@ -659,3 +659,26 @@ def test_streaming_dedup_multibatch_bounded_state():
         f"watermark failed to evict dedup state: peak {res['state_rows_peak']}"
         f" of {res['unique']} keys"
     )
+
+
+def test_streaming_checkpoint_recovery_exactly_once():
+    """Fault-tolerance certificate (scripts/streaming_recovery_probe.py
+    at test scale): stop the session-window query mid-stream, restart
+    from the checkpoint into the same parquet sink — output must equal
+    batch truth exactly (no lost state/offsets, no double commits)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "streaming_recovery_probe.py"), "300", "4", "5"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["killed_after_batch"] >= 0, "query must have been stopped mid-stream"
+    assert res["exactly_once_across_restart"], res
