@@ -35,7 +35,7 @@ before multiplication so nothing overflows int64.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -856,11 +856,17 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop): each round every node takes min(own label, neighbors'
     labels); fixpoint when the label sum stops changing (labels only
     ever decrease, so the sum is a monotone convergence witness — one
-    scalar per round crosses to the driver, never data). Edges and the
-    current labels are persisted per round; at 100 TB add a
-    ``localCheckpoint`` every few rounds to truncate lineage. Rounds
-    needed = graph diameter, O(log n) with doubling variants — the
-    fixture graph (pairwise near-dup copies) converges in 1.
+    scalar per round crosses to the driver, never data). The witness
+    rides the SAME job as the propagation: an ``Observation`` metric
+    collected while ``localCheckpoint(eager=True)`` materializes the
+    round, so each round is ONE action, not propagate-then-collect
+    (removes one full pass over the labels per round; the mechanism —
+    metrics firing under localCheckpoint's eager job — is pinned by
+    tests/test_semantics.py::test_observation_fires_under_local_checkpoint).
+    Edges and the current labels are persisted per round; the
+    localCheckpoint also truncates lineage per round. Rounds needed =
+    graph diameter, O(log n) with doubling variants — the fixture
+    graph (pairwise near-dup copies) converges in 1.
 
     The oracle is the same closure via DuckDB's recursive CTE — an
     iterative Spark algorithm with an exact SQL differential check.
@@ -882,7 +888,7 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     max_rounds = 15
     converged = False
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         prop = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
@@ -891,16 +897,20 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # localCheckpoint, not persist: each round's plan builds on the
         # last round's, and un-truncated lineage makes Catalyst re-plan
-        # an exponentially growing tree (see star_contract)
+        # an exponentially growing tree (see star_contract). The
+        # Observation sum is computed by the same eager-materialization
+        # job — no separate convergence action.
+        obs = Observation(f"cc_round_{rnd}")
         new = (
             labels.join(prop, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
             )
+            .observe(obs, F.sum("label").alias("label_sum"))
             .localCheckpoint(eager=True)
         )
-        cur = new.agg(F.sum("label")).collect()[0][0]
+        cur = obs.get["label_sum"]
         labels = new
         if cur == prev_sum:
             converged = True

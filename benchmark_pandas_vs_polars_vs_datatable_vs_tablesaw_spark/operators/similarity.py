@@ -961,7 +961,7 @@ def _jl_sign_sql(i: str, j: str) -> str:
     return f"(CASE WHEN (({i} * 2654435761 + {j} * 40503) % 97) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
 
 
-def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_random_projection_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction 64 -> 16 with a
     seedless deterministic ±1 sign matrix (Achlioptas-style database-
     friendly projection): y_j = (1/sqrt(k)) * Σ_i sign(i,j) * x_i.
@@ -975,6 +975,12 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this is the cheap pre-step that shrinks ANN index memory
     4x; pair distances are preserved within the JL bound (semantic
     test checks the observed distortion envelope).
+
+    This array-typed form (``proj: array<double>``) is the one
+    downstream index builders consume; the registry entry
+    ``embedding_random_projection`` below explodes it to long form
+    because array columns are not sortable by the driver's pandas
+    canonicalizer (round-5 red row).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     scale = 1.0 / (JL_OUT_DIM ** 0.5)
@@ -987,14 +993,27 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", proj.alias("proj"))
 
 
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry / driver face of the JL projection: the same 64 -> 16
+    deterministic projection, emitted long-form ``(vec_id, label, j,
+    value)`` — every column scalar and the key (vec_id, j) unique, so
+    any engine-neutral canonicalizer can sort it. posexplode keeps the
+    whole thing one narrow pipeline stage (still zero shuffle)."""
+    vecs = embedding_random_projection_vectors(spark, sf_dir)
+    return vecs.select(
+        "vec_id",
+        "label",
+        F.posexplode("proj").alias("j", "value"),
+    ).select("vec_id", "label", F.col("j").cast("long").alias("j"), "value")
+
+
 EMBEDDING_RANDOM_PROJECTION_ORACLE = f"""
-SELECT vec_id, label,
-       list_transform(range(0, {JL_OUT_DIM}), j ->
-         round({1.0 / (JL_OUT_DIM ** 0.5)} * list_sum(
-           list_transform(range(0, {_JL_DIM}),
-             i -> {_jl_sign_sql('i', 'j')} * embedding[i + 1]::DOUBLE)), 4)
-       ) AS proj
-FROM embeddings
+SELECT e.vec_id, e.label, t.j AS j,
+       round({1.0 / (JL_OUT_DIM ** 0.5)} * list_sum(
+         list_transform(range(0, {_JL_DIM}),
+           i -> {_jl_sign_sql('i', 't.j')} * e.embedding[i + 1]::DOUBLE)), 4)
+       AS value
+FROM embeddings e, range(0, {JL_OUT_DIM}) t(j)
 """
 
 
@@ -1687,7 +1706,12 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops into the same broadcast table. Probe-set recall itself is
     the IVF layer's property (SCALE.md known-fixture-artifacts).
     """
-    emb = (
+    # Five consumers read this one input (cents / assigned / dims /
+    # queries / qdims) — without a persist each re-runs the scan, the
+    # repartition exchange, AND the norm fold (r5 plan audit flagged
+    # the recompute; VERDICT r5 "Next round" #4). Persisted exactly
+    # like the module's other index structures.
+    emb = _persist_index(
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)

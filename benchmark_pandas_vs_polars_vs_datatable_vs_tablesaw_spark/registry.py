@@ -60,89 +60,123 @@ _MODULES = (
 
 # Registration order == driver correctness-check order (the driver
 # verifies the first N registry entries per round; N has been 50).
-# Rounds 1-4 cumulatively proved 186/270 driver rows (zero red);
-# 84 queries had never had a driver row entering round 5 — the
-# round-4 registry growth (+122) outran the 50/round window
-# (round-4 verdict, "What's missing #1"). The round-5 window
-# (exactly 50, enforced by tests/test_harness.py) fronts 50 of the
-# 84, flagship-first per the verdict's named list; ZERO new queries
-# were added this round so the backlog drains instead of growing.
+# Cumulative driver coverage entering round 6: 236/270 queries have a
+# row across r1-r5 (231 hash-green, 4 rows-only from r2, 1 err in r5);
+# 34 have never been checked. The round-6 window drains the backlog to
+# ZERO and converts the stale rows:
+#
+#   (i)   the 34 never-checked queries (the exact rotation list
+#         pre-committed in round 5; all oracle-green in
+#         tests/test_differential.py);
+#   (ii)  5 verdict-named re-checks: embedding_random_projection
+#         (r5's one red row — output reshaped to long form so the
+#         driver's pandas canonicalizer can sort it),
+#         streaming_session_window (gained a full DuckDB oracle in r5,
+#         converting its r2 rows-only record), and the rows-only trio
+#         dedup_minhash_lsh / dedup_simhash / mllib_lsh_ann_topk
+#         (hash-dependent by design; fresh rows-only rows, each paired
+#         with a hash-green recall certificate elsewhere in the
+#         registry);
+#   (iii) 11 deliberate fillers: streaming_dedup_events (its operator
+#         changed in r5 to dropDuplicatesWithinWatermark after the
+#         state-bound probe — the old driver row predates the fix),
+#         plus the complete array-column family (array/multimodal/
+#         chunk) to attest the registry-wide OUTPUT CONVENTION below
+#         under the driver's own canonicalizer, and the flagship.
+#
+# OUTPUT CONVENTION (registry-wide, pinned after r5's red row): every
+# registry query result must be sortable by an engine-neutral pandas
+# canonicalizer — scalar columns only in the sort path, with a unique
+# scalar key leading the column list. Array-typed payloads are either
+# exploded to long form (embedding_random_projection), stringified
+# (array_join/concat_ws), or carried behind a unique leading key so
+# row order never depends on comparing arrays. Array-returning
+# internal variants (e.g. embedding_random_projection_vectors) stay
+# available for downstream composition but are not registry entries.
+# Audited mechanically on every query: tests/helpers.py
+# driver_sortability_problems() replays the driver's raw pandas
+# multi-key sort inside run_differential (all oracle queries,
+# tests/test_differential.py) and in the rows-only smoke
+# (tests/test_registry_smoke.py), so a convention violation fails
+# pytest before it can fail a driver round.
 _PRIORITY = (
-    # (i) round-4 flagship work, named in VERDICT.md "Next round" #1
-    "ivfpq_ann_topk",
-    "latesim_maxsim_topk",
-    "latesim_rerank_ann",
-    "ks_drift_test",
-    "hybrid_rrf_fusion",
-    "kcore_copurchase_peel",
-    "session_funnel_strict",
-    "kaplan_meier_churn_table",
-    "streaming_doc_quality_gate",
-    "streaming_corpus_fingerprint",
-    "sql_pipe_flagship",
-    "lateral_topn_per_nation",
-    "recursive_spine_gapfill",
-    "python_datasource_scan",
-    "bloom_prefilter_join",
-    "pit_dimension_join",
-    # (ii) all 15 mlprep.py queries (also verdict-named)
-    "target_encode_smoothed",
-    "retrieval_ndcg_eval",
-    "classifier_pr_eval",
-    "user_feature_vector",
-    "quantile_normalize_scores",
-    "embedding_dim_variance",
-    "stratified_kfold_assign",
-    "length_bucket_batch_plan",
-    "negative_sampling_pairs",
-    "curriculum_shard_plan",
-    "hll_distinct_certificate",
-    "asof_forward_tolerance",
-    "chi2_token_source",
-    "er_weighted_match",
-    "skyline_pareto_frontier",
-    # (iii) remaining never-checked, module spread — dedup first
-    # (the largest unattested family), then dq/graph/similarity/
-    # text/timeseries/streaming/storage/analytics representatives
-    "dedup_containment",
-    "dedup_clusters_star_contraction",
-    "dedup_incremental_exact",
-    "dedup_survivorship",
-    "dedup_edit_distance_blocked",
-    "gdpr_delete_cascade",
-    "corpus_fingerprint",
-    "market_basket_rules",
-    "link_prediction_common_neighbors",
-    "copurchase_degree_distribution",
-    "pq_quantize_stats",
+    # (i) the 34 never-driver-checked queries (round-5 rotation list)
+    "geo_point_in_polygon",
+    "dataset_card_stats",
+    "observe_metrics_single_pass",
+    "embedding_centroid_outliers",
+    "label_centroid_similarity",
+    "multimodal_phash_dedup",
+    "keyword_search_tfidf",
+    "source_vocab_overlap",
+    "sparse_tfidf_doc_pairs",
+    "token_entropy_quality",
+    "quota_sample_per_source",
+    "time_to_first_purchase",
+    "user_growth_accounting",
+    "multi_touch_attribution_decay",
+    "inter_event_time_stats",
+    "cohort_ltv_curve",
+    "hourly_autocorrelation",
+    "zorder_layout_stats",
+    "dataset_mixture_plan",
+    "vocab_oov_rate",
+    "adaptive_quality_gate",
+    "linear_quality_classifier",
+    "dup_ngram_char_fraction",
+    "k_anonymity_spectrum",
+    "l_diversity_report",
+    "deterministic_shuffle_shard",
+    "rfm_segmentation",
+    "pareto_revenue_share",
+    "shipping_lag_stats",
+    "winsorized_stats_by_group",
+    "bootstrap_ci_group_means",
+    "listagg_status_rollup",
+    "ab_proportion_ztest",
+    "theilsen_trend_by_type",
+    # (ii) verdict-named re-checks (r5 err row + the 4 r2 stale rows)
     "embedding_random_projection",
-    "heavy_hitters_twophase",
-    "collocation_pmi_top",
-    "asof_nearest_tolerance",
-    "late_event_accounting",
-    "streaming_foreachbatch_upsert",
-    "schema_evolution_read",
-    "cusum_changepoint_by_type",
+    "streaming_session_window",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "mllib_lsh_ann_topk",
+    # (iii) deliberate fillers: r5-changed operator + array-family
+    # canonicalizer attestation + flagship
+    "streaming_dedup_events",
+    "array_agg_suite",
+    "array_hof_suite",
+    "array_topk_elements",
+    "array_dimension_stats",
+    "chunk_documents",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
+    "flagship_lazy_pipeline",
 )
-# ROUND-6 ROTATION (the remaining 34 never-driver-checked queries —
-# promote these to _PRIORITY next round, nothing else jumps the
-# queue; all 34 are oracle-differential-green today in
-# tests/test_differential.py):
-#   geo_point_in_polygon, dataset_card_stats,
-#   observe_metrics_single_pass, embedding_centroid_outliers,
-#   label_centroid_similarity, multimodal_phash_dedup,
-#   keyword_search_tfidf, source_vocab_overlap,
-#   sparse_tfidf_doc_pairs, token_entropy_quality,
-#   quota_sample_per_source, time_to_first_purchase,
-#   user_growth_accounting, multi_touch_attribution_decay,
-#   inter_event_time_stats, cohort_ltv_curve, hourly_autocorrelation,
-#   zorder_layout_stats, dataset_mixture_plan, vocab_oov_rate,
-#   adaptive_quality_gate, linear_quality_classifier,
-#   dup_ngram_char_fraction, k_anonymity_spectrum, l_diversity_report,
-#   deterministic_shuffle_shard, rfm_segmentation,
-#   pareto_revenue_share, shipping_lag_stats,
-#   winsorized_stats_by_group, bootstrap_ci_group_means,
-#   listagg_status_rollup, ab_proportion_ztest, theilsen_trend_by_type
+
+# Queries in the window that ALREADY have a driver row r1-r5 — each
+# re-enters for a stated reason (see block comment above); the harness
+# test pins this set so window slots are never wasted silently.
+_RECHECKS = frozenset({
+    "embedding_random_projection",   # r5 err -> long-form fix
+    "streaming_session_window",      # r2 rows-only -> full oracle
+    "dedup_minhash_lsh",             # r2 rows-only refresh (by design)
+    "dedup_simhash",                 # r2 rows-only refresh (by design)
+    "mllib_lsh_ann_topk",            # r2 rows-only refresh (by design)
+    "streaming_dedup_events",        # operator changed in r5
+    "array_agg_suite",               # output-convention attestation
+    "array_hof_suite",
+    "array_topk_elements",
+    "array_dimension_stats",
+    "chunk_documents",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
+    "flagship_lazy_pipeline",        # r1 flagship stability re-check
+})
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 for _m in _MODULES:

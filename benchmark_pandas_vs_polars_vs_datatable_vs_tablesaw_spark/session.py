@@ -53,6 +53,12 @@ def get_spark(
     """Build (or fetch) the session. Idempotent via getOrCreate."""
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
+    # Resolve the local dir ONCE: calling _default_local_dir() twice
+    # could set spark.local.dir and the transferTo gate inconsistently
+    # if /dev/shm free space crosses the threshold between the calls,
+    # and an env override pointing at a tmpfs SUBPATH (/dev/shm/spark)
+    # must still get the tmpfs-specific transferTo tuning.
+    local_dir = _default_local_dir()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -69,9 +75,9 @@ def get_spark(
         # has headroom (capacity-checked): a sort's shuffle write+fetch
         # is pure disk I/O on /tmp otherwise (the single-node stand-in
         # for a cluster's local NVMe shuffle dirs). Env-overridable.
-        .config("spark.local.dir", _default_local_dir())
+        .config("spark.local.dir", local_dir)
     )
-    if _default_local_dir() == "/dev/shm":
+    if local_dir == "/dev/shm" or local_dir.startswith("/dev/shm/"):
         # sendfile(2) buys nothing on tmpfs shuffle dirs — the
         # user-space copy path is consistently ~25% faster on the
         # 30M-row sort (scripts/sort_offheap_probe.py, two A/B runs:

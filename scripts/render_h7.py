@@ -1,7 +1,9 @@
 """Render the H7 comparison artifact: Spark vs the reference engines.
 
 Reads the committed 30.3M-row parity run
-(`results/b13_spark_results.csv`, median of 3 on local[32]) and the
+(`results/b13_spark_results.csv`, generated with SPARK_GRAFT_B13_JVMS=3:
+per-op BEST of 3 fresh-JVM runs, median of 3 reps within each —
+SCALE.md's contention-wave policy) and the
 reference's Colab run-A medians (BASELINE.md B1,
 `DataFrame_Library_Benchmark_Pandas_vs_Polars_vs_Tablesaw.ipynb:491-505`)
 and writes `results/h7_comparison.svg` — the `NB-main` cells 6-7
@@ -50,9 +52,9 @@ def main() -> str:
         panels,
         out,
         title="Engine comparison, 30.3M rows — seconds per op (lower is better)",
-        subtitle="Spark = this repo (median of 3, local[32]); others = reference Colab run A"
-        " (median of 5, 2 vCPU). Core counts differ — compute-bound ops (group/sort/to_np)"
-        " are the fair lanes.",
+        subtitle="Spark = this repo (best of 3 fresh-JVM runs, median of 3 reps each,"
+        " local[32]); others = reference Colab run A (median of 5, 2 vCPU). Core counts"
+        " differ — compute-bound ops (group/sort/to_np) are the fair lanes.",
         note="Blue = this repo. Each panel has its own linear scale."
         " Sources: results/b13_spark_results.csv; BASELINE.md B1 (NB-main:493-496).",
     )

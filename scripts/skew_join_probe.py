@@ -3,10 +3,15 @@
 
 tests/test_plans.py pins that AQE marks the skewed SMJ partition
 (skew=true); this probe measures what that is worth. Fact: 30M rows,
-2/3 on ONE hot key (incompressible ~480MB post-shuffle, past the default 256MB skewedPartitionThresholdInBytes; compressible or 50%-hot variants stayed under it and never split) (the adversarial shape — one post-shuffle
-partition holds two thirds of the table), rest uniform over 1M keys. Dim: 1M
-keys, forced out of broadcast range. Same join + global agg, fresh
-JVM per config, median of 3 noop-forced runs:
+2/3 on ONE hot key — the adversarial shape, one post-shuffle partition
+holding two thirds of the table — with the rest uniform over 1M keys.
+The hot partition's payload is deliberately incompressible (~480MB
+post-shuffle, past the default 256MB
+skewedPartitionThresholdInBytes): AQE detects skew on COMPRESSED
+shuffle bytes, so compressible or 50%-hot variants stayed under the
+threshold and never split. Dim: 1M keys, forced out of broadcast
+range. Same join + global agg, fresh JVM per config, median of 3
+noop-forced runs:
 
   A: AQE skew-join ON (the repo default, session.py)
   B: AQE skew-join OFF (what a static planner would do)

@@ -151,8 +151,12 @@ def main() -> None:
             F.count("*").alias("n_events"),
         )
         .filter(
+            # <= : Spark evicts/emits a session whose end lands EXACTLY
+            # on the final watermark (pinned empirically by
+            # tests/test_streaming.py::test_session_eviction_tie_is_inclusive);
+            # the oracle and the recovery probe use the same convention.
             F.col("session_end")
-            < F.timestamp_seconds(F.lit(int(hi.timestamp())) - WATERMARK_S)
+            <= F.timestamp_seconds(F.lit(int(hi.timestamp())) - WATERMARK_S)
         )
         .select("session_start", "user_id", "n_events")
         .persist()

@@ -83,6 +83,23 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     return problems
 
 
+def driver_sortability_problems(spark_pdf: pd.DataFrame) -> list[str]:
+    """Mimic the DRIVER's canonicalizer, which (unlike _normalize) sorts
+    the raw frame by all columns WITHOUT stringifying object cells —
+    pandas' multi-key lexsort factorizes object columns, so an
+    array-typed result raises ``TypeError: unhashable type: 'list'``
+    (CORRECTNESS_r05 `embedding_random_projection` red row). Every
+    registry query must survive this raw sort: scalar columns only,
+    per the output convention pinned in registry.py."""
+    if spark_pdf.empty:
+        return []
+    try:
+        spark_pdf.sort_values(by=list(spark_pdf.columns), kind="mergesort")
+    except Exception as e:  # noqa: BLE001 — report, don't crash the suite
+        return [f"not driver-sortable: {type(e).__name__}: {e}"]
+    return []
+
+
 def run_differential(spark, sf_dir: str, fn, oracle: str) -> list[str]:
     spark_pdf = fn(spark, sf_dir).toPandas()
     con = duckdb_connection(sf_dir)
@@ -90,4 +107,4 @@ def run_differential(spark, sf_dir: str, fn, oracle: str) -> list[str]:
         oracle_pdf = con.execute(oracle).fetchdf()
     finally:
         con.close()
-    return compare_frames(spark_pdf, oracle_pdf)
+    return compare_frames(spark_pdf, oracle_pdf) + driver_sortability_problems(spark_pdf)

@@ -42,24 +42,36 @@ def test_gc_heap_probe_positive_and_bounded(spark):
     assert 1.0 < live < 130_000.0
 
 
-def test_priority_window_is_all_never_driver_checked():
-    # round-5 discipline: every slot in the window must be a query
-    # with no driver row in CORRECTNESS_r01..r04 — the window exists
-    # to drain that backlog, not to re-check green queries
+def test_priority_window_drains_backlog_then_rechecks_deliberately():
+    # round-6 discipline: every slot in the window is either a query
+    # with NO driver row in CORRECTNESS_r01..r05 (backlog drain) or a
+    # member of the pinned _RECHECKS set, each of which re-enters for
+    # a stated reason (r5 err fix, rows-only -> oracle conversion,
+    # operator changed since its row, output-convention attestation).
+    # An unexplained already-green query in the window is a wasted slot.
     import json
     import os
 
-    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.registry import _PRIORITY
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.registry import (
+        _PRIORITY,
+        _RECHECKS,
+    )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             with open(path) as f:
                 checked |= set(json.load(f))
-    stale = [n for n in _PRIORITY if n in checked]
+    stale = [n for n in _PRIORITY if n in checked and n not in _RECHECKS]
     assert not stale, f"window wastes slots on already-checked queries: {stale}"
+    # every never-checked query must be in the window (the drain is total)
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.registry import REGISTRY
+
+    never = [n for n in REGISTRY if n not in checked]
+    missing = [n for n in never if n not in _PRIORITY]
+    assert not missing, f"never-checked queries left out of the window: {missing}"
 
 
 def test_svg_fallback_renders_valid_artifact(tmp_path):

@@ -26,10 +26,16 @@ NO_ORACLE = sorted(name for name, (_, sql) in REGISTRY.items() if sql is None)
 
 @pytest.mark.parametrize("name", NO_ORACLE)
 def test_no_oracle_query_executes(spark, sf_dir, name):
+    # Rows-only entries never pass through run_differential, so this
+    # smoke also applies the driver-canonicalizer sortability probe
+    # (registry.py output convention) that the oracle path gets there.
+    from .helpers import driver_sortability_problems
+
     fn, _ = REGISTRY[name]
     df = fn(spark, sf_dir)
-    assert df.count() >= 0
+    pdf = df.toPandas()
     assert len(df.schema.fields) > 0
+    assert not driver_sortability_problems(pdf)
 
 
 # Queries whose oracle hash-match would be vacuous on an empty result:

@@ -133,6 +133,63 @@ def test_streaming_session_window_subset_of_batch(spark, sf_dir):
         )
 
 
+def test_observation_fires_under_local_checkpoint(spark):
+    """Pin the mechanism dedup_clusters_cc's convergence witness rides
+    on: an ``Observation`` metric attached below ``localCheckpoint(
+    eager=True)`` is populated by the checkpoint's own materialization
+    job — no separate agg/collect action is needed, so each CC round
+    is one action instead of propagate-then-collect. If a Spark
+    upgrade stopped firing CollectMetrics under RDD checkpointing,
+    ``obs.get`` would block/miss and this test (and CC's fixpoint
+    detection) would hang rather than silently mislabel — pin it."""
+    from pyspark.sql import Observation
+
+    df = spark.range(1_000).withColumn("label", F.col("id") % 7)
+    obs = Observation("ckpt_probe")
+    ckpt = df.observe(obs, F.sum("label").alias("label_sum")).localCheckpoint(eager=True)
+    assert obs.get["label_sum"] == 2997  # sum of id%7 over 0..999
+    assert ckpt.count() == 1_000
+
+
+def test_session_eviction_tie_is_inclusive(spark, tmp_path):
+    """Pin Spark's session-window append emission at an EXACT watermark
+    tie (ADVICE r5): a session whose end (last event + 30-min gap)
+    lands precisely ON the final watermark (max ts - 1 h) IS emitted —
+    the eviction predicate is inclusive. Every truth predicate in the
+    repo therefore uses `<=`: STREAMING_SESSION_ORACLE
+    (streaming/windows.py), scripts/streaming_scale_probe.py and
+    scripts/streaming_recovery_probe.py. The shared fixtures happened
+    to be tie-free, so this synthetic fixture puts one session exactly
+    on the boundary to keep the three conventions from drifting."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    pdf = pd.DataFrame(
+        [
+            # user 1: lone event; session_end = t0+30min == final watermark (the tie)
+            (1, t0, 1, "view", 1.0, "{}"),
+            # user 2: watermark advancer (max ts = t0+90min -> wm = t0+30min);
+            # its own session ends t0+120min > wm, so it must be withheld
+            (2, t0 + pd.Timedelta("90min"), 2, "view", 1.0, "{}"),
+            # user 3: clearly closed session, must always be emitted
+            (3, t0 - pd.Timedelta("3h"), 3, "view", 1.0, "{}"),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    fix = tmp_path / "tie_fixture"
+    fix.mkdir()
+    pdf.to_parquet(fix / "events.parquet", index=False)
+
+    out = sw.streaming_session_window(spark, str(fix)).toPandas()
+    emitted = set(out["user_id"])
+    assert 3 in emitted, "clearly-closed session missing — drain broken"
+    assert 2 not in emitted, "session past the watermark must be withheld"
+    assert 1 in emitted, (
+        "session ending exactly ON the final watermark must be emitted "
+        "(inclusive eviction — the `<=` convention)"
+    )
+
+
 def test_range_clustered_write_produces_disjoint_files(spark, sf_dir, tmp_path):
     """Write-path layout for time-range pruning: repartitionByRange +
     sortWithinPartitions must yield parquet files whose l_shipdate
@@ -426,7 +483,7 @@ def test_random_projection_preserves_pair_distances(spark, sf_dir):
     import math
 
     from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.similarity import (
-        embedding_random_projection,
+        embedding_random_projection_vectors,
     )
     from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.catalog import load_table
 
@@ -436,7 +493,9 @@ def test_random_projection_preserves_pair_distances(spark, sf_dir):
     }
     proj = {
         r.vec_id: r.proj
-        for r in embedding_random_projection(spark, sf_dir).filter(F.col("vec_id") < 20).collect()
+        for r in embedding_random_projection_vectors(spark, sf_dir)
+        .filter(F.col("vec_id") < 20)
+        .collect()
     }
 
     def d2(a, b):
