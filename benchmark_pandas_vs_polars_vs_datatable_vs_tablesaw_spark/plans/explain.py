@@ -115,3 +115,31 @@ def single_partition_subtrees(df: DataFrame) -> list[str]:
 def codegen_stage_count(df: DataFrame) -> int:
     """WholeStageCodegen span count — fewer, wider spans are better."""
     return plan_text(df).count("WholeStageCodegen")
+
+
+def plan_signature(df: DataFrame) -> dict[str, int]:
+    """Structural fingerprint of the physical plan: distinct node
+    counts for the operators whose appearance/disappearance IS a perf
+    regression (a lost broadcast, a new exchange, a de-shared cache).
+    Counted from the formatted plan's detail headers ``(n) <Op>`` so
+    tree/detail double-printing and ReusedExchange references never
+    inflate the numbers. Snapshot-compared for the most expensive
+    bench queries in tests/test_plans.py (VERDICT r6 "Next round" #7:
+    the r5 cusum incident would have been triaged in minutes with a
+    committed plan signature to diff)."""
+    import re
+
+    text = plan_text(df, "formatted")
+
+    def _distinct(op: str) -> int:
+        return len(set(re.findall(rf"^\((\d+)\) {op}\b", text, re.M)))
+
+    return {
+        "shuffle_exchanges": _distinct("Exchange"),
+        "broadcast_exchanges": _distinct("BroadcastExchange"),
+        "broadcast_hash_joins": _distinct("BroadcastHashJoin"),
+        "sort_merge_joins": _distinct("SortMergeJoin"),
+        "parquet_scans": _distinct("Scan parquet"),
+        "cache_scans": _distinct("InMemoryTableScan"),
+        "aqe_roots": _distinct("AdaptiveSparkPlan"),
+    }

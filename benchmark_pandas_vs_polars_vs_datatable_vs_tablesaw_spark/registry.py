@@ -60,123 +60,111 @@ _MODULES = (
 
 # Registration order == driver correctness-check order (the driver
 # verifies the first N registry entries per round; N has been 50).
-# Cumulative driver coverage entering round 6: 236/270 queries have a
-# row across r1-r5 (231 hash-green, 4 rows-only from r2, 1 err in r5);
-# 34 have never been checked. The round-6 window drains the backlog to
-# ZERO and converts the stale rows:
+# Entering round 7 every one of the 270 queries has a driver row
+# (267 hash-green, 3 rows-only by design), so the window's job is no
+# longer backlog drain — it is keeping rows from silently trailing
+# code changes (VERDICT r6 "Next round" #1). ROTATION POLICY, pinned
+# by tests/test_harness.py::test_priority_window_is_ledger_justified
+# against scripts/attestation_ledger.py (which ast-diffs every query
+# function between the commit its last driver row ran against and the
+# working tree):
 #
-#   (i)   the 34 never-checked queries (the exact rotation list
-#         pre-committed in round 5; all oracle-green in
-#         tests/test_differential.py);
-#   (ii)  5 verdict-named re-checks: embedding_random_projection
-#         (r5's one red row — output reshaped to long form so the
-#         driver's pandas canonicalizer can sort it),
-#         streaming_session_window (gained a full DuckDB oracle in r5,
-#         converting its r2 rows-only record), and the rows-only trio
-#         dedup_minhash_lsh / dedup_simhash / mllib_lsh_ann_topk
-#         (hash-dependent by design; fresh rows-only rows, each paired
-#         with a hash-green recall certificate elsewhere in the
-#         registry);
-#   (iii) 11 deliberate fillers: streaming_dedup_events (its operator
-#         changed in r5 to dropDuplicatesWithinWatermark after the
-#         state-bound probe — the old driver row predates the fix),
-#         plus the complete array-column family (array/multimodal/
-#         chunk) to attest the registry-wide OUTPUT CONVENTION below
-#         under the driver's own canonicalizer, and the flagship.
+#   (i)  changed-since-row first: every query whose function body
+#        changed after the round of its last driver row MUST be in
+#        the window (round 7: dedup_clusters_cc and ivfpq_ann_topk
+#        were edited in r6 after r3/r5 rows — verdict-named — plus
+#        dedup_ngram_jaccard (df-cap rework in r4, row r3) and
+#        streaming_session_certificate (r5 edit, row r4), which the
+#        ledger surfaced);
+#   (ii) then stalest-first, monotone: the window may include a
+#        round-k row only if every older row is also included (the
+#        enforced rule is max(window rounds) <= min(excluded rounds),
+#        changed-since-row entries aside). Round 7 takes all 44
+#        r1-vintage rows — five rounds of refactors since — plus 2
+#        r2-vintage fillers chosen from the two files r6 edited
+#        (ann_cosine_topk in similarity.py, dedup_exact_hash in
+#        dedup.py).
 #
 # OUTPUT CONVENTION (registry-wide, pinned after r5's red row): every
 # registry query result must be sortable by an engine-neutral pandas
-# canonicalizer — scalar columns only in the sort path, with a unique
-# scalar key leading the column list. Array-typed payloads are either
-# exploded to long form (embedding_random_projection), stringified
-# (array_join/concat_ws), or carried behind a unique leading key so
-# row order never depends on comparing arrays. Array-returning
-# internal variants (e.g. embedding_random_projection_vectors) stay
-# available for downstream composition but are not registry entries.
-# Audited mechanically on every query: tests/helpers.py
+# canonicalizer sorting by ALL columns — so every output column must
+# be scalar, with a unique scalar key leading the column list.
+# Array-typed payloads are either exploded to long form
+# (embedding_random_projection) or stringified (array_join/
+# concat_ws); there is NO third option — pandas' multi-key lexsort
+# factorizes every column, so an array column fails it even behind a
+# unique leading key (ADVICE r6: the earlier wording here promised
+# otherwise and contradicted the audit). Array-returning internal
+# variants (e.g. embedding_random_projection_vectors) stay available
+# for downstream composition but are not registry entries. Audited
+# mechanically on every query: tests/helpers.py
 # driver_sortability_problems() replays the driver's raw pandas
 # multi-key sort inside run_differential (all oracle queries,
 # tests/test_differential.py) and in the rows-only smoke
 # (tests/test_registry_smoke.py), so a convention violation fails
 # pytest before it can fail a driver round.
 _PRIORITY = (
-    # (i) the 34 never-driver-checked queries (round-5 rotation list)
-    "geo_point_in_polygon",
-    "dataset_card_stats",
-    "observe_metrics_single_pass",
-    "embedding_centroid_outliers",
-    "label_centroid_similarity",
-    "multimodal_phash_dedup",
-    "keyword_search_tfidf",
-    "source_vocab_overlap",
-    "sparse_tfidf_doc_pairs",
-    "token_entropy_quality",
-    "quota_sample_per_source",
-    "time_to_first_purchase",
-    "user_growth_accounting",
-    "multi_touch_attribution_decay",
-    "inter_event_time_stats",
-    "cohort_ltv_curve",
-    "hourly_autocorrelation",
-    "zorder_layout_stats",
-    "dataset_mixture_plan",
-    "vocab_oov_rate",
-    "adaptive_quality_gate",
-    "linear_quality_classifier",
-    "dup_ngram_char_fraction",
-    "k_anonymity_spectrum",
-    "l_diversity_report",
-    "deterministic_shuffle_shard",
-    "rfm_segmentation",
-    "pareto_revenue_share",
-    "shipping_lag_stats",
-    "winsorized_stats_by_group",
-    "bootstrap_ci_group_means",
-    "listagg_status_rollup",
-    "ab_proportion_ztest",
-    "theilsen_trend_by_type",
-    # (ii) verdict-named re-checks (r5 err row + the 4 r2 stale rows)
-    "embedding_random_projection",
-    "streaming_session_window",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "mllib_lsh_ann_topk",
-    # (iii) deliberate fillers: r5-changed operator + array-family
-    # canonicalizer attestation + flagship
-    "streaming_dedup_events",
-    "array_agg_suite",
-    "array_hof_suite",
-    "array_topk_elements",
-    "array_dimension_stats",
-    "chunk_documents",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_feature_extract",
-    "flagship_lazy_pipeline",
+    # (i) changed-since-row (attestation_ledger.py, round-7 run):
+    # function body edited after the commit its last driver row ran on
+    "dedup_clusters_cc",             # rewritten r6 (Observation fold), row r3
+    "ivfpq_ann_topk",                # persist added r6, row r5
+    "dedup_ngram_jaccard",           # df-cap rework r4, row r3
+    "streaming_session_certificate",  # certificate tightened r5, row r4
+    # (ii) stalest-first: ALL 44 r1-vintage rows (alphabetical) — five
+    # rounds of refactors since round 1 (e.g. sort/limit went through
+    # the r3 rank-materialization rewrite, joins through the r4 plan-
+    # budget pass); pytest has re-proven them every round, the driver
+    # hasn't looked since r1
+    "anti_join_customers_without_orders",
+    "broadcast_dim_join",
+    "cast_nan_matrix",
+    "csv_roundtrip",
+    "distinct_counts",
+    "filter_numeric_gt",
+    "generator_scaling4_invariants",
+    "groupby_first",
+    "groupby_first_minby",
+    "groupby_mean",
+    "groupby_multi_mean",
+    "intersect_segments",
+    "limit_prefix",
+    "mapinarrow_matrix_stats",
+    "matrix_col_means",
+    "median_stats",
+    "merge_upsert_orders",
+    "outer_join_coverage",
+    "pivot_linestatus",
+    "project_first_numeric",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "rollup_returnflag_linestatus",
+    "scale_up_duplicate",
+    "semi_join_customers_with_orders",
+    "set_ops_union_except",
+    "sql_api_flagship",
+    "topk_orders",
+    "window_running_total",
+    # (iii) 2 r2-vintage fillers from the two files r6 edited (next-
+    # stalest rows in the highest-churn modules; monotone rule holds:
+    # no r2 row is excluded in favor of an r3+ row)
+    "ann_cosine_topk",
+    "dedup_exact_hash",
 )
-
-# Queries in the window that ALREADY have a driver row r1-r5 — each
-# re-enters for a stated reason (see block comment above); the harness
-# test pins this set so window slots are never wasted silently.
-_RECHECKS = frozenset({
-    "embedding_random_projection",   # r5 err -> long-form fix
-    "streaming_session_window",      # r2 rows-only -> full oracle
-    "dedup_minhash_lsh",             # r2 rows-only refresh (by design)
-    "dedup_simhash",                 # r2 rows-only refresh (by design)
-    "mllib_lsh_ann_topk",            # r2 rows-only refresh (by design)
-    "streaming_dedup_events",        # operator changed in r5
-    "array_agg_suite",               # output-convention attestation
-    "array_hof_suite",
-    "array_topk_elements",
-    "array_dimension_stats",
-    "chunk_documents",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_feature_extract",
-    "flagship_lazy_pipeline",        # r1 flagship stability re-check
-})
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 for _m in _MODULES:

@@ -78,6 +78,14 @@ def main() -> None:
             text=True,
             timeout=600,
         )
+        # A crashed child arm must surface ITS stderr, not die here
+        # with an IndexError on empty stdout (ADVICE r6) — the A/B
+        # evidence is worthless if the failing arm's reason is lost.
+        if proc.returncode != 0 or not proc.stdout.strip():
+            sys.stderr.write(proc.stderr)
+            raise RuntimeError(
+                f"arm {arm} failed (rc={proc.returncode}); stderr above"
+            )
         line = proc.stdout.strip().splitlines()[-1]
         results.append(json.loads(line))
     print(json.dumps({"arms": results}, indent=1))

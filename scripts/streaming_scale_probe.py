@@ -153,7 +153,7 @@ def main() -> None:
         .filter(
             # <= : Spark evicts/emits a session whose end lands EXACTLY
             # on the final watermark (pinned empirically by
-            # tests/test_streaming.py::test_session_eviction_tie_is_inclusive);
+            # tests/test_semantics.py::test_session_eviction_tie_is_inclusive);
             # the oracle and the recovery probe use the same convention.
             F.col("session_end")
             <= F.timestamp_seconds(F.lit(int(hi.timestamp())) - WATERMARK_S)

@@ -42,36 +42,57 @@ def test_gc_heap_probe_positive_and_bounded(spark):
     assert 1.0 < live < 130_000.0
 
 
-def test_priority_window_drains_backlog_then_rechecks_deliberately():
-    # round-6 discipline: every slot in the window is either a query
-    # with NO driver row in CORRECTNESS_r01..r05 (backlog drain) or a
-    # member of the pinned _RECHECKS set, each of which re-enters for
-    # a stated reason (r5 err fix, rows-only -> oracle conversion,
-    # operator changed since its row, output-convention attestation).
-    # An unexplained already-green query in the window is a wasted slot.
-    import json
+def test_priority_window_is_ledger_justified():
+    # Round-7 policy (VERDICT r6 "Next round" #1): with all 270
+    # queries driver-attested once, the remaining attestation risk is
+    # rows silently trailing code changes. The ledger ast-diffs every
+    # query function between the commit its last driver row ran
+    # against and the working tree; the window must then be
+    #   (i)  changed-since-row complete: every query whose function
+    #        body changed after its last driver row is IN the window
+    #        (no code edit ships without a scheduled re-attestation),
+    #   (ii) stalest-first monotone: a round-k row may occupy a slot
+    #        only if every older row also has one (changed entries
+    #        aside) — so re-check freshness can never regress, and
+    #   (iii) never-checked complete: a query with no row at all
+    #        always rotates in (vacuous while the registry is frozen
+    #        at 270, load-bearing the moment a query is added).
+    # This test recomputes the ledger live (git + ast, ~8s), so
+    # editing any registry function without rotating it into the
+    # window fails pytest in the same change.
+    import importlib.util
     import os
 
     from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.registry import (
         _PRIORITY,
-        _RECHECKS,
+        REGISTRY,
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set[str] = set()
-    for r in (1, 2, 3, 4, 5):
-        path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                checked |= set(json.load(f))
-    stale = [n for n in _PRIORITY if n in checked and n not in _RECHECKS]
-    assert not stale, f"window wastes slots on already-checked queries: {stale}"
-    # every never-checked query must be in the window (the drain is total)
-    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.registry import REGISTRY
+    spec = importlib.util.spec_from_file_location(
+        "attestation_ledger", os.path.join(repo, "scripts", "attestation_ledger.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ledger = mod.build_ledger()
+    assert set(ledger) == set(REGISTRY)
 
-    never = [n for n in REGISTRY if n not in checked]
-    missing = [n for n in never if n not in _PRIORITY]
-    assert not missing, f"never-checked queries left out of the window: {missing}"
+    window = set(_PRIORITY)
+    changed = {q for q, e in ledger.items() if e["fn_changed_since_row"]}
+    out_of_window = sorted(changed - window)
+    assert not out_of_window, (
+        f"queries edited after their last driver row but not scheduled "
+        f"for re-attestation: {out_of_window}"
+    )
+    in_rounds = [ledger[q]["last_row_round"] for q in window - changed]
+    out_rounds = [
+        ledger[q]["last_row_round"] for q in set(REGISTRY) - window - changed
+    ]
+    if in_rounds and out_rounds:
+        assert max(in_rounds) <= min(out_rounds), (
+            f"window skips a staler row: includes round {max(in_rounds)} "
+            f"while excluding round {min(out_rounds)}"
+        )
 
 
 def test_svg_fallback_renders_valid_artifact(tmp_path):
