@@ -21,6 +21,7 @@ vec_id tiebreaks, so the exact variant is fully oracle-checked.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1710,13 +1711,20 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries / qdims) — without a persist each re-runs the scan, the
     # repartition exchange, AND the norm fold (r5 plan audit flagged
     # the recompute; VERDICT r5 "Next round" #4). Persisted exactly
-    # like the module's other index structures.
-    emb = _persist_index(
+    # like the module's other index structures; the sharing is pinned
+    # structurally (tests/test_plans.py::
+    # test_ivfpq_shares_one_cached_embeddings_scan — ONE parquet scan
+    # node, >=5 InMemoryTableScan consumers) and measured by fresh-JVM
+    # A/B (scripts/ivfpq_persist_ab_probe.py, SCALE.md). The env knob
+    # exists ONLY for that probe's off arm.
+    emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("nrm", vectors.norm(F.col("embedding")))
     )
+    if os.environ.get("SPARK_GRAFT_IVFPQ_NO_PERSIST") != "1":
+        emb = _persist_index(emb)
     cents = emb.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)
     ).select(

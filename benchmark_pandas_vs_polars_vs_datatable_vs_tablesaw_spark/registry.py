@@ -75,15 +75,16 @@ _MODULES = (
 #        were edited in r6 after r3/r5 rows — verdict-named — plus
 #        dedup_ngram_jaccard (df-cap rework in r4, row r3) and
 #        streaming_session_certificate (r5 edit, row r4), which the
-#        ledger surfaced);
+#        ledger surfaced, plus ks_drift_test, rewritten IN round 7
+#        to a 3-pass plan — an edit made this round rotates in this
+#        round);
 #   (ii) then stalest-first, monotone: the window may include a
 #        round-k row only if every older row is also included (the
 #        enforced rule is max(window rounds) <= min(excluded rounds),
 #        changed-since-row entries aside). Round 7 takes all 44
-#        r1-vintage rows — five rounds of refactors since — plus 2
-#        r2-vintage fillers chosen from the two files r6 edited
-#        (ann_cosine_topk in similarity.py, dedup_exact_hash in
-#        dedup.py).
+#        r1-vintage rows — five rounds of refactors since — plus 1
+#        r2-vintage filler from the highest-churn file
+#        (dedup_exact_hash in dedup.py).
 #
 # OUTPUT CONVENTION (registry-wide, pinned after r5's red row): every
 # registry query result must be sortable by an engine-neutral pandas
@@ -107,9 +108,10 @@ _PRIORITY = (
     # (i) changed-since-row (attestation_ledger.py, round-7 run):
     # function body edited after the commit its last driver row ran on
     "dedup_clusters_cc",             # rewritten r6 (Observation fold), row r3
-    "ivfpq_ann_topk",                # persist added r6, row r5
+    "ivfpq_ann_topk",                # persist added r6 + probe knob r7, row r5
     "dedup_ngram_jaccard",           # df-cap rework r4, row r3
     "streaming_session_certificate",  # certificate tightened r5, row r4
+    "ks_drift_test",                 # r7 pass-budget rewrite (16->4 scans), row r5
     # (ii) stalest-first: ALL 44 r1-vintage rows (alphabetical) — five
     # rounds of refactors since round 1 (e.g. sort/limit went through
     # the r3 rank-materialization rewrite, joins through the r4 plan-
@@ -159,10 +161,11 @@ _PRIORITY = (
     "sql_api_flagship",
     "topk_orders",
     "window_running_total",
-    # (iii) 2 r2-vintage fillers from the two files r6 edited (next-
-    # stalest rows in the highest-churn modules; monotone rule holds:
-    # no r2 row is excluded in favor of an r3+ row)
-    "ann_cosine_topk",
+    # (iii) 1 r2-vintage filler from the highest-churn file (next-
+    # stalest row; monotone rule holds: no r2 row is excluded in
+    # favor of an r3+ row — the r7 ks_drift_test rewrite took the
+    # second filler slot the round-7 plan originally gave
+    # ann_cosine_topk, which stays first in line for round 8)
     "dedup_exact_hash",
 )
 
