@@ -412,6 +412,11 @@ def test_ivfpq_shares_one_cached_embeddings_scan(spark, sf_dir):
 
     from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import similarity
 
+    # A warm CacheManager entry from an earlier test (differential runs
+    # the whole registry first) can swap THIS plan's parquet scan for an
+    # InMemoryTableScan it doesn't own — 0 parquet nodes, spurious fail.
+    # Same reasoning as test_plan_snapshots_top_queries' clearCache().
+    spark.catalog.clearCache()
     df = similarity.ivfpq_ann_topk(spark, sf_dir)
     text = explain.plan_text(df, "formatted")
     parquet_nodes = set(re.findall(r"^\((\d+)\) Scan parquet", text, re.M))
