@@ -504,6 +504,135 @@ WHERE common / least(sz_a, sz_b) >= {CONTAINMENT_THRESHOLD}
 
 
 # --------------------------------------------------------------------------
+# winnowing (MOSS) fingerprint dedup
+# --------------------------------------------------------------------------
+
+WINNOW_W = 4  # window of consecutive shingle hashes; selectivity ~2/(w+1)
+WINNOW_JACCARD = 0.5  # pair threshold on winnowed-print Jaccard
+MAX_PRINT_DF = 20  # stop-print cap, same rationale as MAX_SHINGLE_DF
+
+# Ordered shingle-hash sequence: the module's word-3-gram shingles
+# (ORDER PRESERVED — winnowing is position-sensitive, so no
+# array_distinct here, unlike the Jaccard pipeline), each hashed with
+# doc_fingerprint's portable polynomial fold (acc·31 + codepoint,
+# mod 1e9+7). One codegen'd projection, zero shuffle.
+_WINNOW_HASHES_EXPR = f"""
+transform({_SHINGLES_EXPR},
+          s -> aggregate(sequence(1, length(s)), 0L,
+                         (acc, i) -> (acc * 31 + ascii(substring(s, i, 1)))
+                                     % 1000000007))
+"""
+
+_WINNOW_HASHES_SQL = f"""
+list_transform({_SHINGLES_SQL},
+               s -> list_reduce(
+                      list_prepend(0::BIGINT,
+                        list_transform(range(1, length(s) + 1),
+                          i -> ascii(substr(s, CAST(i AS INT), 1))::BIGINT)),
+                      (a, b) -> (a * 31 + b) % 1000000007))
+"""
+
+
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (Schleimer/Wilkerson/Aiken, the MOSS
+    fingerprinting scheme): hash the ORDERED word-3-gram sequence,
+    slide a window of WINNOW_W consecutive hashes, and keep each
+    window's MINIMUM as a fingerprint. The winnowing guarantee: any
+    shared run of WINNOW_W + 2 consecutive tokens contributes at
+    least one shared fingerprint, while the kept set is ~2/(w+1) of
+    all shingles — a tunable density/recall dial the plain Jaccard
+    pipeline lacks. We fingerprint by window-min VALUE (the original
+    selects the rightmost minimal POSITION; value-sets make the
+    fingerprint identical cross-engine with no tie-break protocol and
+    dedupe the same runs).
+
+    The window-min is per-document array arithmetic (transform over
+    sequence + array_min over slice) — ZERO shuffle until the
+    fingerprint postings join, which is the same DF-capped equi-join
+    shape as :func:`_shingle_overlap_pairs`: candidates are only ever
+    docs sharing a (rare) print, never an all-pairs product, and the
+    print stream entering the shuffle is ~w/2× smaller than the
+    shingle stream the Jaccard pipeline ships. Pair score = Jaccard
+    over winnowed-print sets, threshold WINNOW_JACCARD.
+    """
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    w = WINNOW_W
+    prints_expr = (
+        f"CASE WHEN size(H) >= {w} THEN"
+        f" array_distinct(transform(sequence(1, size(H) - {w} + 1),"
+        f" st -> array_min(slice(H, st, {w}))))"
+        f" ELSE array(array_min(H)) END"
+    )
+    all_prints = (
+        corpus.withColumn("H", F.expr(_WINNOW_HASHES_EXPR))
+        .select("doc_id", F.explode(F.expr(prints_expr)).alias("p"))
+    )
+    hot = (
+        all_prints.groupBy("p")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_PRINT_DF)
+        .select("p")
+    )
+    pruned = all_prints.join(F.broadcast(hot), "p", "left_anti")
+    sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    p_sz = _persist_index(pruned.join(sizes, "doc_id"))
+    l, r = p_sz.alias("l"), p_sz.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.p") == F.col("r.p")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sz").alias("sz_a"),
+            F.col("r.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        pairs.withColumn("print_jaccard", F.round(jac, 4))
+        .filter(F.col("print_jaccard") >= WINNOW_JACCARD)
+        .select("doc_a", "doc_b", "common", "print_jaccard")
+    )
+
+
+DEDUP_WINNOWING_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+hashed AS (
+  SELECT doc_id, {_WINNOW_HASHES_SQL} AS h FROM corpus
+),
+winnowed AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= {WINNOW_W} THEN
+           list_distinct(list_transform(range(1, len(h) - {WINNOW_W} + 2),
+                         st -> list_min(h[st:st + {WINNOW_W} - 1])))
+         ELSE [list_min(h)] END AS prints
+  FROM hashed
+),
+all_prints AS (
+  SELECT doc_id, unnest(prints) AS p FROM winnowed
+),
+hot AS (
+  SELECT p FROM all_prints GROUP BY p HAVING count(*) > {MAX_PRINT_DF}
+),
+pruned AS (
+  SELECT * FROM all_prints WHERE p NOT IN (SELECT p FROM hot)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+p_sz AS (SELECT s.doc_id, s.p, z.sz FROM pruned s JOIN sizes z USING (doc_id)),
+pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sz AS sz_a, r.sz AS sz_b,
+         count(*) AS common
+  FROM p_sz l JOIN p_sz r ON l.p = r.p AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, common,
+       round(common / (sz_a + sz_b - common), 4) AS print_jaccard
+FROM pairs
+WHERE common / (sz_a + sz_b - common) >= {WINNOW_JACCARD}
+"""
+
+
+# --------------------------------------------------------------------------
 # recall certificates for the hash-dependent near-dup schemes
 # --------------------------------------------------------------------------
 
@@ -1291,6 +1420,10 @@ QUERIES: dict = {
     "dedup_simhash_recall": (dedup_simhash_recall, DEDUP_SIMHASH_RECALL_ORACLE),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE),
     "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_ORACLE),
+    "dedup_winnowing_fingerprints": (
+        dedup_winnowing_fingerprints,
+        DEDUP_WINNOWING_ORACLE,
+    ),
     "dedup_clusters_cc": (dedup_clusters_cc, DEDUP_CC_ORACLE),
     "fuzzy_dedup_pipeline": (fuzzy_dedup_pipeline, FUZZY_DEDUP_PIPELINE_ORACLE),
     "dedup_clusters_star_contraction": (dedup_clusters_star_contraction, DEDUP_CC_ORACLE),

@@ -1868,6 +1868,100 @@ LIMIT 10
 """
 
 
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1 = 1.2, b = 0.75) over the same query
+    terms as :func:`keyword_search_tfidf` — the production sparse
+    ranker (Robertson/Spärck Jones; what Lucene/Elasticsearch score),
+    adding the two things tf·idf lacks: tf SATURATION (the 50th
+    occurrence of 'spark' is worth almost nothing) and document-LENGTH
+    normalization (a hit in a short doc outranks the same hit buried
+    in a long one).
+
+    Exact integer fixed-point so the ranking can never flip between
+    engines: with dl = token count, DL = Σ dl, nd = doc count and the
+    repo's floor-log2 idf convention, multiply the BM25 term
+    idf · tf(k1+1) / (tf + k1(1 − b + b·dl/(DL/nd))) through by 20·DL:
+
+        w = (idf · 44·DL·tf · 1000) div (20·DL·tf + 6·DL + 18·dl·nd)
+
+    — all int64 (headroom to DL·tf·idf ≈ 2×10¹²; fine through sf10,
+    re-scale the 1000 for larger corpora). Scale shape identical to
+    the tfidf ranker: the term filter lands before tf aggregation,
+    (df, DL, nd) arrive via ≤3-row broadcasts, per-doc length joins
+    co-keyed on doc_id, and the top-10 is a TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    # 'dup' is the corpus's one discriminating term (df ~5%; floor-log2
+    # idf 4); 'spark'/'stream' are corpus-wide (idf 0) so they exercise
+    # the zero-weight path — on this fixture the ranking is decided by
+    # 'dup' tf saturation against document length, which is exactly the
+    # behavior BM25 adds over keyword_search_tfidf.
+    terms = ("dup", "spark", "stream")
+    lens = docs.select("doc_id", F.size(_tokens()).alias("dl"))
+    tot = lens.agg(
+        F.sum("dl").alias("dl_total"), F.count("*").alias("n_docs")
+    )
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term")).where(
+        F.col("term").isin(*terms)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(tot))
+        .join(lens, "doc_id")
+        .withColumn("idf", F.length(F.expr("bin(n_docs div df)")) - 1)
+        .withColumn(
+            "w",
+            F.expr(
+                "(idf * 44 * dl_total * tf * 1000)"
+                " div (20 * dl_total * tf + 6 * dl_total + 18 * dl * n_docs)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w").alias("bm25_milli"),
+            F.count("*").alias("n_hit_terms"),
+        )
+    )
+    return scored.orderBy(
+        F.col("bm25_milli").desc(), F.col("doc_id").asc()
+    ).limit(10)
+
+
+BM25_KEYWORD_ORACLE = """
+WITH lens AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), tot AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS dl_total,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM lens
+), tok AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+  WHERE t.term IN ('dup', 'spark', 'stream')
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         (CAST(length(bin(n_docs // df)) - 1 AS BIGINT)
+            * 44 * dl_total * tf * 1000)
+           // (20 * dl_total * tf + 6 * dl_total + 18 * dl * n_docs) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN tot JOIN lens USING (doc_id)
+)
+SELECT doc_id, CAST(sum(w) AS BIGINT) AS bm25_milli,
+       count(*) AS n_hit_terms
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25_milli DESC, doc_id
+LIMIT 10
+"""
+
+
 def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary Jaccard between every source pair — the domain-
     proximity map ("which sources speak the same language?") that
@@ -1932,6 +2026,7 @@ ORDER BY sa, sb
 
 QUERIES: dict = {
     "keyword_search_tfidf": (keyword_search_tfidf, KEYWORD_SEARCH_ORACLE),
+    "bm25_keyword_topk": (bm25_keyword_topk, BM25_KEYWORD_ORACLE),
     "source_vocab_overlap": (source_vocab_overlap, SOURCE_VOCAB_OVERLAP_ORACLE),
     "collocation_pmi_top": (collocation_pmi_top, COLLOCATION_PMI_ORACLE),
     "sparse_tfidf_doc_pairs": (sparse_tfidf_doc_pairs, SPARSE_TFIDF_ORACLE),

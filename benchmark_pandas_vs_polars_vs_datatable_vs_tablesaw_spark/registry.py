@@ -60,8 +60,9 @@ _MODULES = (
 
 # Registration order == driver correctness-check order (the driver
 # verifies the first N registry entries per round; N has been 50).
-# Entering round 7 every one of the 270 queries has a driver row
-# (267 hash-green, 3 rows-only by design), so the window's job is no
+# Entering round 7 every one of the 270 pre-existing queries has a
+# driver row (267 hash-green, 3 rows-only by design; round 7 adds 2
+# never-checked entries, 272 total), so the window's job is no
 # longer backlog drain — it is keeping rows from silently trailing
 # code changes (VERDICT r6 "Next round" #1). ROTATION POLICY, pinned
 # by tests/test_harness.py::test_priority_window_is_ledger_justified
@@ -105,6 +106,10 @@ _MODULES = (
 # (tests/test_registry_smoke.py), so a convention violation fails
 # pytest before it can fail a driver round.
 _PRIORITY = (
+    # (0) never-checked (ledger rule iii): queries ADDED in round 7 —
+    # no driver row exists, they always rotate in first
+    "bm25_keyword_topk",             # new r7 (text.py)
+    "dedup_winnowing_fingerprints",  # new r7 (dedup.py)
     # (i) changed-since-row (attestation_ledger.py, round-7 run):
     # function body edited after the commit its last driver row ran on
     "dedup_clusters_cc",             # rewritten r6 (Observation fold), row r3
@@ -160,13 +165,11 @@ _PRIORITY = (
     "set_ops_union_except",
     "sql_api_flagship",
     "topk_orders",
-    "window_running_total",
-    # (iii) 1 r2-vintage filler from the highest-churn file (next-
-    # stalest row; monotone rule holds: no r2 row is excluded in
-    # favor of an r3+ row — the r7 ks_drift_test rewrite took the
-    # second filler slot the round-7 plan originally gave
-    # ann_cosine_topk, which stays first in line for round 8)
-    "dedup_exact_hash",
+    # (iii) window holds at 50: the two round-7 additions displace the
+    # r2-vintage filler (dedup_exact_hash) and the last r1 row
+    # alphabetically (window_running_total) — monotone rule intact
+    # (max in-window round = 1 = min excluded round); both rotate
+    # first in round 8 along with ann_cosine_topk.
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

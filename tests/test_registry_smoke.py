@@ -47,6 +47,11 @@ MUST_BE_NONEMPTY = (
     "dedup_minhash_recall",
     "dedup_simhash_recall",
     "mllib_lsh_recall",
+    # round-7 additions: winnowing must surface the planted near-dup
+    # pairs (a too-strict print threshold would empty it); bm25's
+    # top-10 must carry nonzero scores via the discriminating term
+    "dedup_winnowing_fingerprints",
+    "bm25_keyword_topk",
 )
 
 
