@@ -89,6 +89,11 @@ BENCH_QUERIES = [
     "cusum_changepoint_by_type",  # two-phase prefix-sum change-point
     "link_prediction_common_neighbors",  # wedge-join link prediction
     "ivfpq_ann_topk",           # composed IVF-PQ index (ADC + exact rerank)
+    # round-7 additions (absent from bench_round7_rebaseline.json,
+    # which predates them — the re-measure trigger skips unknown
+    # names; they enter the rebaseline at its next regeneration)
+    "bm25_keyword_topk",        # int64 fixed-point BM25 retrieval
+    "dedup_winnowing_fingerprints",  # MOSS window-min print dedup
 ]
 
 
