@@ -31,13 +31,22 @@ from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.session import ge
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
-# Top-5 of BENCH_r06 by median (ivfpq 1.32s, scd2 1.12s, cusum 0.94s,
-# triangle 0.90s, ks_drift 0.80s) — together ~22% of the suite total.
+# Top-10 of the round-7 rebaseline by per-query minimum (ivfpq 1.30s
+# ... dedup_containment 0.68s) plus ks_drift_test (kept from the
+# round-7 top-5 — its 16→4-scan rewrite is exactly the kind of
+# deliberate plan change this snapshot exists to pin) — together
+# ~36% of the suite total.
 SNAPSHOT_QUERIES = [
     "ivfpq_ann_topk",
+    "triangle_count_copurchase",
     "scd2_priority_history",
     "cusum_changepoint_by_type",
-    "triangle_count_copurchase",
+    "geo_nearest_supplier",
+    "boilerplate_phrase_ratio",
+    "q5_revenue_by_nation",
+    "link_prediction_common_neighbors",
+    "sort_asc_rank",
+    "dedup_containment",
     "ks_drift_test",
 ]
 
