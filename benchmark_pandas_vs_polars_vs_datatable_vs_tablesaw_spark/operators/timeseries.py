@@ -366,11 +366,23 @@ def events_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, so duplicate timestamps cannot split the frame.
     Scale: one shuffle on user_id; the frame scan is a per-partition
     sliding pointer, O(n) per user, state bounded by the hour width.
+
+    The order key is exact epoch MICROseconds (`unix_micros` /
+    DuckDB `epoch_us`), frame -3.6e9 µs: second-granularity keys
+    truncate sub-second timestamps, and Spark's `unix_timestamp`
+    FLOORS where DuckDB's `epoch(ts)::BIGINT` ROUNDS — at sf0.1 two
+    events sat exactly astride that disagreement (first caught by the
+    round-7 sf0.1 differential sweep). Integer micros leave nothing
+    to round on either engine.
     """
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "epoch", F.unix_timestamp("ts").cast("long")
+        "epoch", F.unix_micros("ts")
     )
-    w = Window.partitionBy("user_id").orderBy("epoch").rangeBetween(-3600, 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch")
+        .rangeBetween(-3_600_000_000, 0)
+    )
     return (
         ev.select(
             "event_id",
@@ -387,8 +399,8 @@ SELECT event_id, user_id,
        count(*) OVER w AS n_trailing_1h,
        round(sum(value) OVER w, 4) AS sum_trailing_1h
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
 

@@ -62,6 +62,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelated into a per-part aggregate joined back on
     (partkey, price). The per-part min table is |parts|-sized — tiny
     next to lineitem — so it broadcasts; lineitem is scanned once.
+
+    The displayed unit price is rounded EXACTLY: round(p/q, 4) on the
+    true rational, computed as (20000·p + q) div (2·q) over int64
+    cents — `round(double, 4)` disagrees between engines when the
+    quotient's binary double sits astride a .00005 tie (Spark goes
+    through the shortest-decimal BigDecimal, DuckDB rounds the binary
+    value; one sf0.1 row landed exactly there — round-7 sf0.1
+    differential sweep). The min-equality join stays on the raw IEEE
+    quotient, which both engines compute bit-identically.
     """
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & (F.col("p_size") >= 40)
@@ -76,6 +85,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "l_suppkey",
             (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+            # exact rational round(p/q, 4): p = int64 cents, q = 100·qty
+            F.expr(
+                "(20000 * cast(round(l_extendedprice * 100) as bigint)"
+                " + 100 * cast(l_quantity as bigint))"
+                " div (200 * cast(l_quantity as bigint))"
+            ).alias("unit_price_e4"),
         )
     )
     min_price = offers.groupBy(F.col("p_partkey").alias("mp_partkey")).agg(
@@ -92,7 +107,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_brand",
             "s_name",
-            F.round("unit_price", 4).alias("unit_price"),
+            (F.col("unit_price_e4") / F.lit(10000.0)).alias("unit_price"),
         )
         .distinct()
         .orderBy("p_partkey", "s_name")
@@ -101,7 +116,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q2_ORACLE = """
 SELECT DISTINCT p_partkey, p_brand, s_name,
-       round(l_extendedprice / l_quantity, 4) AS unit_price
+       ((20000 * CAST(round(l_extendedprice * 100) AS BIGINT)
+         + 100 * CAST(l_quantity AS BIGINT))
+        // (200 * CAST(l_quantity AS BIGINT))) / 10000.0 AS unit_price
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey

@@ -117,6 +117,8 @@ _PRIORITY = (
     "dedup_ngram_jaccard",           # df-cap rework r4, row r3
     "streaming_session_certificate",  # certificate tightened r5, row r4
     "ks_drift_test",                 # r7 pass-budget rewrite (16->4 scans), row r5
+    "q2_min_cost_supplier",          # r7 exact-rational rounding fix (sf0.1 sweep), row r1
+    "events_trailing_range_window",  # r7 micros order-key fix (sf0.1 sweep), row r2
     # (ii) stalest-first: ALL 44 r1-vintage rows (alphabetical) — five
     # rounds of refactors since round 1 (e.g. sort/limit went through
     # the r3 rank-materialization rewrite, joins through the r4 plan-
@@ -143,7 +145,8 @@ _PRIORITY = (
     "pivot_linestatus",
     "project_first_numeric",
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
+    # (q2_min_cost_supplier moved up to the changed-since-row section:
+    # its rounding was fixed in r7 after the sf0.1 sweep caught it)
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_revenue_by_nation",
@@ -164,12 +167,13 @@ _PRIORITY = (
     "semi_join_customers_with_orders",
     "set_ops_union_except",
     "sql_api_flagship",
-    "topk_orders",
-    # (iii) window holds at 50: the two round-7 additions displace the
-    # r2-vintage filler (dedup_exact_hash) and the last r1 row
-    # alphabetically (window_running_total) — monotone rule intact
-    # (max in-window round = 1 = min excluded round); both rotate
-    # first in round 8 along with ann_cosine_topk.
+    # (iii) window holds at 50: the two round-7 NEW queries displace
+    # the r2-vintage filler (dedup_exact_hash) and window_running_total,
+    # and the two round-7 sf0.1-sweep FIXES (q2, trailing-range — both
+    # now in the changed section above) displace topk_orders; monotone
+    # rule intact (max in-window round = 1 = min excluded round). First
+    # in line for round 8: ann_cosine_topk, dedup_exact_hash,
+    # window_running_total, topk_orders.
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
