@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     # names; they enter the rebaseline at its next regeneration)
     "bm25_keyword_topk",        # int64 fixed-point BM25 retrieval
     "dedup_winnowing_fingerprints",  # MOSS window-min print dedup
+    "dedup_sentence_clean",     # CCNet line-dedup reconstruct
 ]
 
 

@@ -35,7 +35,7 @@ before multiplication so nothing overflows int64.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1411,6 +1411,171 @@ WHERE levenshtein(a.tail, b.tail) <= 30
 """
 
 
+SENT_K = 4  # words per pseudo-sentence (the fixture text has no
+# punctuation/newlines, so "line" = fixed 4-word chunk; at sf0.01 that
+# yields ~10% corpus-duplicated chunks — enough signal to verify the
+# drop logic without degenerating to all-dup or no-dup)
+
+
+def _sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, chunk, h): documents chunked into consecutive
+    SENT_K-word pseudo-sentences with an md5 digest per chunk.
+
+    CCNet/RefinedWeb line-dedup splits documents on newlines and drops
+    lines whose hash repeats corpus-wide; the fixture corpus has no
+    newlines, so the deterministic stand-in is fixed-width word chunks
+    (the dedup mechanics — hash, corpus-frequency, drop — are
+    identical and identically oracle-expressible).
+
+    Scale shape: chunking is a narrow per-row pass (split + slice, no
+    shuffle); the corpus-frequency stage keys its one shuffle on the
+    32-hex md5 digest (the ``dedup_exact_hash`` digest-keying
+    argument; a stats-only pass would drop the chunk text from the
+    shuffle rows entirely — the clean query keeps it to rebuild the
+    survivors, see SCALE.md). Trailing partial chunks (< SENT_K
+    words) are excluded in both engines.
+    Repartitioned to the session's parallelism for the same reason as
+    ``_corpus_with_near_dups``: the fixture parquet is one small file
+    (1-2 input splits) that would serialize chunk+md5 on 1-2 cores; at
+    real scale the input has enough splits that AQE coalesces this to
+    a no-op.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    words = F.split(F.col("text"), " ")
+    n_full = F.floor(F.size(words) / SENT_K).cast("int")
+    chunks = F.when(
+        n_full >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.array_join(F.slice(words, i * SENT_K + 1, SENT_K), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("i", "chunk"))
+        .withColumn("h", F.md5("chunk"))
+    )
+
+
+def dedup_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-dedup *measurement*: per document, how many of
+    its pseudo-sentences (4-word chunks, see ``_sentence_chunks``) are
+    duplicated corpus-wide (total occurrence count >= 2, within-doc
+    repeats included — CCNet hashes every line of the corpus and drops
+    all copies of any hash seen more than once).
+
+    Output is integer-only (n_chunks, dup_chunks) to stay clear of the
+    float-rounding-tie bug class (SCALE.md).
+
+    Scale shape: corpus frequency is count() over a window partitioned
+    by the md5 digest — ONE shuffle on the digest and one scan of the
+    chunk stream, strictly cheaper than the groupBy+join-back form
+    (which re-chunks the corpus for the probe side and shuffles
+    twice); then one map-side-combinable per-doc rollup. No all-pairs
+    product, no corpus-wide state beyond the distributed digest
+    partitions.
+    """
+    ch = _sentence_chunks(spark, sf_dir)
+    occ = F.count("*").over(Window.partitionBy("h"))
+    return (
+        ch.withColumn("occ", occ)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("occ") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_chunks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SENTENCE_STATS_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(w, i * {SENT_K} + 1,
+                                        i * {SENT_K} + {SENT_K}), ' ')) AS h
+  FROM words, unnest(range(0, len(w) // {SENT_K})) AS t(i)
+), freq AS (
+  SELECT h, count(*) AS occ FROM chunks GROUP BY h
+)
+SELECT c.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN f.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+FROM chunks c JOIN freq f USING (h)
+GROUP BY c.doc_id
+ORDER BY doc_id
+"""
+
+
+def dedup_sentence_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-dedup *application*: rebuild each document with
+    every corpus-duplicated pseudo-sentence removed (all copies
+    dropped, CCNet semantics), preserving original chunk order.
+
+    The reconstruction path is the part ``dedup_sentence_stats`` does
+    not cover: collect the surviving (position, chunk) pairs per doc,
+    sort by position, re-join. ``collect_list`` order is
+    nondeterministic, so the sort happens on the collected array
+    (array_sort on a (i, chunk) struct orders by the unique i).
+
+    Scale shape: same single-shuffle windowed digest-frequency as the
+    stats query plus one per-doc collect whose state is bounded by the
+    document's own chunk count — the exact state bound any per-doc
+    reconstruction needs; nothing corpus-wide is collected.
+    """
+    ch = _sentence_chunks(spark, sf_dir)
+    return (
+        ch.withColumn("occ", F.count("*").over(Window.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("kept_chunks"),
+            F.sum(F.when(F.col("occ") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("removed_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("occ") == 1, F.struct("i", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SENTENCE_CLEAN_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), chunks AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(w, i * {SENT_K} + 1,
+                                    i * {SENT_K} + {SENT_K}), ' ') AS chunk
+  FROM words, unnest(range(0, len(w) // {SENT_K})) AS t(i)
+), freq AS (
+  SELECT md5(chunk) AS h, count(*) AS occ FROM chunks GROUP BY md5(chunk)
+)
+SELECT c.doc_id AS doc_id,
+       CAST(sum(CASE WHEN f.occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+       CAST(sum(CASE WHEN f.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS removed_chunks,
+       coalesce(string_agg(CASE WHEN f.occ = 1 THEN c.chunk END, ' '
+                           ORDER BY c.i), '') AS clean_text
+FROM chunks c JOIN freq f ON md5(c.chunk) = f.h
+GROUP BY c.doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_exact_hash": (dedup_exact_hash, DEDUP_EXACT_HASH_ORACLE),
@@ -1432,4 +1597,6 @@ QUERIES: dict = {
     "dedup_incremental_exact": (dedup_incremental_exact, DEDUP_INCREMENTAL_ORACLE),
     "dedup_survivorship": (dedup_survivorship, DEDUP_SURVIVORSHIP_ORACLE),
     "dedup_edit_distance_blocked": (dedup_edit_distance_blocked, DEDUP_EDIT_DISTANCE_ORACLE),
+    "dedup_sentence_stats": (dedup_sentence_stats, DEDUP_SENTENCE_STATS_ORACLE),
+    "dedup_sentence_clean": (dedup_sentence_clean, DEDUP_SENTENCE_CLEAN_ORACLE),
 }
