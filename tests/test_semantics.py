@@ -741,3 +741,51 @@ def test_streaming_checkpoint_recovery_exactly_once():
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["killed_after_batch"] >= 0, "query must have been stopped mid-stream"
     assert res["exactly_once_across_restart"], res
+
+
+def test_sentence_dedup_clean_drops_exactly_the_corpus_dup_chunks(spark, sf_dir):
+    """Defining CCNet line-dedup properties, independent of the oracle
+    SQL: (a) stats and clean agree per doc (kept + removed == total),
+    (b) the corpus has dup chunks to drop (non-vacuous), (c) every
+    chunk surviving into clean_text occurs exactly once corpus-wide,
+    and (d) clean_text preserves the document's original chunk order
+    (it must be a subsequence of the doc's chunk stream)."""
+    from collections import Counter
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.dedup import (
+        SENT_K,
+        dedup_sentence_clean,
+        dedup_sentence_stats,
+    )
+
+    stats = {r.doc_id: r for r in dedup_sentence_stats(spark, sf_dir).collect()}
+    clean = {r.doc_id: r for r in dedup_sentence_clean(spark, sf_dir).collect()}
+    assert set(stats) == set(clean)
+
+    # python-side ground truth: chunk every doc, count corpus-wide
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    truth_chunks = {
+        doc_id: [
+            " ".join(w[i * SENT_K : i * SENT_K + SENT_K])
+            for i in range(len(w) // SENT_K)
+        ]
+        for doc_id, w in docs.items()
+    }
+    freq = Counter(c for chunks in truth_chunks.values() for c in chunks)
+
+    assert sum(r.removed_chunks for r in clean.values()) > 0, "vacuous fixture"
+    for doc_id, s in stats.items():
+        c = clean[doc_id]
+        assert c.kept_chunks + c.removed_chunks == s.n_chunks == len(truth_chunks[doc_id])
+        expected_kept = [ch for ch in truth_chunks[doc_id] if freq[ch] == 1]
+        got = c.clean_text.split(" ") if c.clean_text else []
+        # order-preserving reconstruct: the kept chunks, verbatim, in
+        # original order (chunks are SENT_K words, so re-chunk the text)
+        got_chunks = [
+            " ".join(got[i * SENT_K : i * SENT_K + SENT_K])
+            for i in range(len(got) // SENT_K)
+        ]
+        assert got_chunks == expected_kept, doc_id
