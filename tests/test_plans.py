@@ -464,3 +464,27 @@ def test_plan_snapshots_top_queries(spark, sf_dir):
             if live[q] != committed[q]
         )
     )
+
+
+def test_sentence_dedup_single_scan_and_shuffle_budget(spark, sf_dir):
+    """The sentence-dedup pair computes corpus chunk frequency as
+    count() over a window on the md5 digest — ONE scan of documents
+    and 4 exchanges (fixture repartition, window-by-digest, per-doc
+    rollup, output sort). The groupBy+join-back form this replaces
+    shows 2 scans and 5 exchanges for the same answer, measured 2.6x
+    slower at 10M chunk rows (scripts/sentence_dedup_ab_probe.py,
+    SCALE.md)."""
+    import re
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import dedup
+
+    for fn in (dedup.dedup_sentence_stats, dedup.dedup_sentence_clean):
+        df = fn(spark, sf_dir)
+        text = explain.plan_text(df)
+        scans = [
+            line
+            for line in text.splitlines()
+            if re.match(r"\s*\(\d+\) Scan ", line)
+        ]
+        assert len(scans) == 1, (fn.__name__, scans)
+        assert explain.shuffle_count(df) <= 4, fn.__name__
