@@ -1417,7 +1417,7 @@ SENT_K = 4  # words per pseudo-sentence (the fixture text has no
 # drop logic without degenerating to all-dup or no-dup)
 
 
-def _sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sentence_chunks(spark: SparkSession, sf_dir: str, k: int = SENT_K) -> DataFrame:
     """(doc_id, i, chunk, h): documents chunked into consecutive
     SENT_K-word pseudo-sentences with an md5 digest per chunk.
 
@@ -1443,12 +1443,12 @@ def _sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     words = F.split(F.col("text"), " ")
-    n_full = F.floor(F.size(words) / SENT_K).cast("int")
+    n_full = F.floor(F.size(words) / k).cast("int")
     chunks = F.when(
         n_full >= 1,
         F.transform(
             F.sequence(F.lit(0), n_full - 1),
-            lambda i: F.array_join(F.slice(words, i * SENT_K + 1, SENT_K), " "),
+            lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
