@@ -48,6 +48,11 @@ SNAPSHOT_QUERIES = [
     "sort_asc_rank",
     "dedup_containment",
     "ks_drift_test",
+    # round-7 additions: ewma entered the measured top-10 once the
+    # host quieted; dedup_sentence_clean is new this round and its
+    # single-scan/4-exchange shape is a pinned claim (test_plans.py)
+    "ewma_customer_orders",
+    "dedup_sentence_clean",
 ]
 
 
