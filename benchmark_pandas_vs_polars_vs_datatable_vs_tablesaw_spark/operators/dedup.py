@@ -1457,7 +1457,9 @@ def _sentence_chunks(spark: SparkSession, sf_dir: str, k: int = SENT_K) -> DataF
     )
 
 
-def dedup_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_sentence_stats(
+    spark: SparkSession, sf_dir: str, k: int = SENT_K
+) -> DataFrame:
     """CCNet-style line-dedup *measurement*: per document, how many of
     its pseudo-sentences (4-word chunks, see ``_sentence_chunks``) are
     duplicated corpus-wide (total occurrence count >= 2, within-doc
@@ -1475,7 +1477,7 @@ def dedup_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     product, no corpus-wide state beyond the distributed digest
     partitions.
     """
-    ch = _sentence_chunks(spark, sf_dir)
+    ch = _sentence_chunks(spark, sf_dir, k=k)
     occ = F.count("*").over(Window.partitionBy("h"))
     return (
         ch.withColumn("occ", occ)
@@ -1490,14 +1492,18 @@ def dedup_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_SENTENCE_STATS_ORACLE = f"""
+def sentence_stats_oracle(k: int = SENT_K) -> str:
+    """The stats oracle as a chunk-width template, so the hypothesis
+    property test (tests/test_property.py) can sweep k against the
+    SAME SQL the registry ships instead of a copy that could drift."""
+    return f"""
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), chunks AS (
   SELECT doc_id,
-         md5(array_to_string(list_slice(w, i * {SENT_K} + 1,
-                                        i * {SENT_K} + {SENT_K}), ' ')) AS h
-  FROM words, unnest(range(0, len(w) // {SENT_K})) AS t(i)
+         md5(array_to_string(list_slice(w, i * {k} + 1,
+                                        i * {k} + {k}), ' ')) AS h
+  FROM words, unnest(range(0, len(w) // {k})) AS t(i)
 ), freq AS (
   SELECT h, count(*) AS occ FROM chunks GROUP BY h
 )
@@ -1508,6 +1514,9 @@ FROM chunks c JOIN freq f USING (h)
 GROUP BY c.doc_id
 ORDER BY doc_id
 """
+
+
+DEDUP_SENTENCE_STATS_ORACLE = sentence_stats_oracle()
 
 
 def dedup_sentence_clean(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,10 +56,14 @@ def synth_corpus(spark):
         ).alias("text"),
     )
     # every BOILER_EVERY-th doc appends one of N_BOILER shared
-    # 4-word boilerplate sentences (deterministic pick by doc_id)
+    # 4-word boilerplate sentences (deterministic pick by doc_id;
+    # divide by BOILER_EVERY first — doc_id is already a multiple of
+    # it, so pmod(doc_id, N_BOILER) would hit only N_BOILER/gcd
+    # residues and collapse the boilerplate vocabulary)
     boiler = F.expr(
         f"concat_ws(' ', transform(sequence(1, {SENT_K}),"
-        f" t -> concat('bp', pmod(doc_id, {N_BOILER}), '_', t)))"
+        f" t -> concat('bp', pmod(CAST(doc_id / {BOILER_EVERY} AS BIGINT),"
+        f" {N_BOILER}), '_', t)))"
     )
     return base.select(
         "doc_id",

@@ -471,7 +471,7 @@ def test_sentence_dedup_single_scan_and_shuffle_budget(spark, sf_dir):
     count() over a window on the md5 digest — ONE scan of documents
     and 4 exchanges (fixture repartition, window-by-digest, per-doc
     rollup, output sort). The groupBy+join-back form this replaces
-    shows 2 scans and 5 exchanges for the same answer, measured 2.6x
+    shows 2 scans and 5 exchanges for the same answer, measured 2.4x
     slower at 10M chunk rows (scripts/sentence_dedup_ab_probe.py,
     SCALE.md)."""
     import re

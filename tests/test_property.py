@@ -159,49 +159,18 @@ def test_sentence_dedup_stats_matches_for_any_chunk_width(spark, sf_dir, k):
     width, not just the registry's SENT_K=4 — k is the 100 TB
     recall/shuffle-volume dial, so the engines must agree across the
     dial's range (including widths where most docs have few chunks)."""
-    from pyspark.sql import Window
-
     from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.dedup import (
-        _sentence_chunks,
+        dedup_sentence_stats,
+        sentence_stats_oracle,
     )
 
-    ch = _sentence_chunks(spark, sf_dir, k=k)
-    got = (
-        ch.withColumn("occ", F.count("*").over(Window.partitionBy("h")))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_chunks"),
-            F.sum(F.when(F.col("occ") >= 2, 1).otherwise(0))
-            .cast("long")
-            .alias("dup_chunks"),
-        )
-        .toPandas()
-    )
+    got = dedup_sentence_stats(spark, sf_dir, k=k).toPandas()
     con = duckdb.connect()
     try:
         con.execute(
             f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
         )
-        want = con.execute(
-            f"""
-            WITH words AS (
-              SELECT doc_id, string_split(text, ' ') AS w FROM documents
-            ), chunks AS (
-              SELECT doc_id,
-                     md5(array_to_string(list_slice(w, i * {k} + 1,
-                                                    i * {k} + {k}), ' ')) AS h
-              FROM words, unnest(range(0, len(w) // {k})) AS t(i)
-            ), freq AS (
-              SELECT h, count(*) AS occ FROM chunks GROUP BY h
-            )
-            SELECT c.doc_id AS doc_id,
-                   CAST(count(*) AS BIGINT) AS n_chunks,
-                   CAST(sum(CASE WHEN f.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                     AS dup_chunks
-            FROM chunks c JOIN freq f USING (h)
-            GROUP BY c.doc_id
-            """
-        ).fetchdf()
+        want = con.execute(sentence_stats_oracle(k)).fetchdf()
     finally:
         con.close()
     assert not compare_frames(got, want)
