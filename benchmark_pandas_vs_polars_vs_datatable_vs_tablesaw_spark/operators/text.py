@@ -2024,8 +2024,73 @@ ORDER BY sa, sb
 """
 
 
+BLOCK_TERMS = ("slow", "dup", "big")  # stand-in policy list: real
+# pipelines broadcast a blocklist of thousands of terms/domains; the
+# fixture vocabulary supplies three deterministic stand-ins
+
+
+def blocklist_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-policy blocklist gate with per-source accounting — the
+    C4-style "bad words" pass (Raffel et al. 2020 drop any document
+    containing a listed term; FineWeb's URL-blocklist stage is the
+    same shape keyed on domains).
+
+    Two gate severities per doc, both integer-exact: ``blocked_docs``
+    counts ANY blocklist hit (the C4 rule), ``heavy_docs`` counts
+    blocked-token mass > 1% of the doc (cross-multiplied, no
+    division) — the softer rule pipelines use when the hard rule
+    over-filters.
+
+    Scale shape: the blocklist is a plan literal here (three terms);
+    at a real list's size it becomes a broadcast join or an
+    ``isin``-over-broadcast-set — either way the scan-side test is a
+    narrow per-row array filter, ZERO shuffle before the per-source
+    rollup, which is map-side combinable and as small as the source
+    cardinality.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    blocked = F.size(F.filter(toks, lambda t: t.isin(*BLOCK_TERMS)))
+    per_doc = docs.select(
+        "source", blocked.alias("b"), F.size(toks).alias("n")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("b") > 0).cast("int")).cast("long").alias("blocked_docs"),
+            F.sum((F.col("b") * 100 > F.col("n")).cast("int"))
+            .cast("long")
+            .alias("heavy_docs"),
+            F.sum("b").cast("long").alias("blocked_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+BLOCKLIST_GATE_ORACLE = f"""
+WITH tok AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '),
+                         t -> t IN {BLOCK_TERMS!r})) AS b,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS blocked_docs,
+       CAST(sum(CASE WHEN b * 100 > n THEN 1 ELSE 0 END) AS BIGINT)
+         AS heavy_docs,
+       CAST(sum(b) AS BIGINT) AS blocked_tokens
+FROM tok
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES: dict = {
     "keyword_search_tfidf": (keyword_search_tfidf, KEYWORD_SEARCH_ORACLE),
+    "blocklist_policy_gate": (blocklist_policy_gate, BLOCKLIST_GATE_ORACLE),
     "bm25_keyword_topk": (bm25_keyword_topk, BM25_KEYWORD_ORACLE),
     "source_vocab_overlap": (source_vocab_overlap, SOURCE_VOCAB_OVERLAP_ORACLE),
     "collocation_pmi_top": (collocation_pmi_top, COLLOCATION_PMI_ORACLE),

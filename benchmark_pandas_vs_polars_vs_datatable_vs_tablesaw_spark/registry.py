@@ -61,8 +61,8 @@ _MODULES = (
 # Registration order == driver correctness-check order (the driver
 # verifies the first N registry entries per round; N has been 50).
 # Entering round 7 every one of the 270 pre-existing queries has a
-# driver row (267 hash-green, 3 rows-only by design; round 7 adds 4
-# never-checked entries, 274 total), so the window's job is no
+# driver row (267 hash-green, 3 rows-only by design; round 7 adds 5
+# never-checked entries, 275 total), so the window's job is no
 # longer backlog drain — it is keeping rows from silently trailing
 # code changes (VERDICT r6 "Next round" #1). ROTATION POLICY, pinned
 # by tests/test_harness.py::test_priority_window_is_ledger_justified
@@ -82,7 +82,7 @@ _MODULES = (
 #   (ii) then stalest-first, monotone: the window may include a
 #        round-k row only if every older row is also included (the
 #        enforced rule is max(window rounds) <= min(excluded rounds),
-#        changed-since-row entries aside). Round 7 takes 39 of the 44
+#        changed-since-row entries aside). Round 7 takes 38 of the 44
 #        r1-vintage rows — five rounds of refactors since — the other
 #        five r1 rows plus the r2 filler queue for round 8 (see the
 #        displacement note at the list tail).
@@ -112,6 +112,7 @@ _PRIORITY = (
     "dedup_winnowing_fingerprints",  # new r7 (dedup.py)
     "dedup_sentence_stats",          # new r7 (dedup.py, CCNet line-dedup)
     "dedup_sentence_clean",          # new r7 (dedup.py, CCNet line-dedup)
+    "blocklist_policy_gate",         # new r7 (text.py, C4 badword gate)
     # (i) changed-since-row (attestation_ledger.py, round-7 run):
     # function body edited after the commit its last driver row ran on
     "dedup_clusters_cc",             # rewritten r6 (Observation fold), row r3
@@ -165,18 +166,19 @@ _PRIORITY = (
     "q17_small_qty_revenue",
     "q18_large_volume_customers",
     "rollup_returnflag_linestatus",
-    "scale_up_duplicate",
     "sql_api_flagship",
-    # (iii) window holds at 50: the four round-7 NEW queries (bm25,
-    # winnowing, and the two sentence-dedup entries) displace the
-    # r2-vintage filler (dedup_exact_hash), window_running_total,
-    # semi_join_customers_with_orders, and set_ops_union_except; the
-    # two round-7 sf0.1-sweep FIXES (q2, trailing-range — both now in
-    # the changed section above) displace topk_orders; monotone rule
-    # intact (max in-window round = 1 = min excluded round). First in
-    # line for round 8: ann_cosine_topk, dedup_exact_hash,
+    # (iii) window holds at 50: the five round-7 NEW queries (bm25,
+    # winnowing, the two sentence-dedup entries, blocklist gate)
+    # displace the r2-vintage filler (dedup_exact_hash),
+    # window_running_total, semi_join_customers_with_orders,
+    # set_ops_union_except, and scale_up_duplicate; the two round-7
+    # sf0.1-sweep FIXES (q2, trailing-range — both now in the changed
+    # section above) displace topk_orders; monotone rule intact (max
+    # in-window round = 1 = min excluded round). First in line for
+    # round 8: ann_cosine_topk, dedup_exact_hash,
     # window_running_total, topk_orders,
-    # semi_join_customers_with_orders, set_ops_union_except.
+    # semi_join_customers_with_orders, set_ops_union_except,
+    # scale_up_duplicate.
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
