@@ -1519,7 +1519,9 @@ ORDER BY doc_id
 DEDUP_SENTENCE_STATS_ORACLE = sentence_stats_oracle()
 
 
-def dedup_sentence_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_sentence_clean(
+    spark: SparkSession, sf_dir: str, k: int = SENT_K
+) -> DataFrame:
     """CCNet-style line-dedup *application*: rebuild each document with
     every corpus-duplicated pseudo-sentence removed (all copies
     dropped, CCNet semantics), preserving original chunk order.
@@ -1535,7 +1537,7 @@ def dedup_sentence_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's own chunk count — the exact state bound any per-doc
     reconstruction needs; nothing corpus-wide is collected.
     """
-    ch = _sentence_chunks(spark, sf_dir)
+    ch = _sentence_chunks(spark, sf_dir, k=k)
     return (
         ch.withColumn("occ", F.count("*").over(Window.partitionBy("h")))
         .groupBy("doc_id")
@@ -1562,14 +1564,17 @@ def dedup_sentence_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_SENTENCE_CLEAN_ORACLE = f"""
+def sentence_clean_oracle(k: int = SENT_K) -> str:
+    """The clean-reconstruct oracle as a chunk-width template (same
+    drift-proofing rationale as ``sentence_stats_oracle``)."""
+    return f"""
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), chunks AS (
   SELECT doc_id, i,
-         array_to_string(list_slice(w, i * {SENT_K} + 1,
-                                    i * {SENT_K} + {SENT_K}), ' ') AS chunk
-  FROM words, unnest(range(0, len(w) // {SENT_K})) AS t(i)
+         array_to_string(list_slice(w, i * {k} + 1,
+                                    i * {k} + {k}), ' ') AS chunk
+  FROM words, unnest(range(0, len(w) // {k})) AS t(i)
 ), freq AS (
   SELECT md5(chunk) AS h, count(*) AS occ FROM chunks GROUP BY md5(chunk)
 )
@@ -1583,6 +1588,9 @@ FROM chunks c JOIN freq f ON md5(c.chunk) = f.h
 GROUP BY c.doc_id
 ORDER BY doc_id
 """
+
+
+DEDUP_SENTENCE_CLEAN_ORACLE = sentence_clean_oracle()
 
 
 QUERIES: dict = {

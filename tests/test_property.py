@@ -174,3 +174,26 @@ def test_sentence_dedup_stats_matches_for_any_chunk_width(spark, sf_dir, k):
     finally:
         con.close()
     assert not compare_frames(got, want)
+
+
+@SETTINGS
+@given(k=st.integers(min_value=2, max_value=8))
+def test_sentence_dedup_clean_matches_for_any_chunk_width(spark, sf_dir, k):
+    """The reconstruct twin of the stats property test: the shipped
+    clean query and its shipped oracle template must agree for every
+    chunk width, including the order-preserving clean_text rebuild."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.dedup import (
+        dedup_sentence_clean,
+        sentence_clean_oracle,
+    )
+
+    got = dedup_sentence_clean(spark, sf_dir, k=k).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = con.execute(sentence_clean_oracle(k)).fetchdf()
+    finally:
+        con.close()
+    assert not compare_frames(got, want)
