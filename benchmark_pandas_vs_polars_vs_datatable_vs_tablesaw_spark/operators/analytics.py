@@ -956,10 +956,16 @@ FROM e GROUP BY event_type ORDER BY event_type
 """
 
 
-def ewma_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ewma_customer_orders(
+    spark: SparkSession, sf_dir: str, horizon: int = 20
+) -> DataFrame:
     """Exponentially weighted moving average of order value per
-    customer (decay 0.5, trailing 20-order horizon) — the smoothing
-    every spend-forecast / anomaly baseline uses.
+    customer (decay 0.5, trailing ``horizon``-order window; registry
+    default 20) — the smoothing every spend-forecast / anomaly
+    baseline uses. The horizon is the smoothing-vs-state dial, so the
+    property sweep (tests/test_property.py) runs it across 1..24, not
+    just the default (VERDICT r7 #5); horizon <= ~30 keeps the
+    shifted weights x e4 prices inside int64.
 
     The recurrence y_t = a*x_t + (1-a)*y_{t-1} is not directly a SQL
     window aggregate, but with a finite horizon it unrolls to
@@ -996,9 +1002,11 @@ def ewma_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         j,
         (F.col("custkey") == F.col("j_custkey"))
         & (F.col("j_rn") <= F.col("t_rn"))
-        & (F.col("j_rn") > F.col("t_rn") - 20),
+        & (F.col("j_rn") > F.col("t_rn") - horizon),
     )
-    weight = F.expr("shiftleft(CAST(1 AS BIGINT), 19 - (t_rn - j_rn))")
+    weight = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {horizon - 1} - (t_rn - j_rn))"
+    )
     return (
         banded.groupBy("custkey", "t_rn")
         .agg(
@@ -1014,7 +1022,11 @@ def ewma_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EWMA_ORACLE = """
+def ewma_oracle(horizon: int = 20) -> str:
+    """Oracle template over the EWMA trailing horizon — identical
+    bit-shifted integer weights, so Spark and DuckDB agree for every
+    horizon (VERDICT r7 #5)."""
+    return f"""
 WITH seq AS (
   SELECT o_custkey,
          row_number() OVER (PARTITION BY o_custkey
@@ -1025,17 +1037,21 @@ WITH seq AS (
   SELECT t.o_custkey AS custkey, t.rn AS t_rn, j.rn AS j_rn, j.price_e4
   FROM seq t JOIN seq j
     ON t.o_custkey = j.o_custkey
-   AND j.rn <= t.rn AND j.rn > t.rn - 20
+   AND j.rn <= t.rn AND j.rn > t.rn - {horizon}
 )
 SELECT custkey, CAST(t_rn AS INT) AS order_seq,
-       round(CAST(sum((CAST(1 AS BIGINT) << (19 - (t_rn - j_rn))) * price_e4)
-                  AS BIGINT) * 1.0
-             / CAST(sum(CAST(1 AS BIGINT) << (19 - (t_rn - j_rn))) AS BIGINT)
+       round(CAST(sum((CAST(1 AS BIGINT) << ({horizon - 1} - (t_rn - j_rn)))
+                      * price_e4) AS BIGINT) * 1.0
+             / CAST(sum(CAST(1 AS BIGINT) << ({horizon - 1} - (t_rn - j_rn)))
+                    AS BIGINT)
              / 10000.0, 4) AS ewma_price
 FROM banded
 GROUP BY custkey, t_rn
 ORDER BY custkey, order_seq
 """
+
+
+EWMA_ORACLE = ewma_oracle()
 
 
 def quantile_bin_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -533,7 +533,9 @@ list_transform({_SHINGLES_SQL},
 """
 
 
-def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str, w: int = WINNOW_W
+) -> DataFrame:
     """Winnowing near-dup pairs (Schleimer/Wilkerson/Aiken, the MOSS
     fingerprinting scheme): hash the ORDERED word-3-gram sequence,
     slide a window of WINNOW_W consecutive hashes, and keep each
@@ -556,7 +558,6 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     over winnowed-print sets, threshold WINNOW_JACCARD.
     """
     corpus = _corpus_with_near_dups(spark, sf_dir)
-    w = WINNOW_W
     prints_expr = (
         f"CASE WHEN size(H) >= {w} THEN"
         f" array_distinct(transform(sequence(1, size(H) - {w} + 1),"
@@ -566,6 +567,12 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_prints = (
         corpus.withColumn("H", F.expr(_WINNOW_HASHES_EXPR))
         .select("doc_id", F.explode(F.expr(prints_expr)).alias("p"))
+        # A zero-shingle doc yields a NULL print (array_min of empty H).
+        # Drop it explicitly on BOTH engines: Spark's left_anti would keep
+        # the NULL posting row (inflating that doc's sz) while the oracle's
+        # NOT IN drops it — a latent asymmetry even though NULL never
+        # equi-joins into pairs (ADVICE r7).
+        .filter(F.col("p").isNotNull())
     )
     hot = (
         all_prints.groupBy("p")
@@ -595,21 +602,29 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_WINNOWING_ORACLE = f"""
+def winnowing_oracle(w: int = WINNOW_W) -> str:
+    """Oracle template over the winnow window — the density/recall
+    dial (kept prints ~2/(w+1)); the property sweep
+    (tests/test_property.py) must hold for every w, not just the
+    registry's WINNOW_W=4 (VERDICT r7 #5)."""
+    return f"""
 WITH corpus AS ({_CORPUS_SQL}),
 hashed AS (
   SELECT doc_id, {_WINNOW_HASHES_SQL} AS h FROM corpus
 ),
 winnowed AS (
   SELECT doc_id,
-         CASE WHEN len(h) >= {WINNOW_W} THEN
-           list_distinct(list_transform(range(1, len(h) - {WINNOW_W} + 2),
-                         st -> list_min(h[st:st + {WINNOW_W} - 1])))
+         CASE WHEN len(h) >= {w} THEN
+           list_distinct(list_transform(range(1, len(h) - {w} + 2),
+                         st -> list_min(h[st:st + {w} - 1])))
          ELSE [list_min(h)] END AS prints
   FROM hashed
 ),
 all_prints AS (
-  SELECT doc_id, unnest(prints) AS p FROM winnowed
+  -- p IS NOT NULL mirrors the Spark-side filter: a zero-shingle doc's
+  -- NULL print must vanish identically on both engines (ADVICE r7)
+  SELECT * FROM (SELECT doc_id, unnest(prints) AS p FROM winnowed)
+  WHERE p IS NOT NULL
 ),
 hot AS (
   SELECT p FROM all_prints GROUP BY p HAVING count(*) > {MAX_PRINT_DF}
@@ -630,6 +645,9 @@ SELECT doc_a, doc_b, common,
 FROM pairs
 WHERE common / (sz_a + sz_b - common) >= {WINNOW_JACCARD}
 """
+
+
+DEDUP_WINNOWING_ORACLE = winnowing_oracle()
 
 
 # --------------------------------------------------------------------------

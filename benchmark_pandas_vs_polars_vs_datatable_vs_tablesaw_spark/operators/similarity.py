@@ -1678,6 +1678,48 @@ ORDER BY la, lb
 _PQ_SHORTLIST = 50
 _IVFPQ_CENTERS = 16  # 4-bit codes — pq_quantize_stats keeps its 2-bit demo table
 
+# Persist the shared ivfpq input only above this much on-disk
+# embeddings data (VERDICT r7 #4). Both A/B probes measured the cache
+# a net loss below ~1 MB (results/ivfpq_persist_ab{,_within}.json);
+# the crossover is somewhere well below 64 MiB, but 64 MiB is the
+# first size where the 5x recompute (scan + exchange + norm fold per
+# consumer) is unambiguously heavier than one cache build, so the
+# gate errs toward "off" where measurement says off wins.
+_IVFPQ_PERSIST_MIN_BYTES = 64 * 1024 * 1024
+
+
+def _on_disk_bytes(path: str) -> int:
+    """Driver-side size of a parquet file-or-directory — a filesystem
+    stat, never a Spark job; the gate must cost nothing."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fname))
+            except OSError:
+                pass
+    return total
+
+
+def _ivfpq_should_persist(sf_dir: str) -> bool:
+    """Size gate for the ivfpq shared-input persist (VERDICT r7 #4).
+
+    SPARK_GRAFT_IVFPQ_NO_PERSIST=1 force-disables (A/B probe off arm);
+    SPARK_GRAFT_IVFPQ_PERSIST_MIN_BYTES overrides the threshold (the
+    plan test and the probe's on arm set it to 0 to force the gate
+    open at fixture scale).
+    """
+    if os.environ.get("SPARK_GRAFT_IVFPQ_NO_PERSIST") == "1":
+        return False
+    min_bytes = int(
+        os.environ.get(
+            "SPARK_GRAFT_IVFPQ_PERSIST_MIN_BYTES", _IVFPQ_PERSIST_MIN_BYTES
+        )
+    )
+    return _on_disk_bytes(os.path.join(sf_dir, "embeddings.parquet")) >= min_bytes
+
 
 def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN — the production 100 TB vector-index architecture,
@@ -1710,20 +1752,27 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Five consumers read this one input (cents / assigned / dims /
     # queries / qdims) — without a persist each re-runs the scan, the
     # repartition exchange, AND the norm fold (r5 plan audit flagged
-    # the recompute; VERDICT r5 "Next round" #4). Persisted exactly
-    # like the module's other index structures; the sharing is pinned
-    # structurally (tests/test_plans.py::
-    # test_ivfpq_shares_one_cached_embeddings_scan — ONE parquet scan
-    # node, >=5 InMemoryTableScan consumers) and measured by fresh-JVM
-    # A/B (scripts/ivfpq_persist_ab_probe.py, SCALE.md). The env knob
-    # exists ONLY for that probe's off arm.
+    # the recompute; VERDICT r5 "Next round" #4). SIZE-GATED since r8
+    # (VERDICT r7 #4): both A/Bs (scripts/ivfpq_persist_ab_probe.py,
+    # fresh-JVM and within-JVM arms) measured the persist
+    # neutral-to-negative at fixture scale — cache build +
+    # InMemoryTableScan overhead >= the 5x recompute it saves on a
+    # <1 MB input — so below _IVFPQ_PERSIST_MIN_BYTES of on-disk
+    # embeddings the input stays unpersisted and the fixture path
+    # pays nothing. Above the gate (any real deployment; 100 TB
+    # embeddings are GBs-to-TBs) the share kicks in, and THAT path
+    # stays structurally pinned: tests/test_plans.py::
+    # test_ivfpq_shares_one_cached_embeddings_scan forces the gate
+    # open via SPARK_GRAFT_IVFPQ_PERSIST_MIN_BYTES=0 and asserts ONE
+    # parquet scan node with >=5 InMemoryTableScan consumers.
+    # SPARK_GRAFT_IVFPQ_NO_PERSIST=1 force-disables (probe off arm).
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("nrm", vectors.norm(F.col("embedding")))
     )
-    if os.environ.get("SPARK_GRAFT_IVFPQ_NO_PERSIST") != "1":
+    if _ivfpq_should_persist(sf_dir):
         emb = _persist_index(emb)
     cents = emb.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)

@@ -1868,8 +1868,16 @@ LIMIT 10
 """
 
 
-def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword retrieval (k1 = 1.2, b = 0.75) over the same query
+def bm25_keyword_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k1n: int = 6,
+    k1d: int = 5,
+    bn: int = 3,
+    bd: int = 4,
+) -> DataFrame:
+    """BM25 keyword retrieval (k1 = k1n/k1d = 1.2, b = bn/bd = 0.75 by
+    default — the Robertson standard) over the same query
     terms as :func:`keyword_search_tfidf` — the production sparse
     ranker (Robertson/Spärck Jones; what Lucene/Elasticsearch score),
     adding the two things tf·idf lacks: tf SATURATION (the 50th
@@ -1880,12 +1888,18 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integer fixed-point so the ranking can never flip between
     engines: with dl = token count, DL = Σ dl, nd = doc count and the
     repo's floor-log2 idf convention, multiply the BM25 term
-    idf · tf(k1+1) / (tf + k1(1 − b + b·dl/(DL/nd))) through by 20·DL:
+    idf · tf(k1+1) / (tf + k1(1 − b + b·dl/(DL/nd))) through by
+    k1d·bd·DL (k1 = k1n/k1d, b = bn/bd as exact rationals — the
+    parameters are the relevance-tuning dials, so the property sweep
+    runs the whole dial range, VERDICT r7 #5):
 
-        w = (idf · 44·DL·tf · 1000) div (20·DL·tf + 6·DL + 18·dl·nd)
+        w = ((k1n+k1d)·bd·DL·tf·idf · 1000)
+              div (k1d·bd·DL·tf + k1n·(bd−bn)·DL + k1n·bn·dl·nd)
 
-    — all int64 (headroom to DL·tf·idf ≈ 2×10¹²; fine through sf10,
-    re-scale the 1000 for larger corpora). Scale shape identical to
+    — with the defaults this is the round-7 form
+    (44·DL·tf·idf·1000) div (20·DL·tf + 6·DL + 18·dl·nd); all int64
+    (headroom to DL·tf·idf ≈ 2×10¹²; fine through sf10, re-scale the
+    1000 for larger corpora). Scale shape identical to
     the tfidf ranker: the term filter lands before tf aggregation,
     (df, DL, nd) arrive via ≤3-row broadcasts, per-doc length joins
     co-keyed on doc_id, and the top-10 is a TakeOrdered."""
@@ -1913,8 +1927,9 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "w",
             F.expr(
-                "(idf * 44 * dl_total * tf * 1000)"
-                " div (20 * dl_total * tf + 6 * dl_total + 18 * dl * n_docs)"
+                f"(idf * {(k1n + k1d) * bd} * dl_total * tf * 1000)"
+                f" div ({k1d * bd} * dl_total * tf"
+                f" + {k1n * (bd - bn)} * dl_total + {k1n * bn} * dl * n_docs)"
             ),
         )
         .groupBy("doc_id")
@@ -1928,7 +1943,14 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
-BM25_KEYWORD_ORACLE = """
+def bm25_oracle(
+    k1n: int = 6, k1d: int = 5, bn: int = 3, bd: int = 4
+) -> str:
+    """Oracle template over the BM25 tuning rationals (k1 = k1n/k1d,
+    b = bn/bd) — same integer cross-multiplication as the Spark side,
+    so both engines agree for every dial setting, not just the
+    registry default (VERDICT r7 #5)."""
+    return f"""
 WITH lens AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
   FROM documents
@@ -1949,8 +1971,10 @@ WITH lens AS (
 ), scored AS (
   SELECT tf.doc_id,
          (CAST(length(bin(n_docs // df)) - 1 AS BIGINT)
-            * 44 * dl_total * tf * 1000)
-           // (20 * dl_total * tf + 6 * dl_total + 18 * dl * n_docs) AS w
+            * {(k1n + k1d) * bd} * dl_total * tf * 1000)
+           // ({k1d * bd} * dl_total * tf
+               + {k1n * (bd - bn)} * dl_total
+               + {k1n * bn} * dl * n_docs) AS w
   FROM tf JOIN df USING (term) CROSS JOIN tot JOIN lens USING (doc_id)
 )
 SELECT doc_id, CAST(sum(w) AS BIGINT) AS bm25_milli,
@@ -1960,6 +1984,9 @@ GROUP BY doc_id
 ORDER BY bm25_milli DESC, doc_id
 LIMIT 10
 """
+
+
+BM25_KEYWORD_ORACLE = bm25_oracle()
 
 
 def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -358,9 +358,9 @@ FROM spine LEFT JOIN hourly USING (h)
 
 def events_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-range window frame: per-user trailing 1-hour activity at
-    every event — rangeBetween(-3600s, current) over the epoch
-    seconds, the frame rowsBetween cannot express when events are
-    irregularly spaced.
+    every event — rangeBetween(-3_600_000_000 µs, current) over exact
+    epoch MICROseconds, a frame rowsBetween cannot express when
+    events are irregularly spaced.
 
     Range frames include all peer rows of the current order value on
     both engines, so duplicate timestamps cannot split the frame.

@@ -106,79 +106,72 @@ _MODULES = (
 # (tests/test_registry_smoke.py), so a convention violation fails
 # pytest before it can fail a driver round.
 _PRIORITY = (
-    # (0) never-checked (ledger rule iii): queries ADDED in round 7 —
-    # no driver row exists, they always rotate in first
-    "bm25_keyword_topk",             # new r7 (text.py)
-    "dedup_winnowing_fingerprints",  # new r7 (dedup.py)
-    "dedup_sentence_stats",          # new r7 (dedup.py, CCNet line-dedup)
-    "dedup_sentence_clean",          # new r7 (dedup.py, CCNet line-dedup)
-    "blocklist_policy_gate",         # new r7 (text.py, C4 badword gate)
-    # (i) changed-since-row (attestation_ledger.py, round-7 run):
-    # function body edited after the commit its last driver row ran on
-    "dedup_clusters_cc",             # rewritten r6 (Observation fold), row r3
-    "ivfpq_ann_topk",                # persist added r6 + probe knob r7, row r5
-    "dedup_ngram_jaccard",           # df-cap rework r4, row r3
-    "streaming_session_certificate",  # certificate tightened r5, row r4
-    "ks_drift_test",                 # r7 pass-budget rewrite (16->4 scans), row r5
-    "q2_min_cost_supplier",          # r7 exact-rational rounding fix (sf0.1 sweep), row r1
-    "events_trailing_range_window",  # r7 micros order-key fix (sf0.1 sweep), row r2
-    # (ii) stalest-first: ALL 44 r1-vintage rows (alphabetical) — five
-    # rounds of refactors since round 1 (e.g. sort/limit went through
-    # the r3 rank-materialization rewrite, joins through the r4 plan-
-    # budget pass); pytest has re-proven them every round, the driver
-    # hasn't looked since r1
-    "anti_join_customers_without_orders",
-    "broadcast_dim_join",
-    "cast_nan_matrix",
-    "csv_roundtrip",
-    "distinct_counts",
-    "filter_numeric_gt",
-    "generator_scaling4_invariants",
-    "groupby_first",
-    "groupby_first_minby",
-    "groupby_mean",
-    "groupby_multi_mean",
-    "intersect_segments",
-    "limit_prefix",
-    "mapinarrow_matrix_stats",
-    "matrix_col_means",
-    "median_stats",
-    "merge_upsert_orders",
-    "outer_join_coverage",
-    "pivot_linestatus",
-    "project_first_numeric",
-    "q1_pricing_summary",
-    # (q2_min_cost_supplier moved up to the changed-since-row section:
-    # its rounding was fixed in r7 after the sf0.1 sweep caught it)
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "rollup_returnflag_linestatus",
-    "sql_api_flagship",
-    # (iii) window holds at 50: the five round-7 NEW queries (bm25,
-    # winnowing, the two sentence-dedup entries, blocklist gate)
-    # displace the r2-vintage filler (dedup_exact_hash),
-    # window_running_total, semi_join_customers_with_orders,
-    # set_ops_union_except, and scale_up_duplicate; the two round-7
-    # sf0.1-sweep FIXES (q2, trailing-range — both now in the changed
-    # section above) displace topk_orders; monotone rule intact (max
-    # in-window round = 1 = min excluded round). First in line for
-    # round 8: ann_cosine_topk, dedup_exact_hash,
-    # window_running_total, topk_orders,
-    # semi_join_customers_with_orders, set_ops_union_except,
-    # scale_up_duplicate.
+    # ---- ROUND 8 WINDOW (first 50 = the driver's check set) ----
+    # (0) never-checked (rule iii): none at rotation time — round 8
+    #     additions, if any, are inserted here when they land.
+    # (i) changed-since-row (attestation_ledger.py, round-8 run):
+    #     function body edited after the commit its last driver row
+    #     ran on. The ADVICE-r7 NULL-print fix touches winnowing; the
+    #     micros-docstring reword touches the trailing-range window;
+    #     the r8 persist size-gate touches ivfpq (row r7).
+    "dedup_winnowing_fingerprints",  # NULL-print filter (ADVICE r7), row r7
+    "events_trailing_range_window",  # docstring reword (ADVICE r7), row r7
+    "ivfpq_ann_topk",                # persist size-gate (VERDICT r7 #4), row r7
+    # (ii) stalest-first, monotone (max in-window round <= min
+    #     excluded round, changed entries aside): ALL 5 r1-vintage
+    #     rows (the queue VERDICT r7 #3 names), then ALL 32 r2-vintage
+    #     rows, then the first 10 r3 rows alphabetically to fill 50.
+    # r1 vintage (5):
+    "scale_up_duplicate",
+    "semi_join_customers_with_orders",
+    "set_ops_union_except",
+    "topk_orders",
+    "window_running_total",
+    # r2 vintage (32):
+    "ann_cosine_topk",
+    "ann_cosine_topk_vectorized",
+    "crossmodal_retrieval",
+    "curation_pipeline",
+    "dedup_exact",
+    "dedup_exact_hash",
+    "doc_fingerprint",
+    "embedding_norm_stats",
+    "events_funnel_conversion",
+    "events_gapfill_resample",
+    "events_hourly_agg",
+    "events_json_extract",
+    "events_sliding_window",
+    "events_topk_users_per_type",
+    "events_variant_json",
+    "ivf_ann_topk",
+    "lang_confusion_matrix",
+    "lang_id_heuristic",
+    "map_funcs_suite",
+    "pandas_udf_doc_score",
+    "pii_redaction",
+    "streaming_hourly_agg",
+    "streaming_sliding_agg",
+    "streaming_stateful_counter",
+    "streaming_topk_users",
+    "text_clean_normalize",
+    "text_quality_score",
+    "text_repetition_filter",
+    "text_stats",
+    "tfidf_top_terms",
+    "token_count_regex",
+    "udtf_token_explode",
+    # r3 vintage fill (10 of 44, alphabetical; the remaining 34 r3
+    # rows head the round-9 queue):
+    "ansi_safe_arithmetic",
+    "applyinpandas_zscore",
+    "approx_distinct_bounds",
+    "approx_quantile_bounds",
+    "bpe_pair_counts",
+    "bucketed_join_revenue",
+    "contamination_ngram_overlap",
+    "corr_covar_stats",
+    "cube_priority_status",
+    "data_mixture_resample",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

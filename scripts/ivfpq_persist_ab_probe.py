@@ -7,9 +7,11 @@ to be pinned structurally (done: tests/test_plans.py::
 test_ivfpq_shares_one_cached_embeddings_scan) AND measured honestly.
 This probe is the measurement: alternating fresh JVMs run
 `ivfpq_ann_topk` at sf0.1 with the persist on vs off (the off arm
-sets SPARK_GRAFT_IVFPQ_NO_PERSIST=1, the knob that exists only for
-this probe), median+min of REPS noop-forced runs per arm, two arms
-per setting to average host drift.
+sets SPARK_GRAFT_IVFPQ_NO_PERSIST=1; the on arm zeroes the r8 size
+gate via SPARK_GRAFT_IVFPQ_PERSIST_MIN_BYTES=0, since at fixture
+scale the gate keeps the persist off by default — VERDICT r7 #4),
+median+min of REPS noop-forced runs per arm, two arms per setting to
+average host drift.
 
 Result (round 7, committed to results/ivfpq_persist_ab.json): see
 SCALE.md "IVF-PQ persist A/B".
@@ -72,6 +74,10 @@ def run_within_jvm() -> None:
     blocks = []
     for no_persist in ("0", "1", "0", "1", "0", "1"):
         os.environ["SPARK_GRAFT_IVFPQ_NO_PERSIST"] = no_persist
+        # force the r8 size gate open on the ON arm so the A/B still
+        # measures persist-vs-not at fixture scale (the gate's default
+        # keeps it off below 64 MiB precisely because of this probe)
+        os.environ["SPARK_GRAFT_IVFPQ_PERSIST_MIN_BYTES"] = "0"
         spark.catalog.clearCache()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
         ts = []
@@ -99,7 +105,11 @@ def run_within_jvm() -> None:
 def main() -> None:
     arms = []
     for no_persist in ("0", "1", "0", "1"):  # alternate to average drift
-        env = dict(os.environ, SPARK_GRAFT_IVFPQ_NO_PERSIST=no_persist)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_IVFPQ_NO_PERSIST=no_persist,
+            SPARK_GRAFT_IVFPQ_PERSIST_MIN_BYTES="0",  # gate open on the ON arm
+        )
         proc = subprocess.run(
             [sys.executable, __file__, "--arm", no_persist],
             capture_output=True,

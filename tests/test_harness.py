@@ -133,6 +133,53 @@ def test_bench_contract_line_shape():
     assert len(line) < 4096, f"contract line too large for tail capture: {len(line)}B"
 
 
+def test_bench_epoch_factor_and_drift_annotations():
+    # VERDICT r7 #1: the host-epoch calibration must (a) read the
+    # control drift as the epoch factor and (b) annotate any query
+    # whose drift <= control drift as "host", not "regression".
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    baseline = {"groupby_mean": 0.20, "mapinarrow_matrix_stats": 0.40, "sort_asc_rank": 0.56}
+    # controls drifted uniformly +30% across all three phases
+    series = {
+        "start": {"groupby_mean": 0.26, "mapinarrow_matrix_stats": 0.52},
+        "mid": {"groupby_mean": 0.26, "mapinarrow_matrix_stats": 0.52},
+        "end": {"groupby_mean": 0.26, "mapinarrow_matrix_stats": 0.52},
+    }
+    factor = bench.epoch_factor(series, baseline)
+    assert abs(factor - 1.3) < 1e-6
+
+    per_query = {
+        "sort_asc_rank": 0.56 * 1.28,  # moved less than controls -> host
+        "groupby_mean": 0.20 * 1.30,
+        "mapinarrow_matrix_stats": 0.40 * 2.0,  # moved well past controls
+        "unknown_query": 9.9,  # no rebaseline -> no annotation
+    }
+    ann = bench.drift_annotations(per_query, baseline, factor)
+    assert ann["sort_asc_rank"]["verdict"] == "host"
+    assert ann["groupby_mean"]["verdict"] == "host"
+    assert ann["mapinarrow_matrix_stats"]["verdict"] == "exceeds-epoch"
+    assert "unknown_query" not in ann
+
+    # calm host (factor 1.0): a +40% query exceeds the epoch
+    calm = {
+        p: {n: baseline[n] for n in ("groupby_mean", "mapinarrow_matrix_stats")}
+        for p in ("start", "mid", "end")
+    }
+    f2 = bench.epoch_factor(calm, baseline)
+    assert abs(f2 - 1.0) < 1e-6
+    ann2 = bench.drift_annotations({"sort_asc_rank": 0.56 * 1.4}, baseline, f2)
+    assert ann2["sort_asc_rank"]["verdict"] == "exceeds-epoch"
+    # at-or-near rebaseline -> nothing to explain, no annotation row
+    assert not bench.drift_annotations({"sort_asc_rank": 0.56}, baseline, f2)
+    # missing controls -> factor defaults to 1.0, never crashes
+    assert bench.epoch_factor({"start": {}}, baseline) == 1.0
+
+
 def test_executor_peaks_report_real_usage(spark):
     peaks = memory.executor_peaks_mb(spark)
     assert peaks, "local mode must report at least the driver block manager"

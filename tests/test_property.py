@@ -197,3 +197,74 @@ def test_sentence_dedup_clean_matches_for_any_chunk_width(spark, sf_dir, k):
     finally:
         con.close()
     assert not compare_frames(got, want)
+
+
+def _doc_oracle(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+@SETTINGS
+@given(w=st.integers(min_value=2, max_value=9))
+def test_winnowing_matches_for_any_window(spark, sf_dir, w):
+    """The winnow window w is the density/recall dial (kept prints
+    ~2/(w+1), MOSS) — the engines must agree across the dial's range,
+    including w larger than most docs' shingle count, where the
+    ELSE-branch single-print path dominates (VERDICT r7 #5)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.dedup import (
+        dedup_winnowing_fingerprints,
+        winnowing_oracle,
+    )
+
+    got = dedup_winnowing_fingerprints(spark, sf_dir, w=w).toPandas()
+    want = _doc_oracle(sf_dir, winnowing_oracle(w))
+    assert not compare_frames(got, want)
+
+
+@SETTINGS
+@given(
+    k1n=st.integers(min_value=0, max_value=25),
+    bn=st.integers(min_value=0, max_value=4),
+)
+def test_bm25_matches_for_any_k1_b(spark, sf_dir, k1n, bn):
+    """BM25's k1 (tf saturation) and b (length normalization) are THE
+    relevance-tuning dials; the integer cross-multiplication must keep
+    both engines bit-identical across the whole range — k1 = k1n/10 in
+    [0, 2.5] (0 = pure-idf binary model), b = bn/4 in [0, 1]
+    (0 = no length normalization, 1 = full)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        bm25_keyword_topk,
+        bm25_oracle,
+    )
+
+    got = bm25_keyword_topk(spark, sf_dir, k1n=k1n, k1d=10, bn=bn, bd=4).toPandas()
+    want = _doc_oracle(sf_dir, bm25_oracle(k1n=k1n, k1d=10, bn=bn, bd=4))
+    assert not compare_frames(got, want)
+
+
+@SETTINGS
+@given(horizon=st.integers(min_value=1, max_value=24))
+def test_ewma_matches_for_any_horizon(spark, sf_dir, horizon):
+    """The EWMA trailing horizon bounds the banded self-join fan-in
+    (state-per-row dial); the bit-shifted integer weights must agree
+    for every horizon, including horizon=1 (EWMA degenerates to the
+    raw price) and horizons past most customers' order counts."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.analytics import (
+        ewma_customer_orders,
+        ewma_oracle,
+    )
+
+    got = ewma_customer_orders(spark, sf_dir, horizon=horizon).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+        want = con.execute(ewma_oracle(horizon)).fetchdf()
+    finally:
+        con.close()
+    assert not compare_frames(got, want)
