@@ -31,28 +31,34 @@ from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.session import ge
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
-# Top-10 of the round-7 rebaseline by per-query minimum (ivfpq 1.30s
-# ... dedup_containment 0.68s) plus ks_drift_test (kept from the
-# round-7 top-5 — its 16→4-scan rewrite is exactly the kind of
-# deliberate plan change this snapshot exists to pin) — together
-# ~36% of the suite total.
+# Every query >= 0.5s in BENCH_r07 (20 of them — VERDICT r7 #6 asked
+# for exactly this coverage: a lost broadcast or new exchange in any
+# headline query fails pytest before it shows up as wall-clock
+# drift), plus ks_drift_test (kept from the round-7 top-5 — its
+# 16→4-scan rewrite is exactly the kind of deliberate plan change
+# this snapshot exists to pin). ~60% of the suite total.
 SNAPSHOT_QUERIES = [
     "ivfpq_ann_topk",
+    "geo_nearest_supplier",
     "triangle_count_copurchase",
     "scd2_priority_history",
-    "cusum_changepoint_by_type",
-    "geo_nearest_supplier",
+    "sort_asc_rank",
     "boilerplate_phrase_ratio",
+    "cusum_changepoint_by_type",
+    "ewma_customer_orders",
+    "dedup_containment",
+    "tfidf_top_terms",
     "q5_revenue_by_nation",
     "link_prediction_common_neighbors",
-    "sort_asc_rank",
-    "dedup_containment",
-    "ks_drift_test",
-    # round-7 additions: ewma entered the measured top-10 once the
-    # host quieted; dedup_sentence_clean is new this round and its
-    # single-scan/4-exchange shape is a pinned claim (test_plans.py)
-    "ewma_customer_orders",
+    "bloom_prefilter_join",
+    "dedup_minhash_lsh",
+    "q3_shipping_priority",
+    "chi2_token_source",
+    "gdpr_delete_cascade",
     "dedup_sentence_clean",
+    "dedup_winnowing_fingerprints",
+    "ivf_ann_topk",
+    "ks_drift_test",
 ]
 
 

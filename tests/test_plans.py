@@ -455,8 +455,9 @@ def test_ivfpq_persist_gate_off_at_fixture_scale(spark, sf_dir, monkeypatch):
 
 
 def test_plan_snapshots_top_queries(spark, sf_dir):
-    """Committed plan-signature diff for the 5 most expensive bench
-    queries (~22% of suite total): a lost broadcast, a new exchange,
+    """Committed plan-signature diff for every bench query >= 0.5s in
+    the last round's artifact plus ks_drift_test (21 queries, ~60% of
+    suite total — VERDICT r7 #6): a lost broadcast, a new exchange,
     or a de-shared cache fails HERE, in pytest, instead of surfacing
     a round later as unexplained wall-clock drift (VERDICT r6 "Next
     round" #7 — the r5 cusum incident). After a DELIBERATE plan
