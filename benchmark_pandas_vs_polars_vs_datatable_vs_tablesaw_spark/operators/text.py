@@ -2115,7 +2115,242 @@ ORDER BY source
 """
 
 
+# Gopher repetition thresholds (Rae et al. 2021, table A1) in exact
+# basis points: a doc fails when the covered-character fraction for
+# the top n-gram (n=2,3,4) or for duplicated n-grams (n=5,6) exceeds
+# the published cutoffs 0.20/0.18/0.16 and 0.15/0.14.
+_GOPHER_TOP_BP = {2: 2000, 3: 1800, 4: 1600}
+_GOPHER_DUP_BP = {5: 1500, 6: 1400}
+
+_GOPHER_GRAMS_EXPR = """
+flatten(transform(array(2, 3, 4, 5, 6), n ->
+  CASE WHEN size(T) >= n THEN
+    transform(sequence(1, size(T) - n + 1),
+              i -> named_struct('n', n,
+                                'gram', concat_ws(' ', slice(T, i, n))))
+  ELSE CAST(array() AS array<struct<n: int, gram: string>>) END))
+"""
+
+_GOPHER_GRAMS_SQL = """
+flatten(list_transform([2, 3, 4, 5, 6], n ->
+  CASE WHEN len(T) >= n THEN
+    list_transform(range(1, len(T) - n + 2),
+                   i -> {'n': n, 'gram': array_to_string(T[i:i+n-1], ' ')})
+  ELSE [] END))
+"""
+
+
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules 2-10 (the n-gram char-fraction family;
+    :func:`text_repetition_filter` covers only the unigram rule): per
+    document, the fraction of characters covered by the single most
+    repeated n-gram (n = 2, 3, 4) and by ALL duplicated n-grams
+    (n = 5, 6, the standard overlap-agnostic approximation Dolma and
+    RedPajama also use: Σ over grams with count > 1 of count x
+    gram length). These are THE pretraining quality gates between
+    exact dedup and model-based scoring.
+
+    Exactness: fractions are exact int64 BASIS POINTS —
+    (cover x 10000) div n_chars — so no float rounding can disagree
+    between engines (the q2/round-half lesson from the r7 sf0.1
+    sweep); "top" coverage is max(count x length), a scalar max, so
+    no top-gram tie-break protocol is needed. The pass flag applies
+    Gopher's published cutoffs (0.20/0.18/0.16 top, 0.15/0.14 dup).
+
+    Scale shape: ONE scan; all five n-gram streams come out of a
+    single explode of one flattened transform (no per-n re-scan);
+    the (doc_id, n, gram) count partial-aggregates map-side before
+    its only data-sized shuffle, and everything after is per-doc
+    rollup. Fan-out is 5x token count — the same constant-factor
+    budget every n-gram dedup op in dedup.py pays. A final broadcast-
+    sized left join keeps zero-gram docs (< 2 tokens) in the output
+    with zero coverage on BOTH engines (DuckDB's unnest drops them,
+    Spark's explode does too — the join-back makes the engines agree
+    by construction instead of by fixture luck).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.withColumn("T", _tokens())
+        .select("doc_id", "n_chars", F.explode(F.expr(_GOPHER_GRAMS_EXPR)).alias("g"))
+        .select("doc_id", "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    counts = grams.groupBy("doc_id", "n_chars", "n", "gram").agg(
+        F.count("*").alias("c")
+    )
+    per_n = counts.groupBy("doc_id", "n_chars", "n").agg(
+        F.max(F.col("c") * F.length("gram")).alias("top_cover"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("gram")).otherwise(F.lit(0))
+        ).alias("dup_cover"),
+    )
+    sig = per_n.groupBy("doc_id", "n_chars").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_cover"))).alias(f"top{n}_cover")
+            for n in (2, 3, 4)
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dup_cover"))).alias(f"dup{n}_cover")
+            for n in (5, 6)
+        ],
+    )
+    base = docs.select("doc_id", F.col("n_chars").alias("nc"))
+    joined = base.join(sig, base.doc_id == sig.doc_id, "left").select(
+        base.doc_id.alias("doc_id"),
+        *[
+            F.coalesce(
+                F.expr(f"top{n}_cover * 10000 div nc"), F.lit(0).cast("long")
+            ).alias(f"top{n}gram_bp")
+            for n in (2, 3, 4)
+        ],
+        *[
+            F.coalesce(
+                F.expr(f"dup{n}_cover * 10000 div nc"), F.lit(0).cast("long")
+            ).alias(f"dup{n}gram_bp")
+            for n in (5, 6)
+        ],
+    )
+    pass_expr = (
+        (F.col("top2gram_bp") < _GOPHER_TOP_BP[2])
+        & (F.col("top3gram_bp") < _GOPHER_TOP_BP[3])
+        & (F.col("top4gram_bp") < _GOPHER_TOP_BP[4])
+        & (F.col("dup5gram_bp") < _GOPHER_DUP_BP[5])
+        & (F.col("dup6gram_bp") < _GOPHER_DUP_BP[6])
+    )
+    return joined.withColumn("gopher_pass", pass_expr.cast("int")).orderBy("doc_id")
+
+
+GOPHER_REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS T FROM documents
+), gl AS (
+  SELECT doc_id, n_chars, {_GOPHER_GRAMS_SQL} AS grams FROM t
+), g AS (
+  SELECT doc_id, n_chars, s.n AS n, s.gram AS gram
+  FROM (SELECT doc_id, n_chars, unnest(grams) AS s FROM gl)
+), counts AS (
+  SELECT doc_id, n_chars, n, gram, count(*) AS c
+  FROM g GROUP BY 1, 2, 3, 4
+), per_n AS (
+  SELECT doc_id, n_chars, n,
+         max(c * length(gram)) AS top_cover,
+         sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup_cover
+  FROM counts GROUP BY 1, 2, 3
+), sig AS (
+  SELECT doc_id, n_chars,
+         max(CASE WHEN n = 2 THEN top_cover END) AS top2_cover,
+         max(CASE WHEN n = 3 THEN top_cover END) AS top3_cover,
+         max(CASE WHEN n = 4 THEN top_cover END) AS top4_cover,
+         max(CASE WHEN n = 5 THEN dup_cover END) AS dup5_cover,
+         max(CASE WHEN n = 6 THEN dup_cover END) AS dup6_cover
+  FROM per_n GROUP BY 1, 2
+), bp AS (
+  SELECT d.doc_id,
+         CAST(coalesce(top2_cover * 10000 // d.n_chars, 0) AS BIGINT) AS top2gram_bp,
+         CAST(coalesce(top3_cover * 10000 // d.n_chars, 0) AS BIGINT) AS top3gram_bp,
+         CAST(coalesce(top4_cover * 10000 // d.n_chars, 0) AS BIGINT) AS top4gram_bp,
+         CAST(coalesce(dup5_cover * 10000 // d.n_chars, 0) AS BIGINT) AS dup5gram_bp,
+         CAST(coalesce(dup6_cover * 10000 // d.n_chars, 0) AS BIGINT) AS dup6gram_bp
+  FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+)
+SELECT doc_id, top2gram_bp, top3gram_bp, top4gram_bp, dup5gram_bp, dup6gram_bp,
+       CAST(CASE WHEN top2gram_bp < {_GOPHER_TOP_BP[2]}
+                  AND top3gram_bp < {_GOPHER_TOP_BP[3]}
+                  AND top4gram_bp < {_GOPHER_TOP_BP[4]}
+                  AND dup5gram_bp < {_GOPHER_DUP_BP[5]}
+                  AND dup6gram_bp < {_GOPHER_DUP_BP[6]}
+            THEN 1 ELSE 0 END AS INT) AS gopher_pass
+FROM bp
+ORDER BY doc_id
+"""
+
+
+PROX_TERM_A = "spark"
+PROX_TERM_B = "stream"
+PROX_DIST = 3
+
+
+def phrase_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional proximity retrieval — rank documents where the two
+    query terms co-occur within PROX_DIST tokens (the NEAR/k operator
+    of every search engine; what a positional inverted index exists
+    for). Output: top 10 docs by proximity-pair count, then closest
+    distance, then doc_id (unique key — the LIMIT boundary can never
+    be an engine-dependent tie).
+
+    Scale shape: the position join is BANDED, never per-doc quadratic
+    — positions bucket at width PROX_DIST + 1, the B side explodes to
+    its 3 adjacent buckets (same grid trick as geo_nearest_supplier's
+    3x3 cells), so the equi-join key is (doc_id, bucket) and each A
+    posting meets only the candidates that can possibly be within
+    range; the exact |pa - pb| <= PROX_DIST filter runs on candidates
+    only. Per-posting fan-in is bounded by term frequency within one
+    bucket width, not by the document's full posting list.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    width = PROX_DIST + 1
+    a = pos.filter(F.col("tok") == PROX_TERM_A).select(
+        "doc_id",
+        F.col("pos").alias("pa"),
+        (F.col("pos") - F.col("pos") % width).alias("bucket"),
+    )
+    b = (
+        pos.filter(F.col("tok") == PROX_TERM_B)
+        .select(
+            "doc_id",
+            F.col("pos").alias("pb"),
+            F.explode(
+                F.array(
+                    F.col("pos") - F.col("pos") % width - width,
+                    F.col("pos") - F.col("pos") % width,
+                    F.col("pos") - F.col("pos") % width + width,
+                )
+            ).alias("bucket"),
+        )
+    )
+    pairs = a.join(b, ["doc_id", "bucket"]).filter(
+        F.abs(F.col("pa") - F.col("pb")) <= PROX_DIST
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_prox_pairs"),
+            F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("min_dist"),
+        )
+        .orderBy(F.desc("n_prox_pairs"), F.asc("min_dist"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+PHRASE_PROXIMITY_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), a AS (
+  SELECT doc_id, pos AS pa FROM pos WHERE tok = '{PROX_TERM_A}'
+), b AS (
+  SELECT doc_id, pos AS pb FROM pos WHERE tok = '{PROX_TERM_B}'
+), pairs AS (
+  SELECT a.doc_id, abs(pa - pb) AS dist
+  FROM a JOIN b USING (doc_id)
+  WHERE abs(pa - pb) <= {PROX_DIST}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_prox_pairs,
+       CAST(min(dist) AS BIGINT) AS min_dist
+FROM pairs GROUP BY doc_id
+ORDER BY n_prox_pairs DESC, min_dist ASC, doc_id ASC
+LIMIT 10
+"""
+
+
 QUERIES: dict = {
+    "gopher_repetition_signals": (
+        gopher_repetition_signals,
+        GOPHER_REPETITION_ORACLE,
+    ),
+    "phrase_proximity_topk": (phrase_proximity_topk, PHRASE_PROXIMITY_ORACLE),
     "keyword_search_tfidf": (keyword_search_tfidf, KEYWORD_SEARCH_ORACLE),
     "blocklist_policy_gate": (blocklist_policy_gate, BLOCKLIST_GATE_ORACLE),
     "bm25_keyword_topk": (bm25_keyword_topk, BM25_KEYWORD_ORACLE),

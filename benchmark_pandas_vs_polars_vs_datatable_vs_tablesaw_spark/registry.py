@@ -107,16 +107,20 @@ _MODULES = (
 # pytest before it can fail a driver round.
 _PRIORITY = (
     # ---- ROUND 8 WINDOW (first 50 = the driver's check set) ----
-    # (0) never-checked (rule iii): none at rotation time — round 8
-    #     additions, if any, are inserted here when they land.
+    # (0) never-checked (rule iii): the two round-8 additions — no
+    #     driver row exists, they always rotate in first.
+    "gopher_repetition_signals",     # new r8 (text.py, Gopher n-gram rules)
+    "phrase_proximity_topk",         # new r8 (text.py, banded NEAR/k)
     # (i) changed-since-row (attestation_ledger.py, round-8 run):
     #     function body edited after the commit its last driver row
     #     ran on. The ADVICE-r7 NULL-print fix touches winnowing; the
     #     micros-docstring reword touches the trailing-range window;
     #     the r8 persist size-gate touches ivfpq (row r7).
-    "dedup_winnowing_fingerprints",  # NULL-print filter (ADVICE r7), row r7
+    "dedup_winnowing_fingerprints",  # NULL-print filter (ADVICE r7) + w param, row r7
     "events_trailing_range_window",  # docstring reword (ADVICE r7), row r7
     "ivfpq_ann_topk",                # persist size-gate (VERDICT r7 #4), row r7
+    "bm25_keyword_topk",             # k1/b rational params (VERDICT r7 #5), row r7
+    "ewma_customer_orders",          # horizon param (VERDICT r7 #5), row r7
     # (ii) stalest-first, monotone (max in-window round <= min
     #     excluded round, changed entries aside): ALL 5 r1-vintage
     #     rows (the queue VERDICT r7 #3 names), then ALL 32 r2-vintage
@@ -160,18 +164,16 @@ _PRIORITY = (
     "tfidf_top_terms",
     "token_count_regex",
     "udtf_token_explode",
-    # r3 vintage fill (10 of 44, alphabetical; the remaining 34 r3
-    # rows head the round-9 queue):
+    # r3 vintage fill (6 of 44, alphabetical — the two round-8 NEW
+    # queries and the two r8 parameterization edits (bm25/ewma, rows
+    # r7, rotated into the changed section) displace 4 of the 10 r3
+    # fills; the remaining 38 r3 rows head the round-9 queue):
     "ansi_safe_arithmetic",
     "applyinpandas_zscore",
     "approx_distinct_bounds",
     "approx_quantile_bounds",
     "bpe_pair_counts",
     "bucketed_join_revenue",
-    "contamination_ngram_overlap",
-    "corr_covar_stats",
-    "cube_priority_status",
-    "data_mixture_resample",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
