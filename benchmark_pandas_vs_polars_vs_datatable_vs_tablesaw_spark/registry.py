@@ -60,11 +60,11 @@ _MODULES = (
 
 # Registration order == driver correctness-check order (the driver
 # verifies the first N registry entries per round; N has been 50).
-# Entering round 7 every one of the 270 pre-existing queries has a
-# driver row (267 hash-green, 3 rows-only by design; round 7 adds 5
-# never-checked entries, 275 total), so the window's job is no
-# longer backlog drain — it is keeping rows from silently trailing
-# code changes (VERDICT r6 "Next round" #1). ROTATION POLICY, pinned
+# Entering round 8 every one of the 275 pre-existing queries has a
+# driver row (272 hash-green, 3 rows-only by design; round 8 adds 2
+# never-checked entries, 277 total), so the window's job is keeping
+# rows from silently trailing code changes (VERDICT r6 "Next round"
+# #1) and draining the r1/r2-vintage tail (VERDICT r7 #3). ROTATION POLICY, pinned
 # by tests/test_harness.py::test_priority_window_is_ledger_justified
 # against scripts/attestation_ledger.py (which ast-diffs every query
 # function between the commit its last driver row ran against and the
@@ -72,20 +72,16 @@ _MODULES = (
 #
 #   (i)  changed-since-row first: every query whose function body
 #        changed after the round of its last driver row MUST be in
-#        the window (round 7: dedup_clusters_cc and ivfpq_ann_topk
-#        were edited in r6 after r3/r5 rows — verdict-named — plus
-#        dedup_ngram_jaccard (df-cap rework in r4, row r3) and
-#        streaming_session_certificate (r5 edit, row r4), which the
-#        ledger surfaced, plus ks_drift_test, rewritten IN round 7
-#        to a 3-pass plan — an edit made this round rotates in this
-#        round);
+#        the window (round 8: the five r8 edits — winnowing NULL-print
+#        fix + w param, trailing-range docstring, ivfpq persist gate,
+#        bm25 k1/b params, ewma horizon param — all on r7 rows, all
+#        surfaced by the ledger and rotated in the same round);
 #   (ii) then stalest-first, monotone: the window may include a
 #        round-k row only if every older row is also included (the
 #        enforced rule is max(window rounds) <= min(excluded rounds),
-#        changed-since-row entries aside). Round 7 takes 38 of the 44
-#        r1-vintage rows — five rounds of refactors since — the other
-#        five r1 rows plus the r2 filler queue for round 8 (see the
-#        displacement note at the list tail).
+#        changed-since-row entries aside). Round 8 drains the entire
+#        r1 (5) and r2 (32) tails — the VERDICT r7 #3 queue — plus
+#        6 of the 44 r3 rows.
 #
 # OUTPUT CONVENTION (registry-wide, pinned after r5's red row): every
 # registry query result must be sortable by an engine-neutral pandas
