@@ -1061,11 +1061,22 @@ CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
 
 
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
     """Sliding-window document chunking — the chunk-for-embedding /
-    retrieval-indexing step: split every document into 64-token
-    windows with stride 48 (16-token overlap), keeping (doc_id,
-    chunk_idx, start offset, chunk text, token count).
+    retrieval-indexing step: split every document into ``window``-token
+    windows with the given stride (registry default 64/48, 16-token
+    overlap), keeping (doc_id, chunk_idx, start offset, chunk text,
+    token count). window/stride are the context-budget dials every
+    RAG pipeline turns, so the property sweep
+    (tests/test_property.py) covers stride < window (overlap),
+    stride = window (tiling) and stride > window (gaps), not just
+    the registry default (the chunk-boundary arithmetic is where the
+    off-by-ones live).
 
     One Generate over a per-row transform: zero shuffle, zero UDF —
     chunk boundaries are pure arithmetic on the token array, so the
@@ -1077,13 +1088,13 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens()
     chunks = F.expr(
         f"""
-        transform(sequence(0, CAST(floor((size(split(text, ' ')) - 1) / {CHUNK_STRIDE})
+        transform(sequence(0, CAST(floor((size(split(text, ' ')) - 1) / {stride})
                                    AS INT)),
                   i -> struct(
                     i AS chunk_idx,
-                    i * {CHUNK_STRIDE} AS start_tok,
+                    i * {stride} AS start_tok,
                     concat_ws(' ', slice(split(text, ' '),
-                                         i * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS}))
+                                         i * {stride} + 1, {window}))
                       AS chunk_text))
         """
     )
@@ -1095,13 +1106,18 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.start_tok").alias("start_tok"),
             F.col("c.chunk_text").alias("chunk_text"),
             F.least(
-                F.lit(CHUNK_TOKENS), F.col("n_tokens") - F.col("c.start_tok")
+                F.lit(window), F.col("n_tokens") - F.col("c.start_tok")
             ).alias("chunk_tokens"),
         )
     )
 
 
-CHUNK_DOCUMENTS_ORACLE = f"""
+def chunk_documents_oracle(
+    window: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> str:
+    """Oracle template over the chunk window/stride dials (property
+    sweep, tests/test_property.py)."""
+    return f"""
 WITH base AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
          len(string_split(text, ' ')) AS n_tokens
@@ -1109,20 +1125,23 @@ WITH base AS (
 ),
 idx AS (
   SELECT doc_id, toks, n_tokens,
-         unnest(range(0, CAST(floor((n_tokens - 1) / {CHUNK_STRIDE}) AS BIGINT) + 1))
+         unnest(range(0, CAST(floor((n_tokens - 1) / {stride}) AS BIGINT) + 1))
            AS chunk_idx
   FROM base
 )
 SELECT doc_id,
        CAST(chunk_idx AS INT) AS chunk_idx,
-       CAST(chunk_idx * {CHUNK_STRIDE} AS INT) AS start_tok,
-       array_to_string(toks[chunk_idx * {CHUNK_STRIDE} + 1
-                            : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')
+       CAST(chunk_idx * {stride} AS INT) AS start_tok,
+       array_to_string(toks[chunk_idx * {stride} + 1
+                            : chunk_idx * {stride} + {window}], ' ')
          AS chunk_text,
-       CAST(least({CHUNK_TOKENS}, n_tokens - chunk_idx * {CHUNK_STRIDE}) AS INT)
+       CAST(least({window}, n_tokens - chunk_idx * {stride}) AS INT)
          AS chunk_tokens
 FROM idx
 """
+
+
+CHUNK_DOCUMENTS_ORACLE = chunk_documents_oracle()
 
 
 HEAVY_HITTER_SHARE = 0.033  # fixture vocab is ~31 near-uniform tokens

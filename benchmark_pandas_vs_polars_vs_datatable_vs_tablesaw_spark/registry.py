@@ -72,16 +72,17 @@ _MODULES = (
 #
 #   (i)  changed-since-row first: every query whose function body
 #        changed after the round of its last driver row MUST be in
-#        the window (round 8: the five r8 edits — winnowing NULL-print
+#        the window (round 8: the six r8 edits — winnowing NULL-print
 #        fix + w param, trailing-range docstring, ivfpq persist gate,
-#        bm25 k1/b params, ewma horizon param — all on r7 rows, all
-#        surfaced by the ledger and rotated in the same round);
+#        bm25 k1/b params, ewma horizon param, chunk window/stride
+#        params — all surfaced by the ledger, all rotated in the same
+#        round);
 #   (ii) then stalest-first, monotone: the window may include a
 #        round-k row only if every older row is also included (the
 #        enforced rule is max(window rounds) <= min(excluded rounds),
 #        changed-since-row entries aside). Round 8 drains the entire
 #        r1 (5) and r2 (32) tails — the VERDICT r7 #3 queue — plus
-#        6 of the 44 r3 rows.
+#        5 of the 44 r3 rows.
 #
 # OUTPUT CONVENTION (registry-wide, pinned after r5's red row): every
 # registry query result must be sortable by an engine-neutral pandas
@@ -109,14 +110,14 @@ _PRIORITY = (
     "phrase_proximity_topk",         # new r8 (text.py, banded NEAR/k)
     # (i) changed-since-row (attestation_ledger.py, round-8 run):
     #     function body edited after the commit its last driver row
-    #     ran on. The ADVICE-r7 NULL-print fix touches winnowing; the
-    #     micros-docstring reword touches the trailing-range window;
-    #     the r8 persist size-gate touches ivfpq (row r7).
+    #     ran on — the ADVICE-r7 fixes, the VERDICT-r7 #4 gate, and
+    #     the #5 parameterizations.
     "dedup_winnowing_fingerprints",  # NULL-print filter (ADVICE r7) + w param, row r7
     "events_trailing_range_window",  # docstring reword (ADVICE r7), row r7
     "ivfpq_ann_topk",                # persist size-gate (VERDICT r7 #4), row r7
     "bm25_keyword_topk",             # k1/b rational params (VERDICT r7 #5), row r7
     "ewma_customer_orders",          # horizon param (VERDICT r7 #5), row r7
+    "chunk_documents",               # window/stride params (r8 sweep), row r6
     # (ii) stalest-first, monotone (max in-window round <= min
     #     excluded round, changed entries aside): ALL 5 r1-vintage
     #     rows (the queue VERDICT r7 #3 names), then ALL 32 r2-vintage
@@ -160,16 +161,16 @@ _PRIORITY = (
     "tfidf_top_terms",
     "token_count_regex",
     "udtf_token_explode",
-    # r3 vintage fill (6 of 44, alphabetical — the two round-8 NEW
-    # queries and the two r8 parameterization edits (bm25/ewma, rows
-    # r7, rotated into the changed section) displace 4 of the 10 r3
-    # fills; the remaining 38 r3 rows head the round-9 queue):
+    # r3 vintage fill (5 of 44, alphabetical — the two round-8 NEW
+    # queries and the three r8 parameterization edits (bm25/ewma rows
+    # r7, chunk_documents row r6, rotated into the changed section)
+    # displace 5 of the 10 r3 fills; the remaining 39 r3 rows head
+    # the round-9 queue):
     "ansi_safe_arithmetic",
     "applyinpandas_zscore",
     "approx_distinct_bounds",
     "approx_quantile_bounds",
     "bpe_pair_counts",
-    "bucketed_join_revenue",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

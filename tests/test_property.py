@@ -268,3 +268,25 @@ def test_ewma_matches_for_any_horizon(spark, sf_dir, horizon):
     finally:
         con.close()
     assert not compare_frames(got, want)
+
+
+@SETTINGS
+@given(
+    window=st.integers(min_value=1, max_value=80),
+    stride=st.integers(min_value=1, max_value=80),
+)
+def test_chunking_matches_for_any_window_stride(spark, sf_dir, window, stride):
+    """The RAG chunking dials: overlap (stride < window), exact tiling
+    (stride = window) and gapped sampling (stride > window) must all
+    agree with DuckDB — the chunk-boundary arithmetic (floor division,
+    1-based slice, trailing-partial least()) is where the off-by-ones
+    live, and windows past every doc's length exercise the single-chunk
+    path."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        chunk_documents,
+        chunk_documents_oracle,
+    )
+
+    got = chunk_documents(spark, sf_dir, window=window, stride=stride).toPandas()
+    want = _doc_oracle(sf_dir, chunk_documents_oracle(window=window, stride=stride))
+    assert not compare_frames(got, want)
