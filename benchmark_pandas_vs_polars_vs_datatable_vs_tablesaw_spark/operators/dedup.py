@@ -650,6 +650,137 @@ WHERE common / (sz_a + sz_b - common) >= {WINNOW_JACCARD}
 DEDUP_WINNOWING_ORACLE = winnowing_oracle()
 
 
+DECON_MIN_SHARED = 2  # quarantine at >= 2 shared winnowed prints
+
+
+def decontaminate_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via winnowing fingerprints — the
+    paraphrase-robust upgrade of ``text.contamination_ngram_overlap``
+    (same bench/leak construction: benchmark = doc_id % 17 == 0,
+    exact leaks re-injected at +2M ids for every third benchmark doc,
+    TRUNCATED leaks — last word dropped — at +3M ids for every second,
+    so the detector provably fires on both). Instead of matching raw
+    3-gram shingles, both sides reduce to winnowed window-min prints
+    (WINNOW_W, the MOSS guarantee: any shared run of w+2 tokens still
+    shares a print), which cuts the broadcast set and the probe
+    stream ~2/(w+1)x while keeping contiguous-overlap recall — the
+    reason real decontamination pipelines fingerprint instead of
+    shipping every n-gram.
+
+    Output: the quarantine list only (docs with >= DECON_MIN_SHARED
+    shared prints, integer-exact), never the corpus. Scale shape: the
+    benchmark print set is tiny by construction (evals are MBs,
+    corpora are TBs) and BROADCASTS; the corpus side is one projection
+    + explode with a map-side-combinable distinct, no corpus-keyed
+    shuffle of text. Cites the reference's benchmark framing only —
+    composition is original (reference has no dedup machinery).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    trimmed = F.expr(
+        "substr(text, 1, length(text) - length(element_at(split(text, ' '), -1)) - 1)"
+    )
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    leak_exact = bench.filter(F.col("doc_id") % 51 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    leak_trunc = (
+        bench.filter((F.col("doc_id") % 34 == 0) & (F.size(toks) >= 2))
+        .select((F.col("doc_id") + 3_000_000).alias("doc_id"), trimmed.alias("text"))
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .unionByName(leak_exact)
+        .unionByName(leak_trunc)
+    )
+    w = WINNOW_W
+    prints_expr = (
+        f"CASE WHEN size(H) >= {w} THEN"
+        f" array_distinct(transform(sequence(1, size(H) - {w} + 1),"
+        f" st -> array_min(slice(H, st, {w}))))"
+        f" ELSE array(array_min(H)) END"
+    )
+
+    def prints_of(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("H", F.expr(_WINNOW_HASHES_EXPR))
+            .select("doc_id", F.explode(F.expr(prints_expr)).alias("p"))
+            .filter(F.col("p").isNotNull())
+        )
+
+    bench_prints = prints_of(bench).select("p").distinct()
+    corpus_prints = prints_of(corpus)
+    shared = (
+        corpus_prints.join(F.broadcast(bench_prints), "p", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_prints"))
+    )
+    sizes = corpus_prints.groupBy("doc_id").agg(F.count("*").alias("n_prints"))
+    return (
+        shared.join(sizes, "doc_id")
+        .filter(F.col("shared_prints") >= DECON_MIN_SHARED)
+        .select("doc_id", "shared_prints", "n_prints")
+        .orderBy("doc_id")
+    )
+
+
+DECON_WINNOWING_ORACLE = f"""
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM bench WHERE doc_id % 51 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         substr(text, 1, length(text) - length(string_split(text, ' ')[-1]) - 1)
+           AS text
+  FROM bench
+  WHERE doc_id % 34 = 0 AND len(string_split(text, ' ')) >= 2
+),
+bh AS (SELECT doc_id, {_WINNOW_HASHES_SQL} AS h FROM bench),
+ch AS (SELECT doc_id, {_WINNOW_HASHES_SQL} AS h FROM corpus),
+bw AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= {WINNOW_W} THEN
+           list_distinct(list_transform(range(1, len(h) - {WINNOW_W} + 2),
+                         st -> list_min(h[st:st + {WINNOW_W} - 1])))
+         ELSE [list_min(h)] END AS prints
+  FROM bh
+),
+cw AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= {WINNOW_W} THEN
+           list_distinct(list_transform(range(1, len(h) - {WINNOW_W} + 2),
+                         st -> list_min(h[st:st + {WINNOW_W} - 1])))
+         ELSE [list_min(h)] END AS prints
+  FROM ch
+),
+bench_prints AS (
+  SELECT DISTINCT p
+  FROM (SELECT unnest(prints) AS p FROM bw) WHERE p IS NOT NULL
+),
+corpus_prints AS (
+  SELECT * FROM (SELECT doc_id, unnest(prints) AS p FROM cw)
+  WHERE p IS NOT NULL
+),
+shared AS (
+  SELECT doc_id, count(*) AS shared_prints
+  FROM corpus_prints
+  WHERE p IN (SELECT p FROM bench_prints)
+  GROUP BY doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_prints FROM corpus_prints GROUP BY doc_id)
+SELECT doc_id,
+       CAST(shared_prints AS BIGINT) AS shared_prints,
+       CAST(n_prints AS BIGINT) AS n_prints
+FROM shared JOIN sizes USING (doc_id)
+WHERE shared_prints >= {DECON_MIN_SHARED}
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # recall certificates for the hash-dependent near-dup schemes
 # --------------------------------------------------------------------------
@@ -1624,6 +1755,7 @@ QUERIES: dict = {
         dedup_winnowing_fingerprints,
         DEDUP_WINNOWING_ORACLE,
     ),
+    "decontaminate_winnowing": (decontaminate_winnowing, DECON_WINNOWING_ORACLE),
     "dedup_clusters_cc": (dedup_clusters_cc, DEDUP_CC_ORACLE),
     "fuzzy_dedup_pipeline": (fuzzy_dedup_pipeline, FUZZY_DEDUP_PIPELINE_ORACLE),
     "dedup_clusters_star_contraction": (dedup_clusters_star_contraction, DEDUP_CC_ORACLE),

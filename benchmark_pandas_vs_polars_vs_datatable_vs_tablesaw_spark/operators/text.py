@@ -2161,7 +2161,10 @@ flatten(list_transform([2, 3, 4, 5, 6], n ->
 
 def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition rules 2-10 (the n-gram char-fraction family;
-    :func:`text_repetition_filter` covers only the unigram rule): per
+    :func:`text_repetition_filter` covers only the unigram rule and
+    training.py's ``dup_ngram_char_fraction`` only the duplicated-
+    3-gram rule against a gram-mass denominator — this is the full
+    five-rule panel against Gopher's n_chars denominator): per
     document, the fraction of characters covered by the single most
     repeated n-gram (n = 2, 3, 4) and by ALL duplicated n-grams
     (n = 5, 6, the standard overlap-agnostic approximation Dolma and

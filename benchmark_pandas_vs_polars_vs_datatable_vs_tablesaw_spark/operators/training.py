@@ -702,7 +702,135 @@ FROM groups GROUP BY l ORDER BY l
 """
 
 
+DSIR_BUCKETS = 128
+DSIR_TARGET_SOURCES = ("src0", "src1")  # the "trusted domain" stand-in
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): score every raw-corpus document by how target-domain-like
+    its hashed n-gram profile is, w(d) = Σ_g [log p_target(h(g)) −
+    log p_raw(h(g))], the standard cheap alternative to a trained
+    quality classifier for pretraining data selection.
+
+    Features are hashed word BIGRAMS into DSIR_BUCKETS fixed buckets
+    (the same engine-portable md5 hashing trick as
+    ``linear_quality_classifier``); target = documents from
+    DSIR_TARGET_SOURCES, raw = the whole corpus; add-one smoothing on
+    both distributions.
+
+    Exactness: the per-bucket log-ratio is computed ONCE on the
+    128-row bucket table and immediately quantized to integer
+    MICRO-nats — round(ln((t_b+1)/(N_t+B) · (N_r+B)/(r_b+1)) · 1e6)
+    — so the per-doc score is Σ count_{d,b} × L_micro(b), pure int64
+    arithmetic whose reduction order cannot change a single bit
+    cross-engine (the float ln touches only deterministic integer
+    inputs, never data-order-dependent partial sums).
+
+    Scale shape: ONE data-sized shuffle (the (doc, bucket) count,
+    partial-aggregated map-side to ≤128 rows per doc); the target and
+    raw bucket histograms are 128-row aggregates that BROADCAST back;
+    no vocabulary state anywhere — the sketch width is constant at
+    any corpus size, which is DSIR's entire point at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bigram_bucket = F.expr(_hex4_bucket("concat(w1, ' ', w2)", DSIR_BUCKETS))
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(_tokens()).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    feats = (
+        tok.withColumn("w2", F.lead("w1", 1).over(w))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", "source", bigram_bucket.alias("b"))
+    )
+    doc_bucket = feats.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    tgt = feats.where(F.col("source").isin(*DSIR_TARGET_SOURCES))
+    tgt_hist = tgt.groupBy("b").agg(F.count("*").alias("t_c"))
+    raw_hist = feats.groupBy("b").agg(F.count("*").alias("r_c"))
+    # corpus totals as broadcast 1-row aggregates (the bm25 `tot`
+    # idiom) — no driver-side count() action, no extra scan jobs
+    tgt_tot = tgt_hist.agg(F.coalesce(F.sum("t_c"), F.lit(0)).alias("tgt_n"))
+    raw_tot = raw_hist.agg(F.coalesce(F.sum("r_c"), F.lit(0)).alias("raw_n"))
+    buckets = spark.range(DSIR_BUCKETS).select(F.col("id").cast("int").alias("b"))
+    lmicro = (
+        buckets.join(F.broadcast(tgt_hist), "b", "left")
+        .join(F.broadcast(raw_hist), "b", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select(
+            "b",
+            # every operand CAST to DOUBLE explicitly: Spark parses a
+            # bare 1.0 literal as DECIMAL and would route the ratio
+            # through scale-limited decimal division (~1e-7 error —
+            # enough to flip micro-nat rounding vs DuckDB's doubles)
+            F.expr(
+                f"CAST(round(ln("
+                f"CAST(coalesce(t_c, 0) + 1 AS DOUBLE)"
+                f" / CAST(tgt_n + {DSIR_BUCKETS} AS DOUBLE)"
+                f" * CAST(raw_n + {DSIR_BUCKETS} AS DOUBLE)"
+                f" / CAST(coalesce(r_c, 0) + 1 AS DOUBLE)) * 1e6)"
+                f" AS BIGINT)"
+            ).alias("l_micro"),
+        )
+    )
+    return (
+        doc_bucket.join(F.broadcast(lmicro), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("l_micro")).cast("long").alias("dsir_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_BUCKET_SQL = _hex4_bucket("w1 || ' ' || w2", DSIR_BUCKETS)
+
+DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' ')) AS w1,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), feats AS (
+  SELECT doc_id, source, {_DSIR_BUCKET_SQL} AS b
+  FROM (
+    SELECT doc_id, source, w1,
+           lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+  ) WHERE w2 IS NOT NULL
+), tgt AS (
+  SELECT * FROM feats WHERE source IN {DSIR_TARGET_SOURCES!r}
+), tn AS (SELECT count(*) AS tgt_n FROM tgt),
+rn AS (SELECT count(*) AS raw_n FROM feats),
+lm AS (
+  SELECT g.b,
+         CAST(round(ln(CAST(coalesce(t.t_c, 0) + 1 AS DOUBLE)
+                       / CAST(tn.tgt_n + {DSIR_BUCKETS} AS DOUBLE)
+                       * CAST(rn.raw_n + {DSIR_BUCKETS} AS DOUBLE)
+                       / CAST(coalesce(r.r_c, 0) + 1 AS DOUBLE))
+                    * 1e6) AS BIGINT) AS l_micro
+  FROM range({DSIR_BUCKETS}) g(b)
+  LEFT JOIN (SELECT b, count(*) AS t_c FROM tgt GROUP BY b) t ON t.b = g.b
+  LEFT JOIN (SELECT b, count(*) AS r_c FROM feats GROUP BY b) r ON r.b = g.b
+  CROSS JOIN tn CROSS JOIN rn
+), doc_bucket AS (
+  SELECT doc_id, b, count(*) AS c FROM feats GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(sum(c * l_micro) AS BIGINT) AS dsir_micro
+FROM doc_bucket JOIN lm USING (b)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
+    "dsir_importance_weights": (dsir_importance_weights, DSIR_ORACLE),
     "dataset_mixture_plan": (dataset_mixture_plan, MIXTURE_PLAN_ORACLE),
     "ks_drift_test": (ks_drift_test, KS_DRIFT_ORACLE),
     "vocab_oov_rate": (vocab_oov_rate, VOCAB_OOV_ORACLE),

@@ -61,8 +61,8 @@ _MODULES = (
 # Registration order == driver correctness-check order (the driver
 # verifies the first N registry entries per round; N has been 50).
 # Entering round 8 every one of the 275 pre-existing queries has a
-# driver row (272 hash-green, 3 rows-only by design; round 8 adds 2
-# never-checked entries, 277 total), so the window's job is keeping
+# driver row (272 hash-green, 3 rows-only by design; round 8 adds 4
+# never-checked entries, 279 total), so the window's job is keeping
 # rows from silently trailing code changes (VERDICT r6 "Next round"
 # #1) and draining the r1/r2-vintage tail (VERDICT r7 #3). ROTATION POLICY, pinned
 # by tests/test_harness.py::test_priority_window_is_ledger_justified
@@ -104,10 +104,12 @@ _MODULES = (
 # pytest before it can fail a driver round.
 _PRIORITY = (
     # ---- ROUND 8 WINDOW (first 50 = the driver's check set) ----
-    # (0) never-checked (rule iii): the two round-8 additions — no
+    # (0) never-checked (rule iii): the four round-8 additions — no
     #     driver row exists, they always rotate in first.
     "gopher_repetition_signals",     # new r8 (text.py, Gopher n-gram rules)
     "phrase_proximity_topk",         # new r8 (text.py, banded NEAR/k)
+    "dsir_importance_weights",       # new r8 (training.py, DSIR micro-nats)
+    "decontaminate_winnowing",       # new r8 (dedup.py, print-based decontam)
     # (i) changed-since-row (attestation_ledger.py, round-8 run):
     #     function body edited after the commit its last driver row
     #     ran on — the ADVICE-r7 fixes, the VERDICT-r7 #4 gate, and
@@ -161,16 +163,14 @@ _PRIORITY = (
     "tfidf_top_terms",
     "token_count_regex",
     "udtf_token_explode",
-    # r3 vintage fill (5 of 44, alphabetical — the two round-8 NEW
+    # r3 vintage fill (3 of 44, alphabetical — the four round-8 NEW
     # queries and the three r8 parameterization edits (bm25/ewma rows
     # r7, chunk_documents row r6, rotated into the changed section)
-    # displace 5 of the 10 r3 fills; the remaining 39 r3 rows head
+    # displace 7 of the 10 r3 fills; the remaining 41 r3 rows head
     # the round-9 queue):
     "ansi_safe_arithmetic",
     "applyinpandas_zscore",
     "approx_distinct_bounds",
-    "approx_quantile_bounds",
-    "bpe_pair_counts",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
