@@ -706,7 +706,9 @@ DSIR_BUCKETS = 128
 DSIR_TARGET_SOURCES = ("src0", "src1")  # the "trusted domain" stand-in
 
 
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_importance_weights(
+    spark: SparkSession, sf_dir: str, buckets: int = DSIR_BUCKETS
+) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al.
     2023): score every raw-corpus document by how target-domain-like
     its hashed n-gram profile is, w(d) = Σ_g [log p_target(h(g)) −
@@ -734,7 +736,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size, which is DSIR's entire point at 100 TB.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bigram_bucket = F.expr(_hex4_bucket("concat(w1, ' ', w2)", DSIR_BUCKETS))
+    bigram_bucket = F.expr(_hex4_bucket("concat(w1, ' ', w2)", buckets))
     tok = docs.select(
         "doc_id",
         "source",
@@ -754,9 +756,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idiom) — no driver-side count() action, no extra scan jobs
     tgt_tot = tgt_hist.agg(F.coalesce(F.sum("t_c"), F.lit(0)).alias("tgt_n"))
     raw_tot = raw_hist.agg(F.coalesce(F.sum("r_c"), F.lit(0)).alias("raw_n"))
-    buckets = spark.range(DSIR_BUCKETS).select(F.col("id").cast("int").alias("b"))
+    bucket_ids = spark.range(buckets).select(F.col("id").cast("int").alias("b"))
     lmicro = (
-        buckets.join(F.broadcast(tgt_hist), "b", "left")
+        bucket_ids.join(F.broadcast(tgt_hist), "b", "left")
         .join(F.broadcast(raw_hist), "b", "left")
         .crossJoin(F.broadcast(tgt_tot))
         .crossJoin(F.broadcast(raw_tot))
@@ -769,8 +771,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"CAST(round(ln("
                 f"CAST(coalesce(t_c, 0) + 1 AS DOUBLE)"
-                f" / CAST(tgt_n + {DSIR_BUCKETS} AS DOUBLE)"
-                f" * CAST(raw_n + {DSIR_BUCKETS} AS DOUBLE)"
+                f" / CAST(tgt_n + {buckets} AS DOUBLE)"
+                f" * CAST(raw_n + {buckets} AS DOUBLE)"
                 f" / CAST(coalesce(r_c, 0) + 1 AS DOUBLE)) * 1e6)"
                 f" AS BIGINT)"
             ).alias("l_micro"),
@@ -787,16 +789,20 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DSIR_BUCKET_SQL = _hex4_bucket("w1 || ' ' || w2", DSIR_BUCKETS)
-
-DSIR_ORACLE = f"""
+def dsir_oracle(buckets: int = DSIR_BUCKETS) -> str:
+    """Oracle template over the DSIR sketch width (hashed-feature
+    bucket count) — the memory/selectivity dial; the property sweep
+    (tests/test_property.py) holds for every width, including tiny
+    sketches where collisions dominate."""
+    bucket_sql = _hex4_bucket("w1 || ' ' || w2", buckets)
+    return f"""
 WITH tok AS (
   SELECT doc_id, source,
          unnest(string_split(text, ' ')) AS w1,
          generate_subscripts(string_split(text, ' '), 1) AS pos
   FROM documents
 ), feats AS (
-  SELECT doc_id, source, {_DSIR_BUCKET_SQL} AS b
+  SELECT doc_id, source, {bucket_sql} AS b
   FROM (
     SELECT doc_id, source, w1,
            lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
@@ -809,11 +815,11 @@ rn AS (SELECT count(*) AS raw_n FROM feats),
 lm AS (
   SELECT g.b,
          CAST(round(ln(CAST(coalesce(t.t_c, 0) + 1 AS DOUBLE)
-                       / CAST(tn.tgt_n + {DSIR_BUCKETS} AS DOUBLE)
-                       * CAST(rn.raw_n + {DSIR_BUCKETS} AS DOUBLE)
+                       / CAST(tn.tgt_n + {buckets} AS DOUBLE)
+                       * CAST(rn.raw_n + {buckets} AS DOUBLE)
                        / CAST(coalesce(r.r_c, 0) + 1 AS DOUBLE))
                     * 1e6) AS BIGINT) AS l_micro
-  FROM range({DSIR_BUCKETS}) g(b)
+  FROM range({buckets}) g(b)
   LEFT JOIN (SELECT b, count(*) AS t_c FROM tgt GROUP BY b) t ON t.b = g.b
   LEFT JOIN (SELECT b, count(*) AS r_c FROM feats GROUP BY b) r ON r.b = g.b
   CROSS JOIN tn CROSS JOIN rn
@@ -827,6 +833,9 @@ FROM doc_bucket JOIN lm USING (b)
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+DSIR_ORACLE = dsir_oracle()
 
 
 QUERIES: dict = {

@@ -290,3 +290,20 @@ def test_chunking_matches_for_any_window_stride(spark, sf_dir, window, stride):
     got = chunk_documents(spark, sf_dir, window=window, stride=stride).toPandas()
     want = _doc_oracle(sf_dir, chunk_documents_oracle(window=window, stride=stride))
     assert not compare_frames(got, want)
+
+
+@SETTINGS
+@given(buckets=st.sampled_from([4, 16, 64, 128, 256, 1024]))
+def test_dsir_matches_for_any_sketch_width(spark, sf_dir, buckets):
+    """The DSIR hashed-feature bucket count is the memory/selectivity
+    dial (collisions blur the target/raw contrast as the sketch
+    shrinks); the integer micro-nat scores must stay engine-exact at
+    every width, including collision-dominated tiny sketches."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.training import (
+        dsir_importance_weights,
+        dsir_oracle,
+    )
+
+    got = dsir_importance_weights(spark, sf_dir, buckets=buckets).toPandas()
+    want = _doc_oracle(sf_dir, dsir_oracle(buckets))
+    assert not compare_frames(got, want)
