@@ -96,6 +96,13 @@ BENCH_QUERIES = [
     "dedup_winnowing_fingerprints",  # MOSS window-min print dedup
     "dedup_sentence_clean",     # CCNet line-dedup reconstruct
     "mapinarrow_matrix_stats",  # C1 Arrow-exchange to_np partials (also epoch control)
+    # round-8 additions (no rebaseline entry until its next calm-window
+    # regeneration; the re-measure trigger and drift annotations skip
+    # unknown names)
+    "gopher_repetition_signals",  # Gopher n-gram repetition panel
+    "phrase_proximity_topk",    # banded NEAR/k positional retrieval
+    "dsir_importance_weights",  # DSIR hashed-bigram micro-nat scores
+    "decontaminate_winnowing",  # winnowing-print benchmark decontam
 ]
 
 # Host-epoch calibration (VERDICT r7 #1). Three rounds running, the
