@@ -180,6 +180,29 @@ def test_bench_epoch_factor_and_drift_annotations():
     assert bench.epoch_factor({"start": {}}, baseline) == 1.0
 
 
+def test_bench_epoch_controls_are_benchable():
+    # The calibration contract: both controls must exist in the
+    # registry AND in the bench suite (their per-run timings double as
+    # suite rows), and the drift margin must stay a sane multiplier —
+    # a rename or suite edit that breaks this kills the epoch factor
+    # silently otherwise.
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark import registry
+
+    names = set(registry.REGISTRY)
+    for control in bench.EPOCH_CONTROLS:
+        assert control in names, f"epoch control {control} not in registry"
+        assert control in bench.BENCH_QUERIES, f"epoch control {control} not benched"
+    assert 1.0 < bench.EPOCH_MARGIN < 2.0
+    assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES)), "duplicate bench query"
+    unknown = [q for q in bench.BENCH_QUERIES if q not in names]
+    assert not unknown, f"bench suite names unknown queries: {unknown}"
+
+
 def test_executor_peaks_report_real_usage(spark):
     peaks = memory.executor_peaks_mb(spark)
     assert peaks, "local mode must report at least the driver block manager"
