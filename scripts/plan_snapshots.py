@@ -37,7 +37,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 # drift), plus ks_drift_test (kept from the round-7 top-5 — its
 # 16→4-scan rewrite is exactly the kind of deliberate plan change
 # this snapshot exists to pin). ~60% of the suite total.
+# Round 9 (VERDICT r8 #5): the four r8 queries >= 0.5s in BENCH_r08 —
+# decontaminate_winnowing 4.78s, gopher_repetition_signals 3.51s,
+# dsir_importance_weights 2.42s, mapinarrow_matrix_stats 0.72s (now
+# also an epoch control, so its plan shape is calibration-load-bearing)
+# — plus the round-9 addition dedup_substring_exact.
 SNAPSHOT_QUERIES = [
+    "decontaminate_winnowing",
+    "gopher_repetition_signals",
+    "dsir_importance_weights",
+    "mapinarrow_matrix_stats",
+    "dedup_substring_exact",
     "ivfpq_ann_topk",
     "geo_nearest_supplier",
     "triangle_count_copurchase",
