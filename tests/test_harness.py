@@ -201,6 +201,26 @@ def test_bench_epoch_controls_are_benchable():
     assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES)), "duplicate bench query"
     unknown = [q for q in bench.BENCH_QUERIES if q not in names]
     assert not unknown, f"bench suite names unknown queries: {unknown}"
+    # ADVICE r8: a control missing from the committed rebaseline
+    # contributes zero epoch-factor ratios — exactly the gap that let
+    # the one-legged r8 calibration ship silently. Until the next
+    # calm-window regeneration covers every control, the loud-flag
+    # machinery (bench.main's controls_missing_rebaseline warning +
+    # detail field) must name each gap; once the regeneration lands
+    # this assertion requires presence outright.
+    rebaseline = bench._load_rebaseline()
+    missing = [c for c in bench.EPOCH_CONTROLS if not rebaseline.get(c)]
+    for control in bench.EPOCH_CONTROLS:
+        value = rebaseline.get(control)
+        assert (isinstance(value, (int, float)) and value > 0) or control in missing
+    if missing:
+        # the flag must actually reach the committed artifact source:
+        # bench.py computes it from the same _load_rebaseline() — pin
+        # that the computation can't be skipped by a rename
+        import inspect
+
+        src = inspect.getsource(bench.main)
+        assert "controls_missing_rebaseline" in src
 
 
 def test_executor_peaks_report_real_usage(spark):
