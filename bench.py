@@ -106,8 +106,9 @@ BENCH_QUERIES = [
     "phrase_proximity_topk",    # banded NEAR/k positional retrieval
     "dsir_importance_weights",  # DSIR hashed-bigram micro-nat scores
     "decontaminate_winnowing",  # winnowing-print benchmark decontam
-    # round-9 addition
+    # round-9 additions
     "dedup_substring_exact",    # Lee et al. ExactSubstr span dedup
+    "gopher_quality_signals",   # Gopher quality panel (zero-shuffle gate)
 ]
 
 # Host-epoch calibration (VERDICT r7 #1). Three rounds running, the

@@ -2286,6 +2286,156 @@ ORDER BY doc_id
 """
 
 
+# Gopher quality-filter panel (Rae et al. 2021, Table A1 — the
+# non-repetition half; gopher_repetition_signals covers rules 2-10).
+# Published cutoffs, exact-integer form: word count in [50, 100000],
+# mean word length in [3, 10] chars (basis points 30000..100000),
+# symbol-to-word ratio (# or ...) <= 0.1, >= 80% of words with an
+# alphabetic char, >= 2 distinct stopwords present (Gopher's 8-word
+# list). Line-level rules (bullet/ellipsis line starts) are omitted:
+# the fixture corpus is single-line word soup, so they would be
+# vacuously true — noted rather than faked.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_LO_BP = 30_000
+GOPHER_MEAN_LEN_HI_BP = 100_000
+GOPHER_ALPHA_MIN_BP = 8_000
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_signals(
+    spark: SparkSession,
+    sf_dir: str,
+    min_words: int = GOPHER_MIN_WORDS,
+    min_stopwords: int = GOPHER_MIN_STOPWORDS,
+) -> DataFrame:
+    """Gopher quality-filter panel — the document-statistics rules
+    every production pretraining pipeline applies before any
+    model-based scoring (Rae et al. 2021; Dolma and RedPajama reuse
+    the same panel). Complements :func:`gopher_repetition_signals`
+    (rules 2-10) so the full published Gopher gate is available as
+    one pass-flag join.
+
+    Exactness: every signal is exact int64 — mean word length and
+    alpha-word fraction in basis points via (x * 10000) div n, the
+    symbol-ratio rule cross-multiplied (symbol_hits * 10 <= n_words),
+    stopword presence as a count of DISTINCT list hits — so no float
+    rounding can disagree between engines.
+
+    Fixture artifact (the lang_id_heuristic precedent): the synthetic
+    vocab contains only "the" from Gopher's 8-word stop list, so at
+    the published min_stopwords=2 every fixture doc fails that one
+    rule — the dial is therefore sweepable (with min_words) and the
+    engines must agree at every setting, including the degenerate
+    ones; on a real corpus the published defaults apply unchanged.
+
+    Scale shape: ZERO shuffle — one scan, all signals are per-row
+    array arithmetic over the token split; the output is a projection.
+    At 100 TB this is the cheapest possible gate (embarrassingly
+    parallel, whole-stage codegen), which is exactly why these rules
+    run FIRST in real pipelines, ahead of anything that shuffles.
+    Cites the reference's benchmark framing only (NB-main has no
+    quality machinery); rules are from the public Gopher paper.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_words = F.size(toks).cast("long")
+    mean_len_bp = F.expr(
+        "aggregate(split(text, ' '), 0L, (a, t) -> a + length(t))"
+        " * 10000 div size(split(text, ' '))"
+    )
+    alpha_bp = F.expr(
+        "size(filter(split(text, ' '), t -> t rlike '[A-Za-z]'))"
+        " * 10000 div size(split(text, ' '))"
+    )
+    hash_hits = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    ellipsis_hits = F.expr(
+        "(length(text) - length(replace(text, '...', ''))) div 3"
+    )
+    symbol_hits = (hash_hits + ellipsis_hits).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    ).cast("long")
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len_bp.cast("long").alias("mean_word_len_bp"),
+        alpha_bp.cast("long").alias("alpha_word_bp"),
+        symbol_hits.alias("symbol_hits"),
+        stop_hits.alias("stop_hits"),
+    )
+    passes = out.select(
+        "*",
+        ((F.col("n_words") >= int(min_words)) & (F.col("n_words") <= GOPHER_MAX_WORDS))
+        .cast("int")
+        .alias("pass_word_count"),
+        (
+            (F.col("mean_word_len_bp") >= GOPHER_MEAN_LEN_LO_BP)
+            & (F.col("mean_word_len_bp") <= GOPHER_MEAN_LEN_HI_BP)
+        )
+        .cast("int")
+        .alias("pass_mean_len"),
+        (F.col("symbol_hits") * 10 <= F.col("n_words")).cast("int").alias("pass_symbol"),
+        (F.col("alpha_word_bp") >= GOPHER_ALPHA_MIN_BP).cast("int").alias("pass_alpha"),
+        (F.col("stop_hits") >= int(min_stopwords)).cast("int").alias("pass_stopwords"),
+    )
+    return passes.withColumn(
+        "pass_all",
+        (
+            F.col("pass_word_count")
+            * F.col("pass_mean_len")
+            * F.col("pass_symbol")
+            * F.col("pass_alpha")
+            * F.col("pass_stopwords")
+        ).cast("int"),
+    ).orderBy("doc_id")
+
+
+def gopher_quality_oracle(
+    min_words: int = GOPHER_MIN_WORDS,
+    min_stopwords: int = GOPHER_MIN_STOPWORDS,
+) -> str:
+    """Oracle template over the word-count and stopword dials."""
+    return f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+              * 10000 // len(string_split(text, ' ')) AS BIGINT) AS mean_word_len_bp,
+         CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[A-Za-z]')))
+              * 10000 // len(string_split(text, ' ')) AS BIGINT) AS alpha_word_bp,
+         CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS symbol_hits,
+         CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                 {list(GOPHER_STOPWORDS)})) AS BIGINT) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_words, mean_word_len_bp, alpha_word_bp, symbol_hits, stop_hits,
+       CAST(CASE WHEN n_words >= {int(min_words)} AND n_words <= {GOPHER_MAX_WORDS}
+                 THEN 1 ELSE 0 END AS INT) AS pass_word_count,
+       CAST(CASE WHEN mean_word_len_bp >= {GOPHER_MEAN_LEN_LO_BP}
+                  AND mean_word_len_bp <= {GOPHER_MEAN_LEN_HI_BP}
+                 THEN 1 ELSE 0 END AS INT) AS pass_mean_len,
+       CAST(CASE WHEN symbol_hits * 10 <= n_words THEN 1 ELSE 0 END AS INT) AS pass_symbol,
+       CAST(CASE WHEN alpha_word_bp >= {GOPHER_ALPHA_MIN_BP} THEN 1 ELSE 0 END AS INT) AS pass_alpha,
+       CAST(CASE WHEN stop_hits >= {int(min_stopwords)} THEN 1 ELSE 0 END AS INT) AS pass_stopwords,
+       CAST(CASE WHEN n_words >= {int(min_words)} AND n_words <= {GOPHER_MAX_WORDS}
+                  AND mean_word_len_bp >= {GOPHER_MEAN_LEN_LO_BP}
+                  AND mean_word_len_bp <= {GOPHER_MEAN_LEN_HI_BP}
+                  AND symbol_hits * 10 <= n_words
+                  AND alpha_word_bp >= {GOPHER_ALPHA_MIN_BP}
+                  AND stop_hits >= {int(min_stopwords)}
+                 THEN 1 ELSE 0 END AS INT) AS pass_all
+FROM sig
+ORDER BY doc_id
+"""
+
+
+GOPHER_QUALITY_ORACLE = gopher_quality_oracle()
+
+
 PROX_TERM_A = "spark"
 PROX_TERM_B = "stream"
 PROX_DIST = 3
@@ -2372,6 +2522,7 @@ QUERIES: dict = {
         gopher_repetition_signals,
         GOPHER_REPETITION_ORACLE,
     ),
+    "gopher_quality_signals": (gopher_quality_signals, GOPHER_QUALITY_ORACLE),
     "phrase_proximity_topk": (phrase_proximity_topk, PHRASE_PROXIMITY_ORACLE),
     "keyword_search_tfidf": (keyword_search_tfidf, KEYWORD_SEARCH_ORACLE),
     "blocklist_policy_gate": (blocklist_policy_gate, BLOCKLIST_GATE_ORACLE),

@@ -104,9 +104,10 @@ _MODULES = (
 # pytest before it can fail a driver round.
 _PRIORITY = (
     # ---- ROUND 9 WINDOW (first 50 = the driver's check set) ----
-    # (iii) never-checked: the round-9 addition — no driver row
-    #       exists, it rotates in first.
+    # (iii) never-checked: the round-9 additions — no driver row
+    #       exists, they rotate in first.
     "dedup_substring_exact",         # new r9 (dedup.py, Lee et al. ExactSubstr)
+    "gopher_quality_signals",        # new r9 (text.py, Gopher quality panel)
     # (i) changed-since-row (attestation_ledger.py, round-9 run):
     #     the VERDICT-r8 #6 dial parameterizations — function bodies
     #     edited after their (r8) driver rows, so they re-attest in
@@ -161,12 +162,11 @@ _PRIORITY = (
     "unpivot_lineitem_measures",
     "window_distribution_funcs",
     "window_lag_lead",
-    # r4 vintage fill (5):
+    # r4 vintage fill (4 — the second r9 addition displaces the 5th):
     "ab_test_welch",
     "ann_lsh_topk",
     "asof_join_purchase_view",
     "bigram_lm_score",
-    "bitmap_distinct_users",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

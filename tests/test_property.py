@@ -389,3 +389,31 @@ def test_ivfpq_matches_for_any_probe_count(spark, sf_dir, n_probe):
     got = ivfpq_ann_topk(spark, sf_dir, n_probe=n_probe).toPandas()
     want = _emb_oracle(sf_dir, ivfpq_ann_oracle(n_probe))
     assert not compare_frames(got, want)
+
+
+@SETTINGS
+@given(
+    min_words=st.integers(min_value=0, max_value=120),
+    min_stopwords=st.integers(min_value=0, max_value=4),
+)
+def test_gopher_quality_matches_for_any_thresholds(
+    spark, sf_dir, min_words, min_stopwords
+):
+    """The Gopher quality panel's word-count floor and stopword
+    minimum are the two dials real pipelines retune per corpus; the
+    exact-integer pass flags must agree with DuckDB across the range,
+    including min_words past every fixture doc (all-fail) and
+    min_stopwords=0 (all-pass) — the boundaries where CASE/boolean
+    coercion off-by-ones would hide."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        gopher_quality_oracle,
+        gopher_quality_signals,
+    )
+
+    got = gopher_quality_signals(
+        spark, sf_dir, min_words=min_words, min_stopwords=min_stopwords
+    ).toPandas()
+    want = _doc_oracle(
+        sf_dir, gopher_quality_oracle(min_words=min_words, min_stopwords=min_stopwords)
+    )
+    assert not compare_frames(got, want)
