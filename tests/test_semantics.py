@@ -789,3 +789,82 @@ def test_sentence_dedup_clean_drops_exactly_the_corpus_dup_chunks(spark, sf_dir)
             for i in range(len(got) // SENT_K)
         ]
         assert got_chunks == expected_kept, doc_id
+
+
+def test_substring_spans_are_maximal_and_cover_injected_prefixes(spark, sf_dir):
+    """ExactSubstr invariants beyond the oracle: (1) spans within a
+    doc are MAXIMAL — sorted by start, the next span begins more than
+    MATCH_LEN past the previous start (else the island merge should
+    have fused them) and never overlaps the previous coverage;
+    (2) every span covers >= MATCH_LEN tokens; (3) every injected
+    trimmed-twin (doc_id < 25 gains a copy at +1,000,000 sharing its
+    whole len-1 prefix) yields a span on BOTH sides reaching back to
+    token 1."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.dedup import (
+        MATCH_LEN,
+        dedup_substring_exact,
+    )
+
+    rows = dedup_substring_exact(spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        assert r.span_tokens >= MATCH_LEN
+        assert r.span_tokens == r.span_end - r.span_start + 1
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1, "touching/overlapping spans must have merged"
+    # injected twins: original and +1M copy share the full trimmed
+    # prefix; both must carry a span starting at token 1 when the
+    # prefix is long enough to hold a MATCH_LEN window
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = {
+        r.doc_id
+        for r in docs.filter(
+            (F.col("doc_id") < 25)
+            & (F.size(F.split("text", " ")) >= MATCH_LEN + 1)
+        ).collect()
+    }
+    for base_id in eligible:
+        for side in (base_id, base_id + 1_000_000):
+            spans = by_doc.get(side, [])
+            assert any(s == 1 for s, _ in spans), (
+                f"doc {side}: injected shared prefix must produce a span "
+                f"from token 1, got {spans}"
+            )
+
+
+def test_gopher_quality_rules_are_internally_consistent(spark, sf_dir):
+    """The panel's pass flags must equal their rule predicates applied
+    to the panel's own signal columns (catches a drifted cutoff
+    constant), and pass_all must be the conjunction."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        GOPHER_ALPHA_MIN_BP,
+        GOPHER_MAX_WORDS,
+        GOPHER_MEAN_LEN_HI_BP,
+        GOPHER_MEAN_LEN_LO_BP,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        gopher_quality_signals,
+    )
+
+    rows = gopher_quality_signals(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.pass_word_count == int(
+            GOPHER_MIN_WORDS <= r.n_words <= GOPHER_MAX_WORDS
+        )
+        assert r.pass_mean_len == int(
+            GOPHER_MEAN_LEN_LO_BP <= r.mean_word_len_bp <= GOPHER_MEAN_LEN_HI_BP
+        )
+        assert r.pass_symbol == int(r.symbol_hits * 10 <= r.n_words)
+        assert r.pass_alpha == int(r.alpha_word_bp >= GOPHER_ALPHA_MIN_BP)
+        assert r.pass_stopwords == int(r.stop_hits >= GOPHER_MIN_STOPWORDS)
+        assert r.pass_all == (
+            r.pass_word_count
+            * r.pass_mean_len
+            * r.pass_symbol
+            * r.pass_alpha
+            * r.pass_stopwords
+        )
