@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     # round-9 additions
     "dedup_substring_exact",    # Lee et al. ExactSubstr span dedup
     "gopher_quality_signals",   # Gopher quality panel (zero-shuffle gate)
+    "ccnet_perplexity_buckets", # CCNet head/middle/tail LM terciles
 ]
 
 # Host-epoch calibration (VERDICT r7 #1). Three rounds running, the

@@ -1609,6 +1609,116 @@ ORDER BY b.doc_id
 """
 
 
+CCNET_BUCKETS = 3  # CCNet's head / middle / tail terciles
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus-trained LM, then split each language's
+    documents into HEAD / MIDDLE / TAIL terciles by score — the
+    mixture dial CCNet, RedPajama and every CommonCrawl derivative
+    use to keep the fluent third and down-weight the rest. Language
+    maps to the fixture's ``source`` column; perplexity is the
+    module's integer bigram LM (:func:`bigram_lm_score` machinery),
+    kept in exact int64 MILLI-BITS per token — (sum_bits * 1000) div
+    n_bigrams — so the tercile boundary can never move on a float
+    rounding disagreement, and the ntile ordering carries an explicit
+    doc_id tiebreak so equal scores bucket identically on both
+    engines.
+
+    Output: (doc_id, source, score_mbits, bucket 1..3, bucket_label).
+    Scale shape: the LM scoring plan is bigram_lm_score's (count
+    tables map-side combinable, count join broadcastable); bucketing
+    adds ONE window over (source) — at 100 TB, per-language ntile is
+    a per-partition sort after a source-keyed exchange of (doc_id,
+    int64) pairs, never of text. Docs with < 2 tokens have no bigrams
+    and are excluded, as in CCNet (unscorable lines drop to a side
+    channel).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "w1"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = tok.withColumn("w2", F.lead("w1").over(w)).where(F.col("w2").isNotNull())
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = tok.agg(F.count_distinct("w1").alias("v"))
+    scored = (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "bits",
+            (F.length(F.expr("bin(c1 + v)")) - 1)
+            - (F.length(F.expr("bin(c2 + 1)")) - 1),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bits").alias("sum_bits"),
+            F.count("*").alias("n_bigrams"),
+        )
+        .withColumn(
+            "score_mbits", F.expr("sum_bits * 1000 div n_bigrams").cast("long")
+        )
+    )
+    wsrc = Window.partitionBy("source").orderBy(
+        F.col("score_mbits").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("bucket", F.ntile(CCNET_BUCKETS).over(wsrc))
+        .withColumn(
+            "bucket_label",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("bucket"),
+            ),
+        )
+        .select("doc_id", "source", "score_mbits", "bucket", "bucket_label")
+        .orderBy("doc_id")
+    )
+
+
+CCNET_BUCKETS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, t.pos, t.w1
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS w1,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos) t
+), bi AS (
+  SELECT doc_id, w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+), bi2 AS (
+  SELECT * FROM bi WHERE w2 IS NOT NULL
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bi2 GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bi2 GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w1) AS v FROM tok
+), scored AS (
+  SELECT b.doc_id,
+         sum((length(bin(c1.c1 + v.v)) - 1) - (length(bin(c2.c2 + 1)) - 1))
+           AS sum_bits,
+         count(*) AS n_bigrams
+  FROM bi2 b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY b.doc_id
+), mb AS (
+  SELECT doc_id, CAST(sum_bits * 1000 // n_bigrams AS BIGINT) AS score_mbits
+  FROM scored
+)
+SELECT m.doc_id, d.source, m.score_mbits,
+       CAST(ntile({CCNET_BUCKETS}) OVER (
+         PARTITION BY d.source ORDER BY m.score_mbits ASC, m.doc_id ASC
+       ) AS INT) AS bucket,
+       (['head', 'middle', 'tail'])[
+         ntile({CCNET_BUCKETS}) OVER (
+           PARTITION BY d.source ORDER BY m.score_mbits ASC, m.doc_id ASC)
+       ] AS bucket_label
+FROM mb m JOIN documents d ON m.doc_id = d.doc_id
+ORDER BY m.doc_id
+"""
+
+
 def inverted_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: per token, document frequency and
     the first 10 postings — the retrieval-side artifact a search/RAG
@@ -2523,6 +2633,7 @@ QUERIES: dict = {
         GOPHER_REPETITION_ORACLE,
     ),
     "gopher_quality_signals": (gopher_quality_signals, GOPHER_QUALITY_ORACLE),
+    "ccnet_perplexity_buckets": (ccnet_perplexity_buckets, CCNET_BUCKETS_ORACLE),
     "phrase_proximity_topk": (phrase_proximity_topk, PHRASE_PROXIMITY_ORACLE),
     "keyword_search_tfidf": (keyword_search_tfidf, KEYWORD_SEARCH_ORACLE),
     "blocklist_policy_gate": (blocklist_policy_gate, BLOCKLIST_GATE_ORACLE),

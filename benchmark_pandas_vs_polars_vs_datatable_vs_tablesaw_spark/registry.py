@@ -108,6 +108,7 @@ _PRIORITY = (
     #       exists, they rotate in first.
     "dedup_substring_exact",         # new r9 (dedup.py, Lee et al. ExactSubstr)
     "gopher_quality_signals",        # new r9 (text.py, Gopher quality panel)
+    "ccnet_perplexity_buckets",      # new r9 (text.py, CCNet head/middle/tail)
     # (i) changed-since-row (attestation_ledger.py, round-9 run):
     #     the VERDICT-r8 #6 dial parameterizations — function bodies
     #     edited after their (r8) driver rows, so they re-attest in
@@ -162,11 +163,10 @@ _PRIORITY = (
     "unpivot_lineitem_measures",
     "window_distribution_funcs",
     "window_lag_lead",
-    # r4 vintage fill (4 — the second r9 addition displaces the 5th):
+    # r4 vintage fill (3 — the 2nd/3rd r9 additions displace two):
     "ab_test_welch",
     "ann_lsh_topk",
     "asof_join_purchase_view",
-    "bigram_lm_score",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
