@@ -48,6 +48,7 @@ SNAPSHOT_QUERIES = [
     "dsir_importance_weights",
     "mapinarrow_matrix_stats",
     "dedup_substring_exact",
+    "ccnet_perplexity_buckets",
     "ivfpq_ann_topk",
     "geo_nearest_supplier",
     "triangle_count_copurchase",
