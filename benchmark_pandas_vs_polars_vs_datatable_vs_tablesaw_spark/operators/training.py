@@ -658,6 +658,108 @@ ORDER BY r.source
 """
 
 
+REPEAT_BUDGET_MULT = 4  # training budget = 4x the corpus's unique tokens
+MAX_REPEAT_BP = 40_000  # cap any source at 4 epochs (basis points)
+
+
+def data_budget_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained repeat allocation (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models") — the OVER-budget
+    complement to :func:`dataset_mixture_plan`'s under-budget
+    waterfilling: when the training budget exceeds the corpus's
+    unique tokens, each source repeats, up to the ~4-epoch cap past
+    which the paper measures repeated data's value decaying. Targets
+    are quality-weighted: each source's share of the budget is
+    proportional to its NON-STOPWORD token mass (the cheap exact
+    stand-in for a quality score), so fluent sources earn more of the
+    repeat budget and capped sources report an explicit deficit —
+    the number the pipeline planner feeds back into sourcing.
+
+    All exact int64 arithmetic (shares and repeat factors in basis
+    points via div), so the allocation is engine-identical including
+    at the cap boundary. Scale shape: one ~|sources|-key aggregate
+    with map-side combine + two broadcast scalar joins; per-row token
+    counts are zero-shuffle projections.
+    """
+    from .text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("unique_tokens"),
+        F.sum(n_tok - n_stop).alias("quality_mass"),
+    )
+    totals = per_source.agg(
+        F.sum("unique_tokens").alias("total_unique"),
+        F.sum("quality_mass").alias("total_mass"),
+    ).select(
+        (F.col("total_unique") * REPEAT_BUDGET_MULT).alias("budget"),
+        "total_mass",
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .withColumn("target_tokens", F.expr("budget * quality_mass div total_mass"))
+        .withColumn(
+            "repeat_bp",
+            F.least(
+                F.lit(MAX_REPEAT_BP).cast("long"),
+                F.expr("target_tokens * 10000 div unique_tokens"),
+            ),
+        )
+        .withColumn("served_tokens", F.expr("unique_tokens * repeat_bp div 10000"))
+        .withColumn(
+            "deficit_tokens",
+            F.greatest(F.lit(0).cast("long"), F.expr("target_tokens - served_tokens")),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "unique_tokens",
+            "quality_mass",
+            "target_tokens",
+            "repeat_bp",
+            "served_tokens",
+            "deficit_tokens",
+        )
+        .orderBy("source")
+    )
+
+
+DATA_BUDGET_REPEATS_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS unique_tokens,
+         CAST(sum(len(string_split(text, ' '))
+              - len(list_filter(string_split(text, ' '),
+                                t -> t IN ('the', 'a', 'and', 'of'))))
+           AS BIGINT) AS quality_mass
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT CAST(sum(unique_tokens) * {REPEAT_BUDGET_MULT} AS BIGINT) AS budget,
+         CAST(sum(quality_mass) AS BIGINT) AS total_mass
+  FROM per_source
+), alloc AS (
+  SELECT p.source, p.n_docs, p.unique_tokens, p.quality_mass,
+         CAST(t.budget * p.quality_mass // t.total_mass AS BIGINT)
+           AS target_tokens,
+         CAST(least({MAX_REPEAT_BP},
+                    (t.budget * p.quality_mass // t.total_mass) * 10000
+                      // p.unique_tokens) AS BIGINT) AS repeat_bp
+  FROM per_source p, totals t
+)
+SELECT source, n_docs, unique_tokens, quality_mass, target_tokens, repeat_bp,
+       CAST(unique_tokens * repeat_bp // 10000 AS BIGINT) AS served_tokens,
+       CAST(greatest(0, target_tokens - unique_tokens * repeat_bp // 10000)
+         AS BIGINT) AS deficit_tokens
+FROM alloc
+ORDER BY source
+"""
+
+
 def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity spectrum — the companion privacy pre-flight to
     ``k_anonymity_spectrum``: k-anonymity bounds how small a
@@ -841,6 +943,7 @@ DSIR_ORACLE = dsir_oracle()
 QUERIES: dict = {
     "dsir_importance_weights": (dsir_importance_weights, DSIR_ORACLE),
     "dataset_mixture_plan": (dataset_mixture_plan, MIXTURE_PLAN_ORACLE),
+    "data_budget_repeats": (data_budget_repeats, DATA_BUDGET_REPEATS_ORACLE),
     "ks_drift_test": (ks_drift_test, KS_DRIFT_ORACLE),
     "vocab_oov_rate": (vocab_oov_rate, VOCAB_OOV_ORACLE),
     "adaptive_quality_gate": (adaptive_quality_gate, ADAPTIVE_GATE_ORACLE),

@@ -109,6 +109,7 @@ _PRIORITY = (
     "dedup_substring_exact",         # new r9 (dedup.py, Lee et al. ExactSubstr)
     "gopher_quality_signals",        # new r9 (text.py, Gopher quality panel)
     "ccnet_perplexity_buckets",      # new r9 (text.py, CCNet head/middle/tail)
+    "data_budget_repeats",           # new r9 (training.py, data-constrained repeats)
     # (i) changed-since-row (attestation_ledger.py, round-9 run):
     #     the VERDICT-r8 #6 dial parameterizations — function bodies
     #     edited after their (r8) driver rows, so they re-attest in
@@ -163,10 +164,9 @@ _PRIORITY = (
     "unpivot_lineitem_measures",
     "window_distribution_funcs",
     "window_lag_lead",
-    # r4 vintage fill (3 — the 2nd/3rd r9 additions displace two):
+    # r4 vintage fill (2 — the 2nd-4th r9 additions displace three):
     "ab_test_welch",
     "ann_lsh_topk",
-    "asof_join_purchase_view",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
