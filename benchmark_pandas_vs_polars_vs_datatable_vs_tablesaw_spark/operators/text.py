@@ -1612,7 +1612,9 @@ ORDER BY b.doc_id
 CCNET_BUCKETS = 3  # CCNet's head / middle / tail terciles
 
 
-def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str, n_buckets: int = CCNET_BUCKETS
+) -> DataFrame:
     """CCNet perplexity bucketing (Wenzek et al. 2020): score every
     document with the corpus-trained LM, then split each language's
     documents into HEAD / MIDDLE / TAIL terciles by score — the
@@ -1665,20 +1667,24 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.join(docs.select("doc_id", "source"), "doc_id")
-        .withColumn("bucket", F.ntile(CCNET_BUCKETS).over(wsrc))
+        .withColumn("bucket", F.ntile(int(n_buckets)).over(wsrc))
         .withColumn(
             "bucket_label",
-            F.element_at(
+            # CCNet's canonical n=3 keeps named terciles; other widths
+            # (the sweepable dial) label by index
+            F.when(F.lit(int(n_buckets) == 3), F.element_at(
                 F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
                 F.col("bucket"),
-            ),
+            )).otherwise(F.concat(F.lit("b"), F.col("bucket").cast("string"))),
         )
         .select("doc_id", "source", "score_mbits", "bucket", "bucket_label")
         .orderBy("doc_id")
     )
 
 
-CCNET_BUCKETS_ORACLE = f"""
+def ccnet_buckets_oracle(n_buckets: int = CCNET_BUCKETS) -> str:
+    """Oracle template over the bucket-count dial."""
+    return f"""
 WITH tok AS (
   SELECT doc_id, t.pos, t.w1
   FROM documents,
@@ -1707,16 +1713,22 @@ WITH tok AS (
   FROM scored
 )
 SELECT m.doc_id, d.source, m.score_mbits,
-       CAST(ntile({CCNET_BUCKETS}) OVER (
+       CAST(ntile({int(n_buckets)}) OVER (
          PARTITION BY d.source ORDER BY m.score_mbits ASC, m.doc_id ASC
        ) AS INT) AS bucket,
-       (['head', 'middle', 'tail'])[
-         ntile({CCNET_BUCKETS}) OVER (
-           PARTITION BY d.source ORDER BY m.score_mbits ASC, m.doc_id ASC)
-       ] AS bucket_label
+       CASE WHEN {int(n_buckets)} = 3
+            THEN (['head', 'middle', 'tail'])[
+              ntile({int(n_buckets)}) OVER (
+                PARTITION BY d.source ORDER BY m.score_mbits ASC, m.doc_id ASC)]
+            ELSE 'b' || CAST(ntile({int(n_buckets)}) OVER (
+              PARTITION BY d.source ORDER BY m.score_mbits ASC, m.doc_id ASC)
+              AS VARCHAR) END AS bucket_label
 FROM mb m JOIN documents d ON m.doc_id = d.doc_id
 ORDER BY m.doc_id
 """
+
+
+CCNET_BUCKETS_ORACLE = ccnet_buckets_oracle()
 
 
 def inverted_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

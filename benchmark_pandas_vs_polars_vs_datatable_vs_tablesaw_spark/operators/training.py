@@ -662,7 +662,12 @@ REPEAT_BUDGET_MULT = 4  # training budget = 4x the corpus's unique tokens
 MAX_REPEAT_BP = 40_000  # cap any source at 4 epochs (basis points)
 
 
-def data_budget_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def data_budget_repeats(
+    spark: SparkSession,
+    sf_dir: str,
+    budget_mult: int = REPEAT_BUDGET_MULT,
+    max_repeat_bp: int = MAX_REPEAT_BP,
+) -> DataFrame:
     """Data-constrained repeat allocation (Muennighoff et al. 2023,
     "Scaling Data-Constrained Language Models") — the OVER-budget
     complement to :func:`dataset_mixture_plan`'s under-budget
@@ -679,7 +684,10 @@ def data_budget_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     points via div), so the allocation is engine-identical including
     at the cap boundary. Scale shape: one ~|sources|-key aggregate
     with map-side combine + two broadcast scalar joins; per-row token
-    counts are zero-shuffle projections.
+    counts are zero-shuffle projections. budget_mult (how far past
+    the unique corpus the budget reaches) and max_repeat_bp (the
+    epoch cap) are the paper's two dials — property-swept in
+    tests/test_property.py.
     """
     from .text import STOPWORDS
 
@@ -696,7 +704,7 @@ def data_budget_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("unique_tokens").alias("total_unique"),
         F.sum("quality_mass").alias("total_mass"),
     ).select(
-        (F.col("total_unique") * REPEAT_BUDGET_MULT).alias("budget"),
+        (F.col("total_unique") * int(budget_mult)).alias("budget"),
         "total_mass",
     )
     return (
@@ -705,7 +713,7 @@ def data_budget_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "repeat_bp",
             F.least(
-                F.lit(MAX_REPEAT_BP).cast("long"),
+                F.lit(int(max_repeat_bp)).cast("long"),
                 F.expr("target_tokens * 10000 div unique_tokens"),
             ),
         )
@@ -728,7 +736,12 @@ def data_budget_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DATA_BUDGET_REPEATS_ORACLE = f"""
+def data_budget_repeats_oracle(
+    budget_mult: int = REPEAT_BUDGET_MULT,
+    max_repeat_bp: int = MAX_REPEAT_BP,
+) -> str:
+    """Oracle template over the budget multiplier and epoch cap."""
+    return f"""
 WITH per_source AS (
   SELECT source,
          CAST(count(*) AS BIGINT) AS n_docs,
@@ -739,14 +752,14 @@ WITH per_source AS (
            AS BIGINT) AS quality_mass
   FROM documents GROUP BY source
 ), totals AS (
-  SELECT CAST(sum(unique_tokens) * {REPEAT_BUDGET_MULT} AS BIGINT) AS budget,
+  SELECT CAST(sum(unique_tokens) * {int(budget_mult)} AS BIGINT) AS budget,
          CAST(sum(quality_mass) AS BIGINT) AS total_mass
   FROM per_source
 ), alloc AS (
   SELECT p.source, p.n_docs, p.unique_tokens, p.quality_mass,
          CAST(t.budget * p.quality_mass // t.total_mass AS BIGINT)
            AS target_tokens,
-         CAST(least({MAX_REPEAT_BP},
+         CAST(least({int(max_repeat_bp)},
                     (t.budget * p.quality_mass // t.total_mass) * 10000
                       // p.unique_tokens) AS BIGINT) AS repeat_bp
   FROM per_source p, totals t
@@ -758,6 +771,9 @@ SELECT source, n_docs, unique_tokens, quality_mass, target_tokens, repeat_bp,
 FROM alloc
 ORDER BY source
 """
+
+
+DATA_BUDGET_REPEATS_ORACLE = data_budget_repeats_oracle()
 
 
 def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -417,3 +417,46 @@ def test_gopher_quality_matches_for_any_thresholds(
         sf_dir, gopher_quality_oracle(min_words=min_words, min_stopwords=min_stopwords)
     )
     assert not compare_frames(got, want)
+
+
+@SETTINGS
+@given(
+    budget_mult=st.integers(min_value=1, max_value=12),
+    cap_bp=st.sampled_from([5_000, 10_000, 20_000, 40_000, 80_000]),
+)
+def test_budget_repeats_matches_for_any_budget_and_cap(
+    spark, sf_dir, budget_mult, cap_bp
+):
+    """Muennighoff-style repeat allocation's two dials: the budget
+    multiplier (how far past the unique corpus the budget reaches)
+    and the epoch cap. Integer shares/caps must agree with DuckDB
+    across the range, including budget_mult=1 (nothing repeats) and
+    caps below 10000 bp (every source under-serves)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.training import (
+        data_budget_repeats,
+        data_budget_repeats_oracle,
+    )
+
+    got = data_budget_repeats(
+        spark, sf_dir, budget_mult=budget_mult, max_repeat_bp=cap_bp
+    ).toPandas()
+    want = _doc_oracle(sf_dir, data_budget_repeats_oracle(budget_mult, cap_bp))
+    assert not compare_frames(got, want)
+
+
+@SETTINGS
+@given(n_buckets=st.integers(min_value=1, max_value=12))
+def test_ccnet_buckets_match_for_any_width(spark, sf_dir, n_buckets):
+    """CCNet's canonical tercile split generalizes to any bucket
+    count; the tie-broken ntile must agree with DuckDB for every
+    width, including n=1 (everything head) and widths past the
+    smallest source's doc count (ntile's uneven-remainder rule is
+    where engines could diverge)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        ccnet_buckets_oracle,
+        ccnet_perplexity_buckets,
+    )
+
+    got = ccnet_perplexity_buckets(spark, sf_dir, n_buckets=n_buckets).toPandas()
+    want = _doc_oracle(sf_dir, ccnet_buckets_oracle(n_buckets))
+    assert not compare_frames(got, want)
