@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "dedup_substring_exact",    # Lee et al. ExactSubstr span dedup
     "gopher_quality_signals",   # Gopher quality panel (zero-shuffle gate)
     "ccnet_perplexity_buckets", # CCNet head/middle/tail LM terciles
+    # round-10 additions
+    "dedup_minhash_incremental",  # batch probe vs persisted LSH band index
+    "bpe_train_merges",         # unrolled BPE merge loop (3 scan+agg rounds)
 ]
 
 # Host-epoch calibration (VERDICT r7 #1). Three rounds running, the
@@ -375,6 +378,28 @@ def main() -> None:
         print(f"  detail -> {detail_path}", file=sys.stderr)
     except OSError as exc:
         print(f"  detail write failed: {exc}", file=sys.stderr)
+
+    # The detail artifact must never end a round dirty (VERDICT r8 #4
+    # and r9 #3 — the identical blemish two rounds running): every
+    # bench.py run clobbers it, so at exit say loudly which of the two
+    # legitimate states it should move to. Warning, not a hard fail:
+    # the driver's own round run also exits with a diff (the one that
+    # SHOULD be committed).
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    dirty = subprocess.run(
+        ["git", "-C", repo, "diff", "--quiet", "--", "results/bench_detail.json"],
+        check=False,
+    ).returncode
+    if dirty:
+        print(
+            "  NOTE: results/bench_detail.json now differs from HEAD — "
+            "commit it (round/driver run, in the SAME commit as the BENCH "
+            "artifact) or `git checkout -- results/bench_detail.json` "
+            "(smoke/probe run). Do not end the round with it dirty.",
+            file=sys.stderr,
+        )
 
     print(contract_line(per_query, sf))
 

@@ -1934,6 +1934,220 @@ ORDER BY doc_id
 DEDUP_SENTENCE_CLEAN_ORACLE = sentence_clean_oracle()
 
 
+# --------------------------------------------------------------------------
+# incremental MinHash: batch lookup against a persisted signature index
+# --------------------------------------------------------------------------
+
+# Floor for the incremental recall certificate: exact cross-side
+# 3-gram Jaccard >= 0.9 truth pairs recalled by the banded index probe.
+# 8x4 banding at j >= 0.9 misses with prob (1 - j^4)^8 <= 1e-7, and the
+# est_jaccard >= 0.5 verify keeps every such pair with near certainty;
+# measured exactly 1.0 at sf0.001 and sf0.01 (same as the batch
+# MinHash certificate, dedup_minhash_recall).
+INCR_MINHASH_RECALL_FLOOR = 1.0
+
+
+def _incremental_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(corpus, batch) for the incremental near-dup scenario.
+
+    corpus = the already-deduplicated store (doc_id % 10 != 0); batch =
+    today's ingest: novel docs (doc_id % 10 == 0) plus planted
+    near-duplicate re-submissions of corpus docs (doc_id < 50, last
+    word dropped, id + 3,000,000 — the same one-word-edit injection
+    _corpus_with_near_dups makes) that the index probe must catch.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    toks = F.split(F.col("text"), " ")
+    trimmed = F.expr(
+        "substr(text, 1, length(text) - length(element_at(split(text, ' '), -1)) - 1)"
+    )
+    planted = (
+        corpus.filter((F.col("doc_id") < 50) & (F.size(toks) >= 2))
+        .select((F.col("doc_id") + 3_000_000).alias("doc_id"), trimmed.alias("text"))
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 0).unionByName(planted)
+    return corpus, batch
+
+
+_INCR_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+"""
+
+_INCR_BATCH_SQL = """
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         substr(text, 1, length(text) - length(string_split(text, ' ')[-1]) - 1) AS text
+  FROM documents
+  WHERE doc_id % 10 != 0 AND doc_id < 50 AND len(string_split(text, ' ')) >= 2
+"""
+
+
+def band_table(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) rows from a MinHash signature table — the
+    LSH index layout: one 3-long row per (doc, band), equi-joinable on
+    (band, bh). At 100 TB this is a STORED table bucketed by (band,
+    bh) (SCALE.md): built once when the corpus is deduplicated,
+    appended as batches are admitted, never recomputed per query."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), b ->"
+                f" struct(b AS band, xxhash64(slice(signature, b * {BAND_ROWS} + 1, {BAND_ROWS})) AS bh))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup lookup: probe a new batch against a
+    PERSISTED band-signature index of the existing corpus — the
+    production composition of MinHash-LSH (build the index once, query
+    it per ingest batch) that batch `dedup_minhash_lsh` (self-join)
+    and `dedup_incremental_exact` (exact digests only) each cover half
+    of.
+
+    Index side: corpus signatures + band table, persisted
+    (MEMORY_AND_DISK here; a stored table bucketed by (band, bh) at
+    100 TB — the probe join then co-locates on the bucket key with no
+    corpus-side shuffle). Query side: the batch computes its own
+    signatures/bands — cost proportional to the BATCH, never the
+    corpus (scripts/incremental_minhash_probe.py measures exactly
+    this) — and equi-joins the index on (band, bh). Candidates
+    dedupe, re-attach both signatures, verify est_jaccard >= 0.5.
+    Output: (batch_id, corpus_id, est_jaccard) admission decisions.
+
+    No oracle: depends on xxhash64 (driver rows-only check); the
+    paired certificate `dedup_minhash_incremental_recall` is fully
+    oracle-checked.
+    """
+    corpus, batch = _incremental_sides(spark, sf_dir)
+    index_sigs = _persist_index(minhash_signatures(corpus))
+    index_bands = _persist_index(band_table(index_sigs))
+    batch_sigs = _persist_index(minhash_signatures(batch))
+    cand = (
+        band_table(batch_sigs)
+        .withColumnRenamed("doc_id", "batch_id")
+        .join(
+            index_bands.withColumnRenamed("doc_id", "corpus_id"),
+            ["band", "bh"],
+        )
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+        .join(
+            batch_sigs.select(
+                F.col("doc_id").alias("batch_id"), F.col("signature").alias("sig_b")
+            ),
+            "batch_id",
+        )
+        .join(
+            index_sigs.select(
+                F.col("doc_id").alias("corpus_id"), F.col("signature").alias("sig_c")
+            ),
+            "corpus_id",
+        )
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_b, sig_c, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        " 0, (acc, v) -> acc + v)"
+    ) / F.lit(N_HASHES)
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("batch_id", "corpus_id", "est_jaccard")
+    )
+
+
+def dedup_minhash_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable recall certificate for
+    :func:`dedup_minhash_incremental` (the `dedup_minhash_recall`
+    pattern: the pair list is xxhash64-dependent, its recall against
+    exact truth is a deterministic scalar on a pinned fixture).
+
+    Truth = exact cross-side word-3-gram Jaccard >= 0.9 pairs between
+    batch and corpus, computed over DF-capped shingle postings (hot
+    shingles with document frequency > MAX_SHINGLE_DF across both
+    sides are dropped from both sets — same cap and same filtered-
+    space sizes as `_shingle_overlap_pairs`, mirrored exactly in the
+    oracle). Output: the truth-pair count (oracle recomputes it
+    exactly) and a recall >= INCR_MINHASH_RECALL_FLOOR flag (oracle
+    asserts TRUE — an index/banding bug collapses recall and flips
+    it).
+    """
+    corpus, batch = _incremental_sides(spark, sf_dir)
+    postings = (
+        corpus.select(F.lit("c").alias("side"), "doc_id", "text")
+        .unionByName(batch.select(F.lit("b").alias("side"), "doc_id", "text"))
+        .withColumn("sh", F.explode(F.expr(f"array_distinct({_SHINGLES_EXPR})")))
+        .select("side", "doc_id", "sh")
+    )
+    hot = (
+        postings.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("sh")
+    )
+    kept = _persist_index(postings.join(F.broadcast(hot), "sh", "left_anti"))
+    sizes = kept.groupBy("side", "doc_id").agg(F.count("*").alias("sz"))
+    sized = kept.join(sizes, ["side", "doc_id"])
+    b, c = sized.filter(F.col("side") == "b").alias("b"), sized.filter(
+        F.col("side") == "c"
+    ).alias("c")
+    overlap = (
+        b.join(c, F.col("b.sh") == F.col("c.sh"))
+        .groupBy(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+            F.col("b.sz").alias("sz_b"),
+            F.col("c.sz").alias("sz_c"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("sz_b") + F.col("sz_c") - F.col("common"))
+    truth = overlap.filter(jac >= 0.9).select("batch_id", "corpus_id")
+    found = (
+        dedup_minhash_incremental(spark, sf_dir)
+        .select("batch_id", "corpus_id")
+        .withColumn("hit", F.lit(1))
+    )
+    agg = truth.join(found, ["batch_id", "corpus_id"], "left").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+    )
+    return agg.select(
+        "n_true",
+        (F.col("n_hit") >= F.col("n_true") * F.lit(INCR_MINHASH_RECALL_FLOOR)).alias(
+            "recall_ok"
+        ),
+    )
+
+
+DEDUP_MINHASH_INCR_RECALL_ORACLE = f"""
+WITH corpus AS ({_INCR_CORPUS_SQL}),
+batch AS ({_INCR_BATCH_SQL}),
+postings AS (
+  SELECT 'c' AS side, doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM corpus
+  UNION ALL
+  SELECT 'b' AS side, doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM batch
+),
+hot AS (SELECT sh FROM postings GROUP BY sh HAVING count(*) > {MAX_SHINGLE_DF}),
+kept AS (SELECT * FROM postings WHERE sh NOT IN (SELECT sh FROM hot)),
+sizes AS (SELECT side, doc_id, count(*) AS sz FROM kept GROUP BY side, doc_id),
+sized AS (SELECT k.side, k.doc_id, k.sh, s.sz FROM kept k JOIN sizes s USING (side, doc_id)),
+overlap AS (
+  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, b.sz AS sz_b, c.sz AS sz_c,
+         count(*) AS common
+  FROM sized b JOIN sized c ON b.sh = c.sh AND b.side = 'b' AND c.side = 'c'
+  GROUP BY 1, 2, 3, 4
+)
+SELECT count(*) AS n_true, TRUE AS recall_ok
+FROM overlap
+WHERE common / (sz_b + sz_c - common) >= 0.9
+"""
+
+
 QUERIES: dict = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_exact_hash": (dedup_exact_hash, DEDUP_EXACT_HASH_ORACLE),
@@ -1955,6 +2169,11 @@ QUERIES: dict = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_ORACLE),
     "dedup_semantic_clusters": (dedup_semantic_clusters, DEDUP_SEMANTIC_ORACLE),
     "dedup_incremental_exact": (dedup_incremental_exact, DEDUP_INCREMENTAL_ORACLE),
+    "dedup_minhash_incremental": (dedup_minhash_incremental, None),
+    "dedup_minhash_incremental_recall": (
+        dedup_minhash_incremental_recall,
+        DEDUP_MINHASH_INCR_RECALL_ORACLE,
+    ),
     "dedup_survivorship": (dedup_survivorship, DEDUP_SURVIVORSHIP_ORACLE),
     "dedup_edit_distance_blocked": (dedup_edit_distance_blocked, DEDUP_EDIT_DISTANCE_ORACLE),
     "dedup_sentence_stats": (dedup_sentence_stats, DEDUP_SENTENCE_STATS_ORACLE),

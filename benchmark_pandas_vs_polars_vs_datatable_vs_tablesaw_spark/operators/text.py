@@ -877,6 +877,142 @@ LIMIT {BPE_TOP_PAIRS}
 """
 
 
+BPE_MERGES = 3
+
+# Adjacent-pair extraction over a space-separated token sequence held
+# in column `seq` (tokens never contain spaces; merged tokens use '+',
+# which the fixture charset [a-z0-9 ] guarantees collision-free).
+_BPE_SEQ_PAIRS_EXPR = """
+CASE WHEN size(split(seq, ' ')) >= 2 THEN
+  transform(sequence(0, size(split(seq, ' ')) - 2),
+            i -> concat_ws(' ', split(seq, ' ')[i], split(seq, ' ')[i + 1]))
+ELSE array() END
+"""
+
+# Greedy left-to-right merge application via the doubled-space trick:
+# double every gap so each token owns a space on both sides, replace
+# ' A  B ' with ' A+B ' (replace() scans left to right over
+# non-overlapping occurrences — exactly BPE's greedy application
+# order, including the self-overlap case 'a a a' -> ['a+a', 'a']),
+# then collapse the doubled gaps back. `mp` is the chosen pair
+# ('A B', space-joined).
+_BPE_APPLY_MERGE_EXPR = """
+trim(replace(
+  replace(' ' || replace(seq, ' ', '  ') || ' ',
+          ' ' || split(mp, ' ')[0] || '  ' || split(mp, ' ')[1] || ' ',
+          ' ' || split(mp, ' ')[0] || '+' || split(mp, ' ')[1] || ' '),
+  '  ', ' '))
+"""
+
+
+def _bpe_merge_rounds(docs: DataFrame, n_merges: int) -> DataFrame:
+    """Core of :func:`bpe_train_merges` on an arbitrary (text) frame
+    so the property tests can drive hand-built micro corpora."""
+    cur = docs.select(F.col("text").alias("seq"))
+    picked: list[DataFrame] = []
+    for rank in range(1, n_merges + 1):
+        counts = (
+            cur.select(F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count("*").alias("n"))
+        )
+        # Persist each round's 1-row winner: round r's sequence plan
+        # references every earlier top, so without the cache the plan
+        # re-derives them recursively — 2^r corpus scans by round r
+        # (the round-10 plan snapshot caught exactly this: 7 scans for
+        # 3 rounds). With it, each round is ONE corpus scan plus
+        # cached 1-row lookups — linear, the only shape that holds at
+        # 100 TB.
+        top = (
+            counts.orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(F.lit(rank).alias("merge_rank"), "pair", "n")
+            .persist()
+        )
+        picked.append(top)
+        if rank < n_merges:
+            chosen = F.broadcast(top.select(F.col("pair").alias("mp")))
+            cur = cur.crossJoin(chosen).select(
+                F.expr(_BPE_APPLY_MERGE_EXPR).alias("seq")
+            )
+    out = picked[0]
+    for nxt in picked[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """BPE tokenizer-training loop, unrolled BPE_MERGES rounds: each
+    round counts corpus-wide adjacent-token pairs, selects the top
+    merge (count desc, pair asc — deterministic), APPLIES it to every
+    sequence, and recounts — the published byte-pair-encoding training
+    algorithm (Sennrich et al. 2016) of which `bpe_pair_counts` is the
+    single candidate-scoring step. Output: the merge table (merge_rank,
+    pair, n) — rank-1 count is the global max and selected counts are
+    non-increasing (merging can only shrink or preserve any pair's
+    count; property-swept in tests).
+
+    Scale shape: each round is one corpus scan + one map-side-combined
+    (pair, count) aggregate + a 1-row broadcast crossJoin carrying the
+    chosen merge back — the same broadcast-scalar pattern as
+    data_budget_repeats. No window, no self-join; merge application is
+    pure per-row string algebra (the doubled-space trick reproduces
+    greedy left-to-right application exactly — see
+    _BPE_APPLY_MERGE_EXPR). n_merges linearly multiplies scans, which
+    is the algorithm's price at any scale (real trainers batch
+    non-interacting merges per round; same plan shape).
+
+    Oracle: the identical rounds unrolled as chained CTEs (the
+    kmeans_lloyd_two_rounds pattern) — replace() has the same greedy
+    left-to-right semantics in DuckDB.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return _bpe_merge_rounds(docs, n_merges)
+
+
+def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
+    """Unrolled-CTE DuckDB oracle for :func:`bpe_train_merges`."""
+
+    def pairs_sql(src: str) -> str:
+        return f"""
+  SELECT pair, count(*) AS n FROM (
+    SELECT unnest(
+      CASE WHEN len(string_split(seq, ' ')) >= 2 THEN
+        list_transform(range(1, len(string_split(seq, ' '))),
+                       i -> string_split(seq, ' ')[i] || ' ' ||
+                            string_split(seq, ' ')[i + 1])
+      ELSE [] END) AS pair
+    FROM {src}
+  ) GROUP BY pair
+"""
+
+    ctes = ["seq0 AS (SELECT text AS seq FROM documents)"]
+    selects = []
+    for r in range(1, n_merges + 1):
+        ctes.append(f"p{r} AS ({pairs_sql(f'seq{r - 1}')})")
+        ctes.append(
+            f"top{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1)"
+        )
+        selects.append(f"SELECT {r} AS merge_rank, pair, n FROM top{r}")
+        if r < n_merges:
+            ctes.append(
+                f"""seq{r} AS (
+  SELECT trim(replace(
+    replace(' ' || replace(s.seq, ' ', '  ') || ' ',
+            ' ' || string_split(t.pair, ' ')[1] || '  ' || string_split(t.pair, ' ')[2] || ' ',
+            ' ' || string_split(t.pair, ' ')[1] || '+' || string_split(t.pair, ' ')[2] || ' '),
+    '  ', ' ')) AS seq
+  FROM seq{r - 1} s, top{r} t
+)"""
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+BPE_TRAIN_MERGES_ORACLE = _bpe_oracle()
+
+
 # per-language keep thresholds out of 256 md5 buckets: downsample
 # overrepresented languages, keep the rest whole — the data-mixture
 # step of corpus assembly. 256ths so the rule is exact in integers.
@@ -2679,6 +2815,7 @@ QUERIES: dict = {
     "sequence_pack_by_source": (sequence_pack_by_source, SEQUENCE_PACK_ORACLE),
     "contamination_ngram_overlap": (contamination_ngram_overlap, CONTAMINATION_ORACLE),
     "bpe_pair_counts": (bpe_pair_counts, BPE_PAIR_ORACLE),
+    "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_MERGES_ORACLE),
     "data_mixture_resample": (data_mixture_resample, DATA_MIXTURE_ORACLE),
     "token_rarity_score": (token_rarity_score, TOKEN_RARITY_ORACLE),
     "chunk_documents": (chunk_documents, CHUNK_DOCUMENTS_ORACLE),

@@ -60,12 +60,13 @@ _MODULES = (
 
 # Registration order == driver correctness-check order (the driver
 # verifies the first N registry entries per round; N has been 50).
-# Entering round 9 every one of the 279 pre-existing queries has a
-# driver row (276 hash-green, 3 rows-only by design; round 9 adds 1
-# never-checked entry, 280 total), so the window's job is keeping
+# Entering round 10 every one of the 283 pre-existing queries has a
+# driver row (280 hash-green, 3 rows-only by design; round 10 adds 3
+# never-checked entries, 286 total), so the window's job is keeping
 # rows from silently trailing code changes (VERDICT r6 "Next round"
-# #1) and finishing the vintage drain — after this window's r3 tail
-# (41 rows, VERDICT r8 #3) no row older than r4 remains. ROTATION POLICY, pinned
+# #1) and continuing the vintage drain — this window takes the ENTIRE
+# r4 tail (44 rows, VERDICT r9 #4), after which no row older than r5
+# remains. ROTATION POLICY, pinned
 # by tests/test_harness.py::test_priority_window_is_ledger_justified
 # against scripts/attestation_ledger.py (which ast-diffs every query
 # function between the commit its last driver row ran against and the
@@ -73,16 +74,14 @@ _MODULES = (
 #
 #   (i)  changed-since-row first: every query whose function body
 #        changed after the round of its last driver row MUST be in
-#        the window (round 9: the three VERDICT-r8 #6 dial
-#        parameterizations — decontamination min_shared, IVF and
-#        IVF-PQ n_probe — all surfaced by the ledger, all rotated in
-#        the same round as the edit);
+#        the window (round 10: none — no pre-existing query function
+#        was edited this round; the ledger run confirms);
 #   (ii) then stalest-first, monotone: the window may include a
 #        round-k row only if every older row is also included (the
 #        enforced rule is max(window rounds) <= min(excluded rounds),
-#        changed-since-row entries aside). Round 9 drains the entire
-#        r3 tail (41 rows — the VERDICT r8 #3 queue) plus the first
-#        5 r4 rows.
+#        changed-since-row entries aside). Round 10 drains the entire
+#        r4 tail (44 rows — the VERDICT r9 #4 queue) plus the first
+#        3 r5 rows alphabetically to fill 50.
 #
 # OUTPUT CONVENTION (registry-wide, pinned after r5's red row): every
 # registry query result must be sortable by an engine-neutral pandas
@@ -103,70 +102,70 @@ _MODULES = (
 # (tests/test_registry_smoke.py), so a convention violation fails
 # pytest before it can fail a driver round.
 _PRIORITY = (
-    # ---- ROUND 9 WINDOW (first 50 = the driver's check set) ----
-    # (iii) never-checked: the round-9 additions — no driver row
+    # ---- ROUND 10 WINDOW (first 50 = the driver's check set) ----
+    # (iii) never-checked: the round-10 additions — no driver row
     #       exists, they rotate in first.
-    "dedup_substring_exact",         # new r9 (dedup.py, Lee et al. ExactSubstr)
-    "gopher_quality_signals",        # new r9 (text.py, Gopher quality panel)
-    "ccnet_perplexity_buckets",      # new r9 (text.py, CCNet head/middle/tail)
-    "data_budget_repeats",           # new r9 (training.py, data-constrained repeats)
-    # (i) changed-since-row (attestation_ledger.py, round-9 run):
-    #     the VERDICT-r8 #6 dial parameterizations — function bodies
-    #     edited after their (r8) driver rows, so they re-attest in
-    #     the same round as the edit.
-    "decontaminate_winnowing",       # min_shared param, row r8
-    "ivf_ann_topk",                  # n_probe param, row r8
-    "ivfpq_ann_topk",                # n_probe param, row r8
+    "dedup_minhash_incremental",        # new r10 (dedup.py, persisted-index probe)
+    "dedup_minhash_incremental_recall", # new r10 (dedup.py, its exact-truth certificate)
+    "bpe_train_merges",                 # new r10 (text.py, unrolled BPE merge loop)
+    # (i) changed-since-row (attestation_ledger.py, round-10 run):
+    #     none — no pre-existing query function body was edited this
+    #     round (round 10's code work was additive operators plus
+    #     harness scripts outside the registry).
     # (ii) stalest-first, monotone (max in-window round <= min
-    #     excluded round, changed entries aside): ALL 41 remaining
-    #     r3-vintage rows — the VERDICT r8 #3 drain; after this
-    #     window no row older than r4 remains — then the first 5
-    #     r4 rows alphabetically to fill 50.
-    # r3 vintage (41):
-    "approx_quantile_bounds",
-    "bpe_pair_counts",
-    "bucketed_join_revenue",
-    "contamination_ngram_overlap",
-    "corr_covar_stats",
-    "cube_priority_status",
-    "data_mixture_resample",
-    "date_parts_agg",
-    "dedup_embedding_cosine",
-    "dpp_join_pruned_scan",
-    "embedding_quantize_int8",
-    "exact_percentiles_by_group",
-    "grouping_sets_custom",
-    "higher_moments_stats",
-    "histogram_totalprice",
-    "json_roundtrip",
-    "kmeans_assign_fixed",
-    "map_hof_suite",
-    "mips_topk",
-    "ntile_balance_quartiles",
-    "null_handling_suite",
-    "orc_roundtrip",
-    "parquet_zstd_roundtrip",
-    "partition_pruned_scan",
-    "q12_priority_shipping",
-    "q19_disjunctive_bands",
-    "q20_excess_shippers",
-    "q21_last_shippers",
-    "range_join_discount_bands",
-    "salted_skew_agg",
-    "sample_modulo_agg",
-    "sequence_pack_by_source",
-    "sort_asc_rank",
-    "sort_desc_rank",
-    "split_train_holdout",
-    "stratified_sample_bounds",
-    "string_funcs_suite",
-    "textfile_roundtrip",
-    "unpivot_lineitem_measures",
-    "window_distribution_funcs",
-    "window_lag_lead",
-    # r4 vintage fill (2 — the 2nd-4th r9 additions displace three):
-    "ab_test_welch",
-    "ann_lsh_topk",
+    #     excluded round, changed entries aside): ALL 44 remaining
+    #     r4-vintage rows — the VERDICT r9 #4 drain; after this
+    #     window no row older than r5 remains — then the first 3
+    #     r5 rows alphabetically to fill 50.
+    # r4 vintage (44):
+    "asof_join_purchase_view",
+    "bigram_lm_score",
+    "bitmap_distinct_users",
+    "boilerplate_phrase_ratio",
+    "compact_small_files",
+    "dedup_minhash_recall",
+    "dedup_semantic_clusters",
+    "dedup_simhash_recall",
+    "dq_constraint_report",
+    "event_transition_matrix",
+    "events_anomaly_zscore",
+    "events_sessionization",
+    "feature_hash_bag",
+    "frequent_event_paths",
+    "fuzzy_dedup_pipeline",
+    "geo_cell_density",
+    "geo_nearest_supplier",
+    "hierarchical_rollup_events",
+    "incremental_agg_maintenance",
+    "interval_concurrency_peak",
+    "inverted_index_sample",
+    "join_cardinality_report",
+    "key_skew_report",
+    "kmeans_lloyd_two_rounds",
+    "m4_downsample_events",
+    "mad_outlier_events",
+    "mixture_temperature_resample",
+    "mllib_lsh_recall",
+    "pagerank_nation_trade",
+    "purchase_attribution_last_touch",
+    "q22_sales_opportunity",
+    "quality_percentile_rank",
+    "quantile_bin_features",
+    "retention_cohort_matrix",
+    "revenue_contribution_shares",
+    "rolling_median_by_user",
+    "scd2_priority_history",
+    "snapshot_diff_cdc",
+    "streaming_interval_join",
+    "token_rarity_score",
+    "trend_regression_by_type",
+    "triangle_count_copurchase",
+    "weighted_median_by_group",
+    "weighted_reservoir_sample",
+    # r5 vintage fill (3):
+    "asof_forward_tolerance",
+    "asof_nearest_tolerance",
+    "bloom_prefilter_join",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

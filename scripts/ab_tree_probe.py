@@ -15,10 +15,11 @@ helper edits) regressed and the diff between the trees contains it.
 Usage:
   git worktree add --detach /tmp/r7tree <r7-marker-sha>
   python scripts/ab_tree_probe.py /tmp/r7tree . \
-      dedup_containment,ewma_customer_orders,... [rounds]
+      dedup_containment,ewma_customer_orders,... [rounds] [out.json]
   git worktree remove /tmp/r7tree
 
-Writes results/ab_tree_probe.json.
+Writes results/ab_tree_probe.json (or the given out path — pass one
+when a prior round's committed A/B artifact must not be clobbered).
 """
 
 from __future__ import annotations
@@ -100,7 +101,11 @@ def main() -> None:
         "samples": samples,
         "summary": summary,
     }
-    path = os.path.join(REPO, "results", "ab_tree_probe.json")
+    path = (
+        os.path.abspath(sys.argv[5])
+        if len(sys.argv) > 5
+        else os.path.join(REPO, "results", "ab_tree_probe.json")
+    )
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(summary, indent=1))

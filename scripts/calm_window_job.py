@@ -114,7 +114,18 @@ def fire(opening: dict) -> bool:
                 }
             )
             return False
-        # ---- commit the window ----
+        # ---- commit the window (ADVICE r9: ordered so a failure never
+        # leaves a half-committed tree — the rebaseline step runs FIRST
+        # because every one of its failure modes (unreadable run json,
+        # mismatched query sets) raises before it writes a byte; only
+        # after it succeeds do the B13 csv move and the stamp write
+        # happen, each itself atomic at the file level) ----
+        subprocess.run(
+            [PY, os.path.join(REPO, "scripts", "make_rebaseline.py"), "9", *runs],
+            check=True,
+            timeout=120,
+            cwd=REPO,
+        )
         shutil.move(b13_csv, os.path.join(REPO, "results", "b13_spark_results.csv"))
         with open(os.path.join(REPO, "results", "b13_epoch_stamp.json"), "w") as f:
             json.dump(
@@ -130,25 +141,22 @@ def fire(opening: dict) -> bool:
                 f,
                 indent=1,
             )
-        subprocess.run(
-            [PY, os.path.join(REPO, "scripts", "make_rebaseline.py"), "9", *runs],
-            check=True,
-            timeout=120,
-            cwd=REPO,
-        )
-        # bench.py clobbers results/bench_detail.json on every run; the
-        # committed detail artifact must stay the round's driver-run one
-        subprocess.run(
-            ["git", "checkout", "--", "results/bench_detail.json"],
-            check=False,
-            cwd=REPO,
-        )
         _log({"event": "window_committed", "closing": closing})
         return True
     except subprocess.SubprocessError as exc:
         _log({"event": "window_error", "error": str(exc)[:500]})
         return False
     finally:
+        # bench.py clobbers results/bench_detail.json on every run; the
+        # committed detail artifact must stay the round's driver-run
+        # one on EVERY exit path — committed, discarded, and errored
+        # alike (ADVICE r9: the restore used to run only on the commit
+        # path, leaving hot-window data in the tree after a discard).
+        subprocess.run(
+            ["git", "checkout", "--", "results/bench_detail.json"],
+            check=False,
+            cwd=REPO,
+        )
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 

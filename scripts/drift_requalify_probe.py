@@ -98,6 +98,21 @@ def main() -> None:
         jvms.append(json.loads(proc.stdout.strip().splitlines()[-1]))
         print(f"jvm {i}: control {jvms[-1][CONTROL]}", file=sys.stderr)
 
+    # Validate divisors up front (ADVICE r9): a suspect (or the
+    # control) missing from the rebaseline would otherwise surface as
+    # an opaque TypeError/ZeroDivisionError deep in the ratio math —
+    # the exact one-legged-rebaseline gap round 9 documented for
+    # mapinarrow_matrix_stats.
+    unusable = [
+        n for n in (*SUSPECTS, CONTROL) if not rebaseline.get(n)
+    ]
+    if unusable:
+        raise SystemExit(
+            f"rebaseline entries missing or zero for {unusable} — "
+            "regenerate results/bench_rebaseline.json "
+            "(scripts/make_rebaseline.py) before requalifying"
+        )
+
     verdicts: dict[str, dict] = {}
     for name in SUSPECTS:
         base = rebaseline.get(name)

@@ -42,7 +42,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 # dsir_importance_weights 2.42s, mapinarrow_matrix_stats 0.72s (now
 # also an epoch control, so its plan shape is calibration-load-bearing)
 # — plus the round-9 addition dedup_substring_exact.
+# Round 10: the two r10 additions (dedup_minhash_incremental's index
+# probe join and bpe_train_merges' 3-round scan+broadcast chain).
 SNAPSHOT_QUERIES = [
+    "dedup_minhash_incremental",
+    "bpe_train_merges",
     "decontaminate_winnowing",
     "gopher_repetition_signals",
     "dsir_importance_weights",

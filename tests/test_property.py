@@ -460,3 +460,26 @@ def test_ccnet_buckets_match_for_any_width(spark, sf_dir, n_buckets):
     got = ccnet_perplexity_buckets(spark, sf_dir, n_buckets=n_buckets).toPandas()
     want = _doc_oracle(sf_dir, ccnet_buckets_oracle(n_buckets))
     assert not compare_frames(got, want)
+
+
+@SETTINGS
+@given(n_merges=st.integers(min_value=1, max_value=5))
+def test_bpe_merges_match_for_any_round_count(spark, sf_dir, n_merges):
+    """The BPE training loop's only dial is how many merge rounds to
+    unroll; the greedy left-to-right application (doubled-space
+    replace) and the (count desc, pair asc) selection must agree with
+    DuckDB's identically-unrolled CTE chain at every depth — each
+    extra round compounds any application off-by-one, so depth 5
+    exercises 4 chained apply/recount steps."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        _bpe_oracle,
+        bpe_train_merges,
+    )
+
+    got = bpe_train_merges(spark, sf_dir, n_merges=n_merges).toPandas()
+    want = _doc_oracle(sf_dir, _bpe_oracle(n_merges))
+    assert not compare_frames(got, want)
+    # published-algorithm invariant: selected counts never increase
+    # (a merge can only shrink or preserve any other pair's count)
+    ns = got.sort_values("merge_rank")["n"].tolist()
+    assert all(a >= b for a, b in zip(ns, ns[1:])), ns

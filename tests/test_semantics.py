@@ -868,3 +868,47 @@ def test_gopher_quality_rules_are_internally_consistent(spark, sf_dir):
             * r.pass_alpha
             * r.pass_stopwords
         )
+
+
+def test_bpe_merge_application_is_greedy_left_to_right(spark):
+    """The doubled-space replace must reproduce published BPE greedy
+    application exactly: self-overlapping runs merge left-to-right
+    without rescanning ('a a a a a' -> ['a+a','a+a','a'], so pair
+    ('a','a') counts 5 pre-merge but the merged token never re-pairs
+    with a bare 'a' on the left), and rank ties break on pair asc."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        _bpe_merge_rounds,
+    )
+
+    docs = spark.createDataFrame([("a a a a a",), ("b c b c",), ("a a b",)], ["text"])
+    got = {
+        r.merge_rank: (r.pair, r.n)
+        for r in _bpe_merge_rounds(docs, 3).collect()
+    }
+    # r1: 'a a' appears 4x in doc1 + 1x in doc3
+    # r2: doc1 -> 'a+a a+a a', doc3 -> 'a+a b'; 'b c' (2x in doc2) wins
+    # r3: all remaining pairs count 1; 'a+a a' is the asc-first
+    assert got == {1: ("a a", 5), 2: ("b c", 2), 3: ("a+a a", 1)}
+
+
+def test_incremental_minhash_finds_planted_resubmissions(spark, sf_dir):
+    """Every planted near-dup re-submission (corpus doc_id < 50, last
+    word dropped, id + 3e6) the certificate's exact-Jaccard truth
+    marks >= 0.9 must be admitted-as-duplicate by the index probe, and
+    the probe must never pair a batch doc with itself or emit a
+    corpus-side id on the batch side."""
+    found = dedup.dedup_minhash_incremental(spark, sf_dir).collect()
+    assert all(r.batch_id != r.corpus_id for r in found)
+    assert all(r.batch_id % 10 == 0 or r.batch_id >= 3_000_000 for r in found)
+    assert all(r.corpus_id % 10 != 0 and r.corpus_id < 3_000_000 for r in found)
+    planted_hits = {
+        r.corpus_id for r in found if r.batch_id == r.corpus_id + 3_000_000
+    }
+    expected = {
+        r.doc_id
+        for r in dedup._incremental_sides(spark, sf_dir)[0]
+        .filter((F.col("doc_id") < 50) & (F.size(F.split("text", " ")) >= 2))
+        .collect()
+    }
+    # same estimator tolerance as test_minhash_lsh_recovers_injected_pairs
+    assert len(expected - planted_hits) <= 2, sorted(expected - planted_hits)
