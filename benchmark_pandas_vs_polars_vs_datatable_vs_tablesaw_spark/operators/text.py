@@ -1013,6 +1013,111 @@ def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
 BPE_TRAIN_MERGES_ORACLE = _bpe_oracle()
 
 
+def bpe_encode_corpus(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Tokenizer APPLICATION: encode the corpus with the merges
+    :func:`bpe_train_merges` learned — the train→apply lifecycle of a
+    real tokenizer (learn merges on the corpus once, then every
+    pretraining document is encoded with them). Per doc: raw
+    whitespace token count, post-BPE token count, and the exact
+    integer-basis-point compression floor(10000·(raw−bpe)/raw).
+
+    The merge list re-derives from the training loop's persisted
+    1-row winners (cache-shared with bpe_train_merges in-session; a
+    stored merge table at 100 TB), then encoding is a fold of
+    n_merges broadcast-scalar crossJoins over ONE corpus scan — pure
+    per-row string algebra, the same greedy doubled-space application
+    as training, so a span merged during training merges identically
+    at encode time. floor() is explicit in both engines (Spark
+    CAST(double AS INT) truncates, DuckDB rounds — the classic
+    divergence the integer-bp convention exists to dodge).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = _bpe_merge_rounds(docs.select("text"), n_merges)
+    cur = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens_raw"),
+        F.col("text").alias("seq"),
+    )
+    for rank in range(1, n_merges + 1):
+        chosen = F.broadcast(
+            merges.filter(F.col("merge_rank") == rank).select(F.col("pair").alias("mp"))
+        )
+        cur = cur.crossJoin(chosen).select(
+            "doc_id", "n_tokens_raw", F.expr(_BPE_APPLY_MERGE_EXPR).alias("seq")
+        )
+    return cur.select(
+        "doc_id",
+        "n_tokens_raw",
+        F.size(F.split("seq", " ")).alias("n_tokens_bpe"),
+        F.expr(
+            "CAST(floor(10000.0 * (n_tokens_raw - size(split(seq, ' ')))"
+            " / n_tokens_raw) AS INT)"
+        ).alias("saved_bp"),
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = BPE_MERGES) -> str:
+    """Unrolled-CTE DuckDB oracle for :func:`bpe_encode_corpus`: the
+    training chain of :func:`_bpe_oracle` plus a doc_id-carrying
+    encode chain folding the same merges in rank order."""
+
+    def pairs_sql(src: str) -> str:
+        return f"""
+  SELECT pair, count(*) AS n FROM (
+    SELECT unnest(
+      CASE WHEN len(string_split(seq, ' ')) >= 2 THEN
+        list_transform(range(1, len(string_split(seq, ' '))),
+                       i -> string_split(seq, ' ')[i] || ' ' ||
+                            string_split(seq, ' ')[i + 1])
+      ELSE [] END) AS pair
+    FROM {src}
+  ) GROUP BY pair
+"""
+
+    def apply_sql(seq_expr: str, top: str) -> str:
+        return f"""trim(replace(
+    replace(' ' || replace({seq_expr}, ' ', '  ') || ' ',
+            ' ' || string_split({top}.pair, ' ')[1] || '  ' || string_split({top}.pair, ' ')[2] || ' ',
+            ' ' || string_split({top}.pair, ' ')[1] || '+' || string_split({top}.pair, ' ')[2] || ' '),
+    '  ', ' '))"""
+
+    ctes = ["seq0 AS (SELECT text AS seq FROM documents)"]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"p{r} AS ({pairs_sql(f'seq{r - 1}')})")
+        ctes.append(
+            f"top{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1)"
+        )
+        if r < n_merges:
+            ctes.append(
+                f"seq{r} AS (SELECT {apply_sql('s.seq', 't')} AS seq FROM seq{r - 1} s, top{r} t)"
+            )
+    ctes.append(
+        "d0 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT)"
+        " AS n_tokens_raw, text AS seq FROM documents)"
+    )
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"d{r} AS (SELECT doc_id, n_tokens_raw, {apply_sql('d.seq', 't')} AS seq"
+            f" FROM d{r - 1} d, top{r} t)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, n_tokens_raw,
+       CAST(len(string_split(seq, ' ')) AS INT) AS n_tokens_bpe,
+       CAST(floor(10000.0 * (n_tokens_raw - len(string_split(seq, ' ')))
+                  / n_tokens_raw) AS INT) AS saved_bp
+FROM d{n_merges}
+"""
+    )
+
+
+BPE_ENCODE_ORACLE = _bpe_encode_oracle()
+
+
 # per-language keep thresholds out of 256 md5 buckets: downsample
 # overrepresented languages, keep the rest whole — the data-mixture
 # step of corpus assembly. 256ths so the rule is exact in integers.
@@ -2816,6 +2921,7 @@ QUERIES: dict = {
     "contamination_ngram_overlap": (contamination_ngram_overlap, CONTAMINATION_ORACLE),
     "bpe_pair_counts": (bpe_pair_counts, BPE_PAIR_ORACLE),
     "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_MERGES_ORACLE),
+    "bpe_encode_corpus": (bpe_encode_corpus, BPE_ENCODE_ORACLE),
     "data_mixture_resample": (data_mixture_resample, DATA_MIXTURE_ORACLE),
     "token_rarity_score": (token_rarity_score, TOKEN_RARITY_ORACLE),
     "chunk_documents": (chunk_documents, CHUNK_DOCUMENTS_ORACLE),

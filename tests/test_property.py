@@ -483,3 +483,23 @@ def test_bpe_merges_match_for_any_round_count(spark, sf_dir, n_merges):
     # (a merge can only shrink or preserve any other pair's count)
     ns = got.sort_values("merge_rank")["n"].tolist()
     assert all(a >= b for a, b in zip(ns, ns[1:])), ns
+
+
+@SETTINGS
+@given(n_merges=st.integers(min_value=1, max_value=4))
+def test_bpe_encode_matches_for_any_merge_count(spark, sf_dir, n_merges):
+    """Tokenizer application must agree with DuckDB at every merge
+    depth — the encode fold reuses training's greedy apply, so any
+    train/apply asymmetry (a span that trains one way and encodes
+    another) shows up as a per-doc token-count mismatch. Also pins the
+    compression invariant: encoding never grows a document."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        _bpe_encode_oracle,
+        bpe_encode_corpus,
+    )
+
+    got = bpe_encode_corpus(spark, sf_dir, n_merges=n_merges).toPandas()
+    want = _doc_oracle(sf_dir, _bpe_encode_oracle(n_merges))
+    assert not compare_frames(got, want)
+    assert (got["n_tokens_bpe"] <= got["n_tokens_raw"]).all()
+    assert (got["saved_bp"] >= 0).all()
