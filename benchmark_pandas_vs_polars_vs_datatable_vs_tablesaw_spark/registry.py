@@ -61,8 +61,8 @@ _MODULES = (
 # Registration order == driver correctness-check order (the driver
 # verifies the first N registry entries per round; N has been 50).
 # Entering round 10 every one of the 283 pre-existing queries has a
-# driver row (280 hash-green, 3 rows-only by design; round 10 adds 4
-# never-checked entries, 287 total), so the window's job is keeping
+# driver row (280 hash-green, 3 rows-only by design; round 10 adds 6
+# never-checked entries, 289 total), so the window's job is keeping
 # rows from silently trailing code changes (VERDICT r6 "Next round"
 # #1) and continuing the vintage drain — this window takes the ENTIRE
 # r4 tail (44 rows, VERDICT r9 #4), after which no row older than r5
@@ -80,8 +80,8 @@ _MODULES = (
 #        round-k row only if every older row is also included (the
 #        enforced rule is max(window rounds) <= min(excluded rounds),
 #        changed-since-row entries aside). Round 10 drains the entire
-#        r4 tail (44 rows — the VERDICT r9 #4 queue) plus the first
-#        2 r5 rows alphabetically to fill 50.
+#        r4 tail (44 rows — the VERDICT r9 #4 queue); with the 6 new
+#        entries that fills 50 exactly (no r5 fill this round).
 #
 # OUTPUT CONVENTION (registry-wide, pinned after r5's red row): every
 # registry query result must be sortable by an engine-neutral pandas
@@ -109,6 +109,8 @@ _PRIORITY = (
     "dedup_minhash_incremental_recall", # new r10 (dedup.py, its exact-truth certificate)
     "bpe_train_merges",                 # new r10 (text.py, unrolled BPE merge loop)
     "bpe_encode_corpus",                # new r10 (text.py, tokenizer train->apply)
+    "streaming_minhash_dedup",          # new r10 (streaming, growing-index dedup)
+    "streaming_minhash_dedup_recall",   # new r10 (streaming, its planted certificate)
     # (i) changed-since-row (attestation_ledger.py, round-10 run):
     #     none — no pre-existing query function body was edited this
     #     round (round 10's code work was additive operators plus
@@ -163,9 +165,6 @@ _PRIORITY = (
     "triangle_count_copurchase",
     "weighted_median_by_group",
     "weighted_reservoir_sample",
-    # r5 vintage fill (2 — the 4th r10 addition displaces one):
-    "asof_forward_tolerance",
-    "asof_nearest_tolerance",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

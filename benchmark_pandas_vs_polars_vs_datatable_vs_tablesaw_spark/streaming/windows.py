@@ -663,6 +663,186 @@ GROUP BY user_id
 """
 
 
+# Planted-rejection floor for the streaming MinHash certificate: the
+# ~25 planted one-word-edit near-dups must be caught; token-level
+# MinHash at est_jaccard >= 0.5 legitimately misses the shortest docs
+# (same <=2-of-25 tolerance as the batch LSH semantics test), so the
+# floor is 0.9 (measured 1.0 at sf0.001 and sf0.01).
+STREAMING_MINHASH_RECALL_FLOOR = 0.9
+
+_EST_JACCARD_EXPR = (
+    "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+    " 0, (acc, v) -> acc + v)"
+)
+
+
+def streaming_minhash_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming near-dup dedup against a GROWING MinHash index: each
+    micro-batch probes the band-signature index built from every prior
+    batch (the `dedup_minhash_incremental` lookup), also self-checks
+    within the batch, writes per-doc admission decisions, and APPENDS
+    the batch's signatures + band rows to the index — the continuously-
+    ingesting twin of the batch operator, i.e. how a 100 TB pipeline
+    actually runs dedup: the index is a stored table that only ever
+    grows by the batch, never recomputes.
+
+    Admission rule (split-invariant by construction): a doc is
+    rejected iff it is a near-dup (est_jaccard >= 0.5) of ANY doc with
+    a smaller doc_id already seen — within the batch via the banded
+    self-join (lower id survives), across batches via the index probe.
+    The index records every fingerprint SEEN (admitted AND rejected),
+    which is what makes decisions invariant to how the stream is
+    micro-batched: a doc near-duplicate of a rejected doc is still a
+    duplicate of something seen (scripts/streaming_minhash_probe.py
+    certifies multi-batch == single-batch == the one-pass batch rule;
+    batches must arrive in nondecreasing doc_id ranges for the id rule
+    to be arrival-consistent — true of monotone-id ingest).
+
+    Default source: the documents fixture plus the standard planted
+    near-dups (doc_id < 25, last word dropped, id + 1e6) so the stream
+    contains known duplicates to catch. Rows-only (xxhash64); the
+    paired certificate `streaming_minhash_dedup_recall` is fully
+    oracle-checked. foreachBatch state lives in parquet dirs, never
+    executor memory.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import N_HASHES, band_table, minhash_signatures
+
+    min_matches = 0.5 * N_HASHES  # est_jaccard >= 0.5 in integer match counts
+
+    work = os.path.join(
+        tempfile.gettempdir(), "sparkbench_mh_stream", uuid.uuid4().hex[:12]
+    )
+    sig_dir = os.path.join(work, "index_sigs")
+    band_dir = os.path.join(work, "index_bands")
+    dec_dir = os.path.join(work, "decisions")
+    state = {"has_index": False}
+
+    if stream_dir is None:
+        docs = _documents_stream(spark, sf_dir).select("doc_id", "text")
+        toks = F.split(F.col("text"), " ")
+        trimmed = F.expr(
+            "substr(text, 1, length(text) - length(element_at(split(text, ' '), -1)) - 1)"
+        )
+        planted = docs.filter((F.col("doc_id") < 25) & (F.size(toks) >= 2)).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), trimmed.alias("text")
+        )
+        stream = docs.unionByName(planted)
+    else:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+        )
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+        stream = reader.parquet(stream_dir)
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        sigs = minhash_signatures(batch_df).persist()
+        bands = band_table(sigs)
+        rejected_parts = []
+        # within-batch: lower doc_id survives, banded self-join only
+        within = (
+            bands.alias("l")
+            .join(
+                bands.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bh") == F.col("r.bh"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+            .join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")), "doc_a")
+            .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")), "doc_b")
+            .filter(F.expr(_EST_JACCARD_EXPR) >= min_matches)
+            .select(F.col("doc_b").alias("doc_id"))
+        )
+        rejected_parts.append(within)
+        if state["has_index"]:
+            idx_sigs = sess.read.parquet(sig_dir)
+            idx_bands = sess.read.parquet(band_dir)
+            vs_index = (
+                bands.join(
+                    idx_bands.withColumnRenamed("doc_id", "idx_id"), ["band", "bh"]
+                )
+                .select("doc_id", "idx_id")
+                .dropDuplicates(["doc_id", "idx_id"])
+                .join(sigs.select("doc_id", F.col("signature").alias("sig_a")), "doc_id")
+                .join(
+                    idx_sigs.select(F.col("doc_id").alias("idx_id"), F.col("signature").alias("sig_b")),
+                    "idx_id",
+                )
+                .filter(F.expr(_EST_JACCARD_EXPR) >= min_matches)
+                .select("doc_id")
+            )
+            rejected_parts.append(vs_index)
+        rejected = rejected_parts[0]
+        for part in rejected_parts[1:]:
+            rejected = rejected.unionByName(part)
+        rejected = rejected.distinct().withColumn("rej", F.lit(1))
+        decisions = (
+            batch_df.select("doc_id")
+            .join(rejected, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("rej").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("admitted"),
+            )
+        )
+        decisions.write.mode("append").parquet(dec_dir)
+        # every fingerprint SEEN enters the index (split-invariance)
+        sigs.write.mode("append").parquet(sig_dir)
+        bands.write.mode("append").parquet(band_dir)
+        state["has_index"] = True
+        sigs.unpersist()
+        batch_df.unpersist()
+
+    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q.awaitTermination()
+    out = spark.read.parquet(dec_dir).select("doc_id", "admitted").cache()
+    out.count()  # materialize before the temp dirs go away
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def streaming_minhash_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked certificate for :func:`streaming_minhash_dedup`:
+    every planted near-dup re-submission (doc_id >= 1e6) must be
+    REJECTED by the streaming index — the planted count is exact in
+    both engines, and recall >= STREAMING_MINHASH_RECALL_FLOOR flips
+    on any index/banding/append bug."""
+    decisions = streaming_minhash_dedup(spark, sf_dir)
+    agg = decisions.filter(F.col("doc_id") >= 1_000_000).agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        F.sum(F.lit(1) - F.col("admitted")).alias("n_rejected"),
+    )
+    return agg.select(
+        "n_planted",
+        (
+            F.col("n_rejected")
+            >= F.col("n_planted") * F.lit(STREAMING_MINHASH_RECALL_FLOOR)
+        ).alias("recall_ok"),
+    )
+
+
+STREAMING_MINHASH_RECALL_ORACLE = """
+SELECT count(*) AS n_planted, TRUE AS recall_ok
+FROM documents
+WHERE doc_id < 25 AND len(string_split(text, ' ')) >= 2
+"""
+
+
 QUERIES: dict = {
     "streaming_hourly_agg": (streaming_hourly_agg, STREAMING_HOURLY_ORACLE),
     "streaming_foreachbatch_upsert": (streaming_foreachbatch_upsert, STREAMING_UPSERT_ORACLE),
@@ -683,6 +863,11 @@ QUERIES: dict = {
     "streaming_corpus_fingerprint": (
         streaming_corpus_fingerprint,
         _streaming_fingerprint_oracle(),
+    ),
+    "streaming_minhash_dedup": (streaming_minhash_dedup, None),
+    "streaming_minhash_dedup_recall": (
+        streaming_minhash_dedup_recall,
+        STREAMING_MINHASH_RECALL_ORACLE,
     ),
 }
 if _TWS_AVAILABLE:

@@ -912,3 +912,34 @@ def test_incremental_minhash_finds_planted_resubmissions(spark, sf_dir):
     }
     # same estimator tolerance as test_minhash_lsh_recovers_injected_pairs
     assert len(expected - planted_hits) <= 2, sorted(expected - planted_hits)
+
+
+def test_streaming_minhash_multibatch_equals_batch():
+    """Multi-batch certificate for streaming_minhash_dedup
+    (scripts/streaming_minhash_probe.py at test scale): admission
+    decisions must be identical whether the id-ordered stream arrives
+    as one micro-batch or one file per trigger — the split-invariance
+    bought by appending every SEEN fingerprint to the index — and
+    every planted near-dup of an earlier doc must be rejected."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "scripts", "streaming_minhash_probe.py"),
+            "2000",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["files"] > 1
+    assert res["split_invariant"], res
+    assert res["planted"] > 0 and res["planted_recall"] >= 0.9, res
