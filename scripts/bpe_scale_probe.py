@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""BPE training + encode at 1M documents — the round-10 tokenizer
+loop probed ~180x past the sf0.1 fixture.
+
+Generates the deterministic vocab-sampled corpus the other dedup/text
+probes use (~31 tokens/doc => ~30M adjacent pairs per counting round),
+runs _bpe_merge_rounds (3 select-apply-recount rounds: one corpus
+scan + one vocabulary-sized map-side-combined aggregate + a 1-row
+broadcast each) and the bpe encode fold, and reports wall time per
+stage. The claim under test: cost is LINEAR in rounds (the persisted
+1-row winners keep the plan from re-deriving earlier rounds — the
+plan snapshot pins scans == rounds) and the heavy exchange stays
+vocabulary-sized, never corpus-sized.
+
+Usage: python scripts/bpe_scale_probe.py [n_docs]
+Writes results/bpe_scale_probe.json; summarized in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark import get_spark
+from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+    _BPE_APPLY_MERGE_EXPR,
+    _bpe_merge_rounds,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+VOCAB = 50_000
+DOC_TOKENS = 31
+
+
+# Two token distributions: "uniform" (pmod over the full vocab — pairs
+# are nearly all distinct, so the pair aggregate degenerates to
+# corpus-sized: the measured WORST case) and "zipf" (hash quantile
+# cubed — mass concentrates on low ids like real text, so distinct
+# pairs collapse by orders of magnitude: the realistic case).
+TOKEN_EXPRS = {
+    "uniform": f"concat('w', pmod(xxhash64(id * 131 + t), {VOCAB}))",
+    "zipf": (
+        f"concat('w', CAST(pow(pmod(xxhash64(id * 131 + t), 100000) / 100000.0, 3)"
+        f" * {VOCAB} AS INT))"
+    ),
+}
+
+
+def run_cell(spark, dist: str) -> dict:
+    path = f"/tmp/bpe_probe_{dist}_{N}.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark.range(N).select(
+            F.expr(
+                f"concat_ws(' ', transform(sequence(1, {DOC_TOKENS}),"
+                f" t -> {TOKEN_EXPRS[dist]}))"
+            ).alias("text")
+        ).repartition(64).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    n_docs = docs.count()
+
+    distinct_pairs = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 2),"
+                    " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1]))"
+                )
+            ).alias("pair")
+        )
+        .agg(F.countDistinct("pair").alias("d"))
+        .collect()[0]
+        .d
+    )
+
+    stages = {}
+    t0 = time.perf_counter()
+    merges = _bpe_merge_rounds(docs, 3)
+    rows = merges.collect()
+    stages["train_3_rounds_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    cur = docs.select(F.col("text").alias("seq"))
+    for rank in (1, 2, 3):
+        chosen = F.broadcast(
+            merges.filter(F.col("merge_rank") == rank).select(F.col("pair").alias("mp"))
+        )
+        cur = cur.crossJoin(chosen).select(F.expr(_BPE_APPLY_MERGE_EXPR).alias("seq"))
+    encoded_tokens = cur.select(
+        F.sum(F.size(F.split("seq", " "))).alias("n")
+    ).collect()[0].n
+    stages["encode_3_merges_s"] = round(time.perf_counter() - t0, 2)
+    return {
+        "distribution": dist,
+        "docs": n_docs,
+        "pairs_per_round": n_docs * (DOC_TOKENS - 1),
+        "distinct_pairs": int(distinct_pairs),
+        "top_merge_n": rows[0].n,
+        "raw_tokens": n_docs * DOC_TOKENS,
+        "encoded_tokens": int(encoded_tokens),
+        **stages,
+        "docs_per_sec_train": int(n_docs / stages["train_3_rounds_s"]),
+    }
+
+
+def main() -> None:
+    spark = get_spark("bpe-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    cells = [run_cell(spark, dist) for dist in ("zipf", "uniform")]
+    for c in cells:
+        print(json.dumps(c), flush=True)
+    out = {"cells": cells, "generated": time.strftime("%Y-%m-%dT%H:%M:%S")}
+    with open(os.path.join(REPO, "results", "bpe_scale_probe.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("-> results/bpe_scale_probe.json", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

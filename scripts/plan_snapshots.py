@@ -47,6 +47,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 SNAPSHOT_QUERIES = [
     "dedup_minhash_incremental",
     "bpe_train_merges",
+    "bpe_encode_corpus",
     "decontaminate_winnowing",
     "gopher_repetition_signals",
     "dsir_importance_weights",
