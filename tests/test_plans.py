@@ -513,3 +513,48 @@ def test_sentence_dedup_single_scan_and_shuffle_budget(spark, sf_dir):
         ]
         assert len(scans) == 1, (fn.__name__, scans)
         assert explain.shuffle_count(df) <= 4, fn.__name__
+
+
+def test_incremental_minhash_bucketed_probe_no_index_exchange(spark, sf_dir):
+    """The stored (band, bh)-bucketed MinHash index (VERDICT r10 #1):
+    the ingest-batch probe join must plan ZERO Exchange on the index
+    side — the batch shuffles itself into the index's bucket layout and
+    merge-joins co-located buckets. The 2 exchanges in the probe plan
+    are both batch-side (signature min-agg + the SMJ probe side); the
+    bucketing-disabled control shows the third, index-side exchange
+    that bucketing removes — at 100 TB that third exchange is a
+    corpus-sized shuffle per ingest batch."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import dedup
+
+    cand, _ = dedup._bucketed_probe_band_join(spark, sf_dir)
+    text = explain.plan_text(cand)
+    assert "SortMergeJoin" in text
+    assert "mh_band_idx" in text
+    assert "Bucketed: true" in text, "index scan must use the bucketed layout"
+    assert explain.shuffle_count(cand) == 2, text
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    try:
+        control, _ = dedup._bucketed_probe_band_join(spark, sf_dir)
+        assert explain.shuffle_count(control) == 3, (
+            "control: without bucketing the index side must add its exchange"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+
+
+def test_incremental_minhash_bucketed_verify_join_uses_sig_buckets(spark, sf_dir):
+    """The est-Jaccard verify step re-attaches corpus signatures from
+    the doc_id-bucketed signature table: both stored index scans in the
+    full probe plan must read Bucketed: true (only the candidate list
+    ever shuffles — corpus signatures never move)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import dedup
+
+    df = dedup.dedup_minhash_incremental_bucketed(spark, sf_dir)
+    text = explain.plan_text(df)
+    for tbl in ("mh_band_idx", "mh_sig_idx"):
+        scan_detail = [
+            seg for seg in text.split("\n\n") if f"Scan parquet spark_catalog.default.{tbl}" in seg
+        ]
+        assert scan_detail, f"{tbl} scan missing from probe plan"
+    assert "Bucketed: false" not in text, "a stored index scan fell off the bucketed read path"
+    assert "Bucketed: true" in text

@@ -914,6 +914,23 @@ def test_incremental_minhash_finds_planted_resubmissions(spark, sf_dir):
     assert len(expected - planted_hits) <= 2, sorted(expected - planted_hits)
 
 
+def test_incremental_bucketed_equals_persisted(spark, sf_dir):
+    """The stored-bucketed index probe (production 100 TB layout) and
+    the session-persisted variant are the same algorithm over the same
+    index content — their admission decisions must be row-identical.
+    This equivalence is what lets ONE oracle-checked certificate
+    (`dedup_minhash_incremental_recall`, pointed at the bucketed path)
+    cover both variants."""
+    bucketed = sorted(
+        map(tuple, dedup.dedup_minhash_incremental_bucketed(spark, sf_dir).collect())
+    )
+    persisted = sorted(
+        map(tuple, dedup.dedup_minhash_incremental(spark, sf_dir).collect())
+    )
+    assert bucketed == persisted
+    assert len(bucketed) > 0
+
+
 def test_streaming_minhash_multibatch_equals_batch():
     """Multi-batch certificate for streaming_minhash_dedup
     (scripts/streaming_minhash_probe.py at test scale): admission
