@@ -1118,6 +1118,201 @@ FROM d{n_merges}
 BPE_ENCODE_ORACLE = _bpe_encode_oracle()
 
 
+# Batched-trainer dials (registry entry): 4 merges in rounds of up to
+# 2 — two full count-scan rounds instead of four. The candidate cap
+# bounds the driver-side greedy selection; it is mirrored exactly in
+# the oracle so both engines greedy-select over the identical list.
+BPE_BATCHED_MERGES = 4
+BPE_BATCH_K = 2
+BPE_CAND_CAP = 64
+
+
+def _apply_merge_literal_expr(pair: str) -> str:
+    """:data:`_BPE_APPLY_MERGE_EXPR` with the chosen pair inlined as a
+    literal (tokens are [a-z0-9+] — quote-safe): the batched trainer
+    selects merges driver-side, so the apply projection carries no
+    DataFrame reference and the per-round plan stays one scan deep."""
+    a, b = pair.split(" ")
+    return (
+        f"trim(replace(replace(' ' || replace(seq, ' ', '  ') || ' ',"
+        f" ' {a}  {b} ', ' {a}+{b} '), '  ', ' '))"
+    )
+
+
+def _greedy_disjoint(cands, k: int) -> list[tuple[str, int]]:
+    """First-k token-disjoint pairs from an ordered candidate list —
+    the batched-BPE selection rule: walk (count desc, pair asc),
+    skip any pair sharing a token with an already-selected one."""
+    sel: list[tuple[str, int]] = []
+    used: set[str] = set()
+    for pair, n in cands:
+        a, b = pair.split(" ")
+        if a in used or b in used:
+            continue
+        sel.append((pair, n))
+        used.update((a, b))
+        if len(sel) == k:
+            break
+    return sel
+
+
+def _bpe_merge_rounds_batched(
+    docs: DataFrame, n_merges: int, batch_k: int, cand_cap: int = BPE_CAND_CAP
+) -> DataFrame:
+    """Core of :func:`bpe_train_merges_batched` on an arbitrary (text)
+    frame so the property tests can drive hand-built micro corpora."""
+    spark = docs.sparkSession
+    cur = docs.select(F.col("text").alias("seq"))
+    picked: list[tuple[int, str, int]] = []
+    while len(picked) < n_merges:
+        k = min(batch_k, n_merges - len(picked))
+        counts = (
+            cur.select(F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count("*").alias("n"))
+        )
+        # TakeOrderedAndProject of a tiny, capped candidate list — the
+        # only driver-side step (same bounded pattern as k-means
+        # centroids); greedy disjoint selection is inherently
+        # sequential and O(cand_cap)
+        top = [
+            (r.pair, r.n)
+            for r in counts.orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(cand_cap)
+            .collect()
+        ]
+        sel = _greedy_disjoint(top, k)
+        if not sel:
+            break  # no pairs left (corpus fully merged)
+        for pair, n in sel:
+            picked.append((len(picked) + 1, pair, int(n)))
+        # ONE-pass apply: token-disjoint merges commute, so the k
+        # chained narrow projections share a single corpus scan
+        for pair, _ in sel:
+            cur = cur.select(F.expr(_apply_merge_literal_expr(pair)).alias("seq"))
+    return spark.createDataFrame(
+        picked, schema="merge_rank INT, pair STRING, n BIGINT"
+    )
+
+
+def bpe_train_merges_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_BATCHED_MERGES,
+    batch_k: int = BPE_BATCH_K,
+) -> DataFrame:
+    """BPE training with BATCHED non-interacting merges per round —
+    the real-trainer optimization :func:`bpe_train_merges` names: each
+    round counts pairs ONCE, greedily selects up to ``batch_k``
+    token-disjoint merges from the ordered candidate list (count desc,
+    pair asc; a pair sharing a token with a higher-ranked selected
+    pair is skipped — it must wait for a later round, because merging
+    its neighbour changes its occurrences), applies them all in one
+    pass, and recounts. Cuts training scans from n_merges to
+    ~n_merges/batch_k — at 100 TB each scan is a full corpus pass, so
+    the batch factor is wall-clock-linear.
+
+    Token-disjoint merges commute (merging A·B cannot create, destroy,
+    or move any C·D adjacency when {A,B}∩{C,D}=∅), so the one-pass
+    apply equals applying them sequentially; when additionally no pair
+    spawned by an earlier batch-mate would out-rank a later one,
+    batched == the sequential trainer exactly —
+    tests/test_property.py::test_bpe_batched_equals_sequential_when_disjoint
+    pins that equivalence, batch_k=1 degenerating to
+    :func:`bpe_train_merges` on the fixture, and the conflict-skip
+    rule on a hand-built interacting corpus.
+
+    Oracle: the same rounds unrolled as CTEs with the greedy disjoint
+    selection expressed per batch slot (slot j = first candidate
+    list_has_any-disjoint from slots 1..j-1), over the identically
+    capped candidate list.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return _bpe_merge_rounds_batched(docs, n_merges, batch_k)
+
+
+def _bpe_batched_oracle(
+    n_merges: int = BPE_BATCHED_MERGES,
+    batch_k: int = BPE_BATCH_K,
+    cand_cap: int = BPE_CAND_CAP,
+) -> str:
+    """Unrolled-CTE DuckDB oracle for
+    :func:`bpe_train_merges_batched`: per round, a row_number-capped
+    candidate list and one CTE per batch slot selecting the first
+    candidate token-disjoint from every earlier slot in the same round
+    (cross join + the four token inequalities per prior slot); the
+    apply CTE folds the round's slots in rank order. Assumes each slot finds a candidate (true of the fixture;
+    the Spark side handles exhaustion by stopping early — covered in
+    the property tests, not here)."""
+
+    def pairs_sql(src: str) -> str:
+        return f"""
+  SELECT pair, count(*) AS n FROM (
+    SELECT unnest(
+      CASE WHEN len(string_split(seq, ' ')) >= 2 THEN
+        list_transform(range(1, len(string_split(seq, ' '))),
+                       i -> string_split(seq, ' ')[i] || ' ' ||
+                            string_split(seq, ' ')[i + 1])
+      ELSE [] END) AS pair
+    FROM {src}
+  ) GROUP BY pair
+"""
+
+    def apply_sql(seq_expr: str, top: str) -> str:
+        return f"""trim(replace(
+    replace(' ' || replace({seq_expr}, ' ', '  ') || ' ',
+            ' ' || string_split({top}.pair, ' ')[1] || '  ' || string_split({top}.pair, ' ')[2] || ' ',
+            ' ' || string_split({top}.pair, ' ')[1] || '+' || string_split({top}.pair, ' ')[2] || ' '),
+    '  ', ' '))"""
+
+    ctes = ["seq0 AS (SELECT text AS seq FROM documents)"]
+    selects: list[str] = []
+    rank = 0
+    rnd = 0
+    while rank < n_merges:
+        rnd += 1
+        k = min(batch_k, n_merges - rank)
+        ctes.append(f"p{rnd} AS ({pairs_sql(f'seq{rnd - 1}')})")
+        ctes.append(
+            f"c{rnd} AS (SELECT pair, n FROM (SELECT pair, n,"
+            f" row_number() OVER (ORDER BY n DESC, pair ASC) AS rn FROM p{rnd})"
+            f" WHERE rn <= {cand_cap})"
+        )
+        slots = []
+        for j in range(1, k + 1):
+            froms = ", ".join(
+                [f"c{rnd} c"] + [f"s{rnd}_{i} x{i}" for i in range(1, j)]
+            )
+            disjoint = " AND ".join(
+                f"string_split(c.pair, ' ')[{t}] != string_split(x{i}.pair, ' ')[{u}]"
+                for i in range(1, j)
+                for t in (1, 2)
+                for u in (1, 2)
+            )
+            where = f" WHERE {disjoint}" if disjoint else ""
+            ctes.append(
+                f"s{rnd}_{j} AS (SELECT c.pair, c.n FROM {froms}{where}"
+                f" ORDER BY c.n DESC, c.pair ASC LIMIT 1)"
+            )
+            rank += 1
+            selects.append(
+                f"SELECT {rank} AS merge_rank, pair, n FROM s{rnd}_{j}"
+            )
+            slots.append(f"s{rnd}_{j}")
+        if rank < n_merges:
+            seq_expr = "s.seq"
+            for j, slot in enumerate(slots, start=1):
+                seq_expr = apply_sql(seq_expr, f"t{j}")
+            froms = ", ".join(
+                [f"seq{rnd - 1} s"] + [f"{slot} t{j}" for j, slot in enumerate(slots, start=1)]
+            )
+            ctes.append(f"seq{rnd} AS (SELECT {seq_expr} AS seq FROM {froms})")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+BPE_BATCHED_ORACLE = _bpe_batched_oracle()
+
+
 # per-language keep thresholds out of 256 md5 buckets: downsample
 # overrepresented languages, keep the rest whole — the data-mixture
 # step of corpus assembly. 256ths so the rule is exact in integers.
@@ -2921,6 +3116,7 @@ QUERIES: dict = {
     "contamination_ngram_overlap": (contamination_ngram_overlap, CONTAMINATION_ORACLE),
     "bpe_pair_counts": (bpe_pair_counts, BPE_PAIR_ORACLE),
     "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_MERGES_ORACLE),
+    "bpe_train_merges_batched": (bpe_train_merges_batched, BPE_BATCHED_ORACLE),
     "bpe_encode_corpus": (bpe_encode_corpus, BPE_ENCODE_ORACLE),
     "data_mixture_resample": (data_mixture_resample, DATA_MIXTURE_ORACLE),
     "token_rarity_score": (token_rarity_score, TOKEN_RARITY_ORACLE),

@@ -60,13 +60,13 @@ _MODULES = (
 
 # Registration order == driver correctness-check order (the driver
 # verifies the first N registry entries per round; N has been 50).
-# Entering round 10 every one of the 283 pre-existing queries has a
-# driver row (280 hash-green, 3 rows-only by design; round 10 adds 6
-# never-checked entries, 289 total), so the window's job is keeping
+# Entering round 11 every one of the 289 pre-existing queries has a
+# driver row (284 hash-green, 5 rows-only by design; round 11 adds 2
+# never-checked entries, 291 total), so the window's job is keeping
 # rows from silently trailing code changes (VERDICT r6 "Next round"
-# #1) and continuing the vintage drain — this window takes the ENTIRE
-# r4 tail (44 rows, VERDICT r9 #4), after which no row older than r5
-# remains. ROTATION POLICY, pinned
+# #1) and continuing the vintage drain — this window takes the 3
+# round-11-changed entries plus 45 of the 47 r5-vintage rows (the
+# 2-row alphabetical tail queues for round 12). ROTATION POLICY, pinned
 # by tests/test_harness.py::test_priority_window_is_ledger_justified
 # against scripts/attestation_ledger.py (which ast-diffs every query
 # function between the commit its last driver row ran against and the
@@ -102,69 +102,67 @@ _MODULES = (
 # (tests/test_registry_smoke.py), so a convention violation fails
 # pytest before it can fail a driver round.
 _PRIORITY = (
-    # ---- ROUND 10 WINDOW (first 50 = the driver's check set) ----
-    # (iii) never-checked: the round-10 additions — no driver row
+    # ---- ROUND 11 WINDOW (first 50 = the driver's check set) ----
+    # (iii) never-checked: the round-11 additions — no driver row
     #       exists, they rotate in first.
-    "dedup_minhash_incremental",        # new r10 (dedup.py, persisted-index probe)
-    "dedup_minhash_incremental_recall", # new r10 (dedup.py, its exact-truth certificate)
-    "bpe_train_merges",                 # new r10 (text.py, unrolled BPE merge loop)
-    "bpe_encode_corpus",                # new r10 (text.py, tokenizer train->apply)
-    "streaming_minhash_dedup",          # new r10 (streaming, growing-index dedup)
-    "streaming_minhash_dedup_recall",   # new r10 (streaming, its planted certificate)
-    # (i) changed-since-row (attestation_ledger.py, round-10 run):
-    #     none — no pre-existing query function body was edited this
-    #     round (round 10's code work was additive operators plus
-    #     harness scripts outside the registry).
+    "dedup_minhash_incremental_bucketed",  # new r11 (dedup.py, stored bucketBy index — VERDICT r10 #1)
+    "bpe_train_merges_batched",            # new r11 (text.py, batched disjoint merges — VERDICT r10 #5)
+    # (i) changed-since-row (attestation_ledger.py, round-11 run):
+    "dedup_minhash_incremental_recall",    # re-pointed at the bucketed probe path
+    "streaming_minhash_dedup",             # first-seen-wins admission (VERDICT r10 #2)
+    "streaming_minhash_dedup_recall",      # certificate re-stated for arrival semantics
     # (ii) stalest-first, monotone (max in-window round <= min
-    #     excluded round, changed entries aside): ALL 44 remaining
-    #     r4-vintage rows — the VERDICT r9 #4 drain; after this
-    #     window no row older than r5 remains — then the first 3
-    #     r5 rows alphabetically to fill 50.
-    # r4 vintage (44):
-    "asof_join_purchase_view",
-    "bigram_lm_score",
-    "bitmap_distinct_users",
-    "boilerplate_phrase_ratio",
-    "compact_small_files",
-    "dedup_minhash_recall",
-    "dedup_semantic_clusters",
-    "dedup_simhash_recall",
-    "dq_constraint_report",
-    "event_transition_matrix",
-    "events_anomaly_zscore",
-    "events_sessionization",
-    "feature_hash_bag",
-    "frequent_event_paths",
-    "fuzzy_dedup_pipeline",
-    "geo_cell_density",
-    "geo_nearest_supplier",
-    "hierarchical_rollup_events",
-    "incremental_agg_maintenance",
-    "interval_concurrency_peak",
-    "inverted_index_sample",
-    "join_cardinality_report",
-    "key_skew_report",
-    "kmeans_lloyd_two_rounds",
-    "m4_downsample_events",
-    "mad_outlier_events",
-    "mixture_temperature_resample",
-    "mllib_lsh_recall",
-    "pagerank_nation_trade",
-    "purchase_attribution_last_touch",
-    "q22_sales_opportunity",
-    "quality_percentile_rank",
-    "quantile_bin_features",
-    "retention_cohort_matrix",
-    "revenue_contribution_shares",
-    "rolling_median_by_user",
-    "scd2_priority_history",
-    "snapshot_diff_cdc",
-    "streaming_interval_join",
-    "token_rarity_score",
-    "trend_regression_by_type",
-    "triangle_count_copurchase",
-    "weighted_median_by_group",
-    "weighted_reservoir_sample",
+    #     excluded round, changed entries aside): 45 of the 47
+    #     r5-vintage rows, alphabetical; the remaining 2
+    #     (target_encode_smoothed, user_feature_vector — the
+    #     alphabetical tail) queue for round 12, when the r5 vintage
+    #     fully drains.
+    # r5 vintage (45 of 47):
+    "asof_forward_tolerance",
+    "asof_nearest_tolerance",
+    "bloom_prefilter_join",
+    "chi2_token_source",
+    "classifier_pr_eval",
+    "collocation_pmi_top",
+    "copurchase_degree_distribution",
+    "corpus_fingerprint",
+    "curriculum_shard_plan",
+    "cusum_changepoint_by_type",
+    "dedup_clusters_star_contraction",
+    "dedup_containment",
+    "dedup_edit_distance_blocked",
+    "dedup_incremental_exact",
+    "dedup_survivorship",
+    "embedding_dim_variance",
+    "er_weighted_match",
+    "gdpr_delete_cascade",
+    "heavy_hitters_twophase",
+    "hll_distinct_certificate",
+    "hybrid_rrf_fusion",
+    "kaplan_meier_churn_table",
+    "kcore_copurchase_peel",
+    "late_event_accounting",
+    "lateral_topn_per_nation",
+    "latesim_maxsim_topk",
+    "latesim_rerank_ann",
+    "length_bucket_batch_plan",
+    "link_prediction_common_neighbors",
+    "market_basket_rules",
+    "negative_sampling_pairs",
+    "pit_dimension_join",
+    "pq_quantize_stats",
+    "python_datasource_scan",
+    "quantile_normalize_scores",
+    "recursive_spine_gapfill",
+    "retrieval_ndcg_eval",
+    "schema_evolution_read",
+    "session_funnel_strict",
+    "skyline_pareto_frontier",
+    "sql_pipe_flagship",
+    "stratified_kfold_assign",
+    "streaming_corpus_fingerprint",
+    "streaming_doc_quality_gate",
+    "streaming_foreachbatch_upsert",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -691,24 +691,34 @@ def streaming_minhash_dedup(
     actually runs dedup: the index is a stored table that only ever
     grows by the batch, never recomputes.
 
-    Admission rule (split-invariant by construction): a doc is
-    rejected iff it is a near-dup (est_jaccard >= 0.5) of ANY doc with
-    a smaller doc_id already seen — within the batch via the banded
-    self-join (lower id survives), across batches via the index probe.
-    The index records every fingerprint SEEN (admitted AND rejected),
+    Admission rule — FIRST-SEEN-WINS (split-invariant by
+    construction, id-agnostic per VERDICT r10 #2): a doc is rejected
+    iff it is a near-dup (est_jaccard >= 0.5) of ANY doc seen EARLIER
+    in the stream, where "earlier" means an earlier micro-batch
+    (index probe) or, within the same batch, a smaller ingest-assigned
+    ``arrival_seq`` (tie broken by doc_id). Real ingest is
+    arrival-ordered, not id-ordered — the earlier lower-id-survives
+    tiebreak was only arrival-consistent for monotone-id streams. The
+    index records every fingerprint SEEN (admitted AND rejected),
     which is what makes decisions invariant to how the stream is
     micro-batched: a doc near-duplicate of a rejected doc is still a
-    duplicate of something seen (scripts/streaming_minhash_probe.py
-    certifies multi-batch == single-batch == the one-pass batch rule;
-    batches must arrive in nondecreasing doc_id ranges for the id rule
-    to be arrival-consistent — true of monotone-id ingest).
+    duplicate of something seen. scripts/streaming_minhash_probe.py
+    certifies multi-batch == single-batch on a SHUFFLED-id,
+    arrival-ordered split where re-submission ids are anti-correlated
+    with arrival (the split the old id rule fails).
 
-    Default source: the documents fixture plus the standard planted
-    near-dups (doc_id < 25, last word dropped, id + 1e6) so the stream
-    contains known duplicates to catch. Rows-only (xxhash64); the
-    paired certificate `streaming_minhash_dedup_recall` is fully
-    oracle-checked. foreachBatch state lives in parquet dirs, never
-    executor memory.
+    ``arrival_seq`` comes from the stream when present (the ingest
+    layer's sequence number); when absent it is derived as a
+    deterministic per-doc hash — an arbitrary-but-fixed arrival
+    permutation, deliberately decoupled from doc_id. The default
+    fixture source models re-submission: base docs arrive in hash
+    order ("day 1"), the planted near-dups (doc_id < 25, last word
+    dropped, id + 1e6) arrive strictly after every base doc
+    ("day 2") — a re-submission by definition follows its original,
+    which is what keeps `streaming_minhash_dedup_recall`'s
+    planted-rejected assertion exact. Rows-only (xxhash64); that
+    paired certificate is fully oracle-checked. foreachBatch state
+    lives in parquet dirs, never executor memory.
     """
     import os
     import shutil
@@ -726,34 +736,58 @@ def streaming_minhash_dedup(
     dec_dir = os.path.join(work, "decisions")
     state = {"has_index": False}
 
+    # Derived arrival permutation for sources that carry no ingest
+    # sequence: arbitrary-but-fixed, deliberately decoupled from id
+    # order (pmod keeps it non-negative so the day-2 offset below
+    # always sorts after it).
+    derived_seq = F.pmod(F.xxhash64(F.lit("arrival"), F.col("doc_id")), F.lit(1 << 40))
+
     if stream_dir is None:
-        docs = _documents_stream(spark, sf_dir).select("doc_id", "text")
+        docs = (
+            _documents_stream(spark, sf_dir)
+            .select("doc_id", "text")
+            .withColumn("arrival_seq", derived_seq)
+        )
         toks = F.split(F.col("text"), " ")
         trimmed = F.expr(
             "substr(text, 1, length(text) - length(element_at(split(text, ' '), -1)) - 1)"
         )
+        # re-submissions arrive on "day 2": strictly after every base doc
         planted = docs.filter((F.col("doc_id") < 25) & (F.size(toks) >= 2)).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), trimmed.alias("text")
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            trimmed.alias("text"),
+            (F.lit(1 << 41) + F.col("arrival_seq")).alias("arrival_seq"),
         )
         stream = docs.unionByName(planted)
     else:
         from pyspark.sql import types as T
 
         schema = T.StructType(
-            [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("arrival_seq", T.LongType()),
+            ]
         )
         reader = spark.readStream.schema(schema)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-        stream = reader.parquet(stream_dir)
+        # files written without an ingest sequence fall back to the
+        # derived permutation (nulls -> coalesce)
+        stream = reader.parquet(stream_dir).withColumn(
+            "arrival_seq", F.coalesce(F.col("arrival_seq"), derived_seq)
+        )
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
         sess = batch_df.sparkSession
         batch_df = batch_df.persist()
+        arr = batch_df.select("doc_id", "arrival_seq")
         sigs = minhash_signatures(batch_df).persist()
         bands = band_table(sigs)
         rejected_parts = []
-        # within-batch: lower doc_id survives, banded self-join only
+        # within-batch: FIRST ARRIVAL survives — each banded candidate
+        # pair (canonicalized once by id order) rejects its
+        # later-arrival element (tie on arrival_seq broken by doc_id)
         within = (
             bands.alias("l")
             .join(
@@ -767,7 +801,17 @@ def streaming_minhash_dedup(
             .join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")), "doc_a")
             .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")), "doc_b")
             .filter(F.expr(_EST_JACCARD_EXPR) >= min_matches)
-            .select(F.col("doc_b").alias("doc_id"))
+            .join(arr.select(F.col("doc_id").alias("doc_a"), F.col("arrival_seq").alias("seq_a")), "doc_a")
+            .join(arr.select(F.col("doc_id").alias("doc_b"), F.col("arrival_seq").alias("seq_b")), "doc_b")
+            .select(
+                F.when(
+                    (F.col("seq_a") < F.col("seq_b"))
+                    | ((F.col("seq_a") == F.col("seq_b")) & (F.col("doc_a") < F.col("doc_b"))),
+                    F.col("doc_b"),
+                )
+                .otherwise(F.col("doc_a"))
+                .alias("doc_id")
+            )
         )
         rejected_parts.append(within)
         if state["has_index"]:
@@ -821,7 +865,11 @@ def streaming_minhash_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFram
     every planted near-dup re-submission (doc_id >= 1e6) must be
     REJECTED by the streaming index — the planted count is exact in
     both engines, and recall >= STREAMING_MINHASH_RECALL_FLOOR flips
-    on any index/banding/append bug."""
+    on any index/banding/append bug. Under the first-seen-wins
+    admission (r11) this assertion stays exact because the fixture
+    models re-submission faithfully: planted docs carry day-2
+    arrival_seq values, strictly after every base doc's arrival, so
+    the original is always the survivor."""
     decisions = streaming_minhash_dedup(spark, sf_dir)
     agg = decisions.filter(F.col("doc_id") >= 1_000_000).agg(
         F.count(F.lit(1)).alias("n_planted"),

@@ -1,16 +1,28 @@
 #!/usr/bin/env python
 """Multi-batch certificate for streaming_minhash_dedup: admission
-decisions must be INVARIANT to how the stream is micro-batched.
+decisions must be INVARIANT to how the stream is micro-batched —
+proven on a SHUFFLED-id, arrival-ordered split (VERDICT r10 #2).
 
-Builds an id-ordered synthetic corpus (same vocab-sampled generator
-family as dedup_scale_probe.py) with planted near-dups of EARLIER
-docs, written as K id-range parquet files. Runs the SAME
-streaming_minhash_dedup operator twice: once with
-maxFilesPerTrigger=1 (K real micro-batches, the index growing
-batch-by-batch) and once with no trigger cap (single batch, pure
-within-batch rule). The two decision sets must be identical — that is
-the split-invariance the operator's "every fingerprint seen enters
-the index" design buys — and every planted near-dup must be rejected.
+Builds a synthetic corpus (same vocab-sampled generator family as
+dedup_scale_probe.py) whose ingest order is ARRIVAL order, not id
+order: base docs carry ids decoupled from arrival (a fixed XOR
+permutation, offset high), and each planted near-dup is a
+RE-SUBMISSION — it arrives ~20 slots after its original but carries a
+SMALLER doc_id than every base doc. Under the retired
+lower-id-survives tiebreak this corpus is the failing case (the
+single-batch run would keep the re-submission and reject the
+original, while the multi-batch run's index probe rejects the
+re-submission — decisions diverge); under first-seen-wins both runs
+reject every re-submission and agree exactly.
+
+The stream is written as K parquet files of consecutive ARRIVAL
+ranges carrying an explicit arrival_seq column, mtime-stamped so the
+file source's batch order == arrival order. The SAME
+streaming_minhash_dedup operator runs twice: maxFilesPerTrigger=1
+(K real micro-batches, the index growing batch-by-batch) and
+uncapped (single batch, pure within-batch rule). The two decision
+sets must be identical, and every planted re-submission must be
+rejected.
 
 Prints one JSON line; pytest twin:
 tests/test_semantics.py::test_streaming_minhash_multibatch_equals_batch
@@ -37,7 +49,7 @@ from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.streaming.windows
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000
 N_FILES = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-DUP_EVERY = 50  # 2% planted near-dups, each of an EARLIER doc
+DUP_EVERY = 50  # 2% planted re-submissions, each ~20 arrivals after its original
 VOCAB = 5_000
 DOC_TOKENS = 31
 
@@ -46,53 +58,55 @@ def main() -> None:
     spark = get_spark("streaming-minhash-probe")
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="smh_probe_")
-    stream_dir = os.path.join(work, "stream")
-    os.makedirs(stream_dir)
+    flat = os.path.join(work, "flat")
+    os.makedirs(flat)
 
+    # id space: base ids = BIG + (slot ^ MASK) — a bijection, so ids
+    # are unique but their order is scrambled relative to arrival;
+    # re-submission ids = the original's SLOT (below BIG, i.e. smaller
+    # than every base id — maximally anti-correlated with arrival)
+    big = 1 << (N - 1).bit_length()
+    mask = 0x5A5A5A5A5A5A & (big - 1)
+    text_expr = (
+        f"concat_ws(' ', transform(sequence(1, {DOC_TOKENS}),"
+        f" t -> concat('w', pmod(xxhash64(id * 131 + t), {VOCAB}))))"
+    )
     base = spark.range(N).select(
-        F.col("id").alias("doc_id"),
-        F.expr(
-            f"concat_ws(' ', transform(sequence(1, {DOC_TOKENS}),"
-            f" t -> concat('w', pmod(xxhash64(id * 131 + t), {VOCAB}))))"
-        ).alias("text"),
+        (F.col("id") * 2).alias("arrival_seq"),
+        (F.lit(big) + F.col("id").bitwiseXOR(F.lit(mask))).alias("doc_id"),
+        F.expr(text_expr).alias("text"),
     )
-    # planted near-dup of doc d lands at id N + d (always AFTER its
-    # original in id order, and in a later id-range file when d and
-    # N + d straddle a file boundary — which most do)
-    dups = base.filter(F.col("doc_id") % DUP_EVERY == 0).select(
-        (F.col("doc_id") + N).alias("doc_id"),
-        F.concat("text", F.lit(" wextra")).alias("text"),
+    dups = (
+        spark.range(N)
+        .filter(F.col("id") % DUP_EVERY == 0)
+        .select(
+            (F.col("id") * 2 + 41).alias("arrival_seq"),  # odd: interleaved, later
+            F.col("id").alias("doc_id"),
+            F.concat(F.expr(text_expr), F.lit(" wextra")).alias("text"),
+        )
     )
-    corpus = base.unionByName(dups)
-    # K files of contiguous id ranges (nondecreasing doc_id across
-    # batches — the operator's stated arrival-consistency contract)
-    total = N + N // DUP_EVERY
+    corpus = base.unionByName(dups).select("doc_id", "text", "arrival_seq")
+    # K files of consecutive ARRIVAL ranges; mtimes stamped strictly
+    # increasing so the file source's batch order == arrival order
+    rows = corpus.orderBy("arrival_seq").collect()
+    total = len(rows)
     per_file = total // N_FILES + 1
-    rows = corpus.orderBy("doc_id").collect()
+    k = 0
     for i in range(N_FILES):
         chunk = rows[i * per_file : (i + 1) * per_file]
         if not chunk:
             continue
+        dst = os.path.join(flat, f"part_{i:03d}.parquet")
+        tmp = os.path.join(work, f"tmp_{i:03d}")
         spark.createDataFrame(chunk, corpus.schema).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(stream_dir, f"chunk_{i:03d}"))
-    # file source wants leaf files under one dir: flatten
-    flat = os.path.join(work, "flat")
-    os.makedirs(flat)
-    k = 0
-    for i in range(N_FILES):
-        d = os.path.join(stream_dir, f"chunk_{i:03d}")
-        if not os.path.isdir(d):
-            continue
-        for f in sorted(os.listdir(d)):
-            if f.endswith(".parquet"):
-                dst = os.path.join(flat, f"part_{i:03d}_{k}.parquet")
-                shutil.copy(os.path.join(d, f), dst)
-                # the file stream orders files by modification time;
-                # stamp strictly increasing mtimes so batch order ==
-                # id order (the operator's arrival contract)
-                os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
-                k += 1
+        ).parquet(tmp)
+        src = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        shutil.copy(os.path.join(tmp, src), dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+        k += 1
 
     multi = streaming_minhash_dedup(
         spark, sf_dir="", stream_dir=flat, max_files_per_trigger=1
@@ -102,8 +116,11 @@ def main() -> None:
     m = {r.doc_id: r.admitted for r in multi.collect()}
     s = {r.doc_id: r.admitted for r in single.collect()}
     diffs = {d: (m.get(d), s.get(d)) for d in set(m) | set(s) if m.get(d) != s.get(d)}
-    planted = [d for d in m if d >= N]
+    planted = [d for d in m if d < big]  # re-submission ids live below BIG
     planted_rejected = sum(1 for d in planted if m[d] == 0)
+    originals_rejected = sum(
+        1 for d, adm in m.items() if d >= big and adm == 0
+    )
     out = {
         "docs": total,
         "files": k,
@@ -114,10 +131,19 @@ def main() -> None:
         "planted": len(planted),
         "planted_rejected": planted_rejected,
         "planted_recall": round(planted_rejected / max(len(planted), 1), 4),
+        # fresh docs rejected as near-dups of an EARLIER fresh doc —
+        # MinHash estimator noise across the fresh-pair space (0 at
+        # test scale, ~0.01% at 510k docs); a LARGE count here is the
+        # old id-rule's signature (it rejects originals wholesale in
+        # favour of their smaller-id re-submissions)
+        "originals_rejected": originals_rejected,
     }
     print(json.dumps(out), flush=True)
     shutil.rmtree(work, ignore_errors=True)
-    if diffs or not planted:
+    # recall gate = STREAMING_MINHASH_RECALL_FLOOR: the (1-j^4)^8
+    # banding tail legitimately misses a sliver at scale (measured
+    # 0.9984 at 510k docs, 1.0 at probe/test scale)
+    if diffs or not planted or planted_rejected < 0.9 * len(planted):
         sys.exit(1)
 
 

@@ -503,3 +503,68 @@ def test_bpe_encode_matches_for_any_merge_count(spark, sf_dir, n_merges):
     assert not compare_frames(got, want)
     assert (got["n_tokens_bpe"] <= got["n_tokens_raw"]).all()
     assert (got["saved_bp"] >= 0).all()
+
+
+@SETTINGS
+@given(n_merges=st.integers(min_value=1, max_value=4))
+def test_bpe_batched_k1_degenerates_to_sequential(spark, sf_dir, n_merges):
+    """batch_k=1 removes the batching entirely — selection is the
+    plain top-1 each round — so the batched trainer must reproduce
+    bpe_train_merges row-for-row at every depth. This is the
+    unconditional half of the batched==sequential equivalence (the
+    conditional half, disjoint batches, is pinned below)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        bpe_train_merges,
+        bpe_train_merges_batched,
+    )
+
+    seq = bpe_train_merges(spark, sf_dir, n_merges=n_merges).toPandas()
+    bat = bpe_train_merges_batched(
+        spark, sf_dir, n_merges=n_merges, batch_k=1
+    ).toPandas()
+    assert not compare_frames(bat, seq)
+
+
+def test_bpe_batched_equals_sequential_when_disjoint(spark):
+    """Token-disjoint merges commute, and when no pair spawned by an
+    earlier batch-mate out-ranks a later one the batched trainer must
+    equal the sequential one exactly. Corpus: three well-separated
+    disjoint pairs (counts 10 > 8 > 6, each doc is just the pair, so
+    merging creates no new adjacencies at all) — sequential picks them
+    one per round, batched(k=3) in a single round; the merge tables
+    must be identical."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        _bpe_merge_rounds,
+        _bpe_merge_rounds_batched,
+    )
+
+    rows = [("a b",)] * 10 + [("c d",)] * 8 + [("e f",)] * 6
+    docs = spark.createDataFrame(rows, ["text"])
+    seq = {
+        r.merge_rank: (r.pair, r.n) for r in _bpe_merge_rounds(docs, 3).collect()
+    }
+    bat = {
+        r.merge_rank: (r.pair, r.n)
+        for r in _bpe_merge_rounds_batched(docs, 3, batch_k=3).collect()
+    }
+    assert seq == bat == {1: ("a b", 10), 2: ("c d", 8), 3: ("e f", 6)}
+
+
+def test_bpe_batched_skips_interacting_candidate(spark):
+    """The batch selection rule: a candidate sharing a token with a
+    higher-ranked selected pair must be SKIPPED (it waits for a later
+    round — merging its neighbour changes its occurrences). Corpus
+    counts: ('a b', 5) > ('b c', 4) > ('d e', 3); 'b c' conflicts with
+    'a b' on 'b', so batched(k=2) selects ('a b', 'd e') in round 1 —
+    and 'b c' surfaces in round 2 once 'a b' no longer interacts."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        _bpe_merge_rounds_batched,
+    )
+
+    rows = [("a b",)] * 5 + [("b c",)] * 4 + [("d e",)] * 3
+    docs = spark.createDataFrame(rows, ["text"])
+    got = {
+        r.merge_rank: (r.pair, r.n)
+        for r in _bpe_merge_rounds_batched(docs, 3, batch_k=2).collect()
+    }
+    assert got == {1: ("a b", 5), 2: ("d e", 3), 3: ("b c", 4)}

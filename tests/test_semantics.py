@@ -934,10 +934,13 @@ def test_incremental_bucketed_equals_persisted(spark, sf_dir):
 def test_streaming_minhash_multibatch_equals_batch():
     """Multi-batch certificate for streaming_minhash_dedup
     (scripts/streaming_minhash_probe.py at test scale): admission
-    decisions must be identical whether the id-ordered stream arrives
-    as one micro-batch or one file per trigger — the split-invariance
-    bought by appending every SEEN fingerprint to the index — and
-    every planted near-dup of an earlier doc must be rejected."""
+    decisions must be identical whether the SHUFFLED-id,
+    arrival-ordered stream arrives as one micro-batch or one file per
+    trigger — the split-invariance bought by first-seen-wins admission
+    plus appending every SEEN fingerprint to the index — every planted
+    re-submission (which carries a SMALLER id than its original, the
+    case the retired lower-id rule fails) must be rejected, and no
+    original may be rejected on account of its own re-submission."""
     import json
     import os
     import subprocess
@@ -960,3 +963,4 @@ def test_streaming_minhash_multibatch_equals_batch():
     assert res["files"] > 1
     assert res["split_invariant"], res
     assert res["planted"] > 0 and res["planted_recall"] >= 0.9, res
+    assert res["originals_rejected"] == 0, res
