@@ -356,6 +356,9 @@ def main() -> None:
         # window; "exceeds-epoch" = moved more, worth a post-mortem.
         # Computed on the FINAL (post-re-measure) medians.
         "drift_annotations": drift_annotations(per_query, baseline_q, factor),
+        # full-precision final medians — the contract line carries only
+        # 2 decimals to fit the driver's 2000-char tail capture
+        "per_query": per_query,
         "remeasured": remeasured,
         "spread": per_query_spread,
         "memory": {
@@ -408,15 +411,26 @@ def contract_line(per_query: dict[str, float], sf: float) -> str:
     """The single driver-contract stdout line. Keys are EXACTLY
     {metric, value, unit, queries, sf} — anything more belongs in
     results/bench_detail.json (round-4's artifact was lost to this
-    line outgrowing the driver's tail capture)."""
+    line outgrowing the driver's tail capture).
+
+    LENGTH BUDGET (round-11 fix): the driver keeps only the LAST 2000
+    chars of stdout and parses the contract line out of that tail — at
+    64 queries the default-formatted 4-decimal line hit 2112 chars and
+    BENCH_r09/r10 recorded ``parsed: null`` (the judge had to
+    reconstruct numbers from bench_detail.json). Compact separators +
+    2-decimal per-query values keep the line ~1850 chars; the full
+    4-decimal medians live in bench_detail.json "per_query".
+    tests/test_harness.py::test_contract_line_fits_driver_tail fails
+    the suite before a suite addition can overflow the budget again."""
     return json.dumps(
         {
             "metric": "total_sec",
             "value": round(sum(per_query.values()), 4),
             "unit": "sec",
-            "queries": per_query,
+            "queries": {q: round(v, 2) for q, v in per_query.items()},
             "sf": sf,
-        }
+        },
+        separators=(",", ":"),
     )
 
 

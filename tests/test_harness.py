@@ -130,7 +130,90 @@ def test_bench_contract_line_shape():
     assert set(parsed) == {"metric", "value", "unit", "queries", "sf"}
     assert parsed["unit"] == "sec" and parsed["sf"] == 0.1
     assert abs(parsed["value"] - 60 * 0.1234) < 1e-6
-    assert len(line) < 4096, f"contract line too large for tail capture: {len(line)}B"
+    # per-query values are 2-decimal displays (full precision lives in
+    # bench_detail.json per_query)
+    assert parsed["queries"]["q0"] == 0.12
+
+
+def test_contract_line_fits_driver_tail():
+    """The driver keeps only the LAST 2000 chars of stdout and parses
+    the contract line out of that tail; BENCH_r09/r10 recorded
+    ``parsed: null`` because the 4-decimal default-formatted line
+    outgrew it unnoticed (r9 crossed 2000 at ~60 queries). Budget the
+    line with worst-case value widths over the ACTUAL suite so adding
+    a query that would overflow fails pytest BEFORE it silently costs
+    a round's numbers."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    line = bench.contract_line({q: 999.9949 for q in bench.BENCH_QUERIES}, 0.1)
+    assert len(line) <= 1900, (
+        f"contract line worst-case {len(line)}B exceeds the 1900B budget "
+        "(driver tail = 2000B): trim the bench suite or shrink the format"
+    )
+
+
+def test_committed_bench_detail_matches_committed_bench_round():
+    """VERDICT r8 #4 / r9 #3 / r10 #4: results/bench_detail.json is
+    the evidence contextualizing each round's BENCH artifact and must
+    land in the SAME commit — three rounds running it ended dirty or
+    got clobbered by smoke runs. Mechanical pin: the HEAD-committed
+    detail file must agree with the latest committed BENCH_r*.json —
+    same sf, and every per-query number in the BENCH artifact inside
+    the detail's recorded [min, max] spread. Smoke runs (different sf,
+    different reps) fail this if committed, and pass silently if left
+    uncommitted (the test reads git HEAD, not the working tree)."""
+    import json
+    import os
+    import re
+    import subprocess
+    from glob import glob
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_files = sorted(glob(os.path.join(repo, "BENCH_r*.json")))
+    if not bench_files:
+        return  # round 1: nothing committed yet
+    bench_art = json.load(open(bench_files[-1]))
+    out = subprocess.run(
+        ["git", "-C", repo, "show", "HEAD:results/bench_detail.json"],
+        capture_output=True,
+        text=True,
+    )
+    assert out.returncode == 0, "results/bench_detail.json missing from HEAD"
+    detail = json.loads(out.stdout)
+    sf_detail = float(
+        os.path.basename(detail["sf_dir"].rstrip("/")).removeprefix("sf")
+    )
+    assert sf_detail == bench_art["sf"], (
+        f"committed detail is a sf={sf_detail} run but the round artifact "
+        f"{os.path.basename(bench_files[-1])} is sf={bench_art['sf']} — "
+        "a smoke-run detail got committed; restore the round's file"
+    )
+    spread = detail["spread"]
+    parsed = bench_art.get("parsed")
+    if parsed and parsed.get("queries"):
+        pairs = parsed["queries"].items()
+        assert set(parsed["queries"]) == set(spread)
+    else:
+        # legacy rounds (r9/r10) where the oversized line truncated to
+        # parsed:null — recover complete pairs from the stored tail
+        pairs = [
+            (q, float(v))
+            for q, v in re.findall(
+                r'"(\w+)":\s?([0-9]+\.[0-9]+)[,}]', bench_art.get("tail", "")
+            )
+            if q in spread
+        ]
+        assert pairs, "no recoverable per-query pairs in BENCH tail"
+    for q, v in pairs:
+        lo, hi = spread[q]
+        assert lo - 0.006 <= float(v) <= hi + 0.006, (
+            f"{q}: BENCH={v} outside committed detail spread [{lo}, {hi}] — "
+            "detail and BENCH artifacts are from different runs"
+        )
 
 
 def test_bench_epoch_factor_and_drift_annotations():
