@@ -141,6 +141,7 @@ def fire(opening: dict) -> bool:
                 f,
                 indent=1,
             )
+            f.write("\n")
         _log({"event": "window_committed", "closing": closing})
         return True
     except subprocess.SubprocessError as exc:

@@ -25,7 +25,7 @@ EPOCH_MARGIN): per suspect, take min across JVMs of
   <= 1.15  -> HOST: the r8 annotation was hypervisor noise; cleared.
   >  1.15 in EVERY JVM -> REGRESSION: open a named investigation.
 
-Writes results/drift_requalify_r9.json.
+Writes results/drift_requalify_{TAG}.json (TAG env-overridable).
 """
 
 from __future__ import annotations
@@ -37,7 +37,7 @@ import subprocess
 import sys
 import time
 
-SUSPECTS = (
+_DEFAULT_SUSPECTS = (
     "text_stats",
     "dedup_sentence_clean",
     "ann_cosine_topk_vectorized",
@@ -48,6 +48,14 @@ SUSPECTS = (
     "heavy_hitters_twophase",
     "dedup_containment",
 )
+# Round-N reuse (VERDICT r10 #6): override the suspect list and the
+# artifact tag without forking the script —
+#   SPARK_GRAFT_REQUALIFY_SUSPECTS=a,b,c \
+#   SPARK_GRAFT_REQUALIFY_TAG=r11 python scripts/drift_requalify_probe.py
+SUSPECTS = tuple(
+    s for s in os.environ.get("SPARK_GRAFT_REQUALIFY_SUSPECTS", "").split(",") if s
+) or _DEFAULT_SUSPECTS
+TAG = os.environ.get("SPARK_GRAFT_REQUALIFY_TAG", "r9")
 CONTROL = "groupby_mean"
 ARROW_CONTROL = "mapinarrow_matrix_stats"  # timed for the record only
 MARGIN = 1.15
@@ -123,7 +131,7 @@ def main() -> None:
         best = min(normalized)
         verdicts[name] = {
             "rebaseline": base,
-            "r8_annotation_ratio": None,  # filled from bench_detail below
+            "annotation_ratio": None,  # filled from bench_detail below
             "normalized_per_jvm": normalized,
             "normalized_min": best,
             "verdict": "host" if best <= MARGIN else "regression",
@@ -133,7 +141,7 @@ def main() -> None:
             ann = json.load(f).get("drift_annotations", {})
         for name in SUSPECTS:
             if name in ann:
-                verdicts[name]["r8_annotation_ratio"] = ann[name].get("ratio")
+                verdicts[name]["annotation_ratio"] = ann[name].get("ratio")
     except (OSError, json.JSONDecodeError):
         pass
 
@@ -152,9 +160,10 @@ def main() -> None:
             "> margin in every JVM -> regression"
         ),
     }
-    path = os.path.join(REPO, "results", "drift_requalify_r9.json")
+    path = os.path.join(REPO, "results", f"drift_requalify_{TAG}.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
+        f.write("\n")
     print(json.dumps({n: v["verdict"] for n, v in verdicts.items()}, indent=1))
     print(f"-> {path}", file=sys.stderr)
 

@@ -142,6 +142,7 @@ def main() -> int:
                 },
                 f,
             )
+            f.write("\n")
         subprocess.run(
             [
                 PY,
@@ -175,6 +176,7 @@ def main() -> int:
                 f,
                 indent=1,
             )
+            f.write("\n")
         _log({"event": "committed", "round": args.round})
         return 0
     except subprocess.SubprocessError as exc:

@@ -53,8 +53,10 @@ from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark import get_spark
 
 conf = json.loads(sys.argv[1])
 rows = int(sys.argv[2])
-n_part = int(conf.pop("_n_part", "32"))
-spark = get_spark("b13sortprobe", cpus=32, shuffle_partitions=n_part, extra_conf=conf)
+# fixed 32-wide everywhere (shuffle partitions, fixture repartition,
+# exchange-floor arm) — a per-arm width knob would have to move all
+# three together to mean anything (ADVICE r10)
+spark = get_spark("b13sortprobe", cpus=32, shuffle_partitions=32, extra_conf=conf)
 spark.sparkContext.setLogLevel("ERROR")
 
 sys.path.insert(0, sys.argv[3] + "/scripts")
@@ -105,6 +107,25 @@ CONFIGS = [
 ]
 
 
+def _write(out_path: str, results: list, partial: bool) -> None:
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "note": (
+                    "fresh JVM per config on the exact B13 fixture; 1 warm-up + "
+                    "3 reps per arm; baseline first AND last to expose host "
+                    "drift across the probe; exchange_floor = round-robin "
+                    "repartition(32), the exchange cost with zero sort work"
+                ),
+                "partial": partial,
+                "results": results,
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+
+
 def main() -> None:
     out_path = os.path.join(REPO, "results", "sort_b13_config_probe.json")
     results = []
@@ -126,20 +147,10 @@ def main() -> None:
                "wall": round(time.time() - t0, 1)}
         results.append(row)
         print(json.dumps(row), flush=True)
-    with open(out_path, "w") as f:
-        json.dump(
-            {
-                "note": (
-                    "fresh JVM per config on the exact B13 fixture; 1 warm-up + "
-                    "3 reps per arm; baseline first AND last to expose host "
-                    "drift across the probe; exchange_floor = round-robin "
-                    "repartition(32), the exchange cost with zero sort work"
-                ),
-                "results": results,
-            },
-            f,
-            indent=1,
-        )
+        # rewrite after every arm: a single worker failure or timeout
+        # must not discard the ~20 minutes of arms already collected
+        # (ADVICE r10)
+        _write(out_path, results, partial=len(results) < len(CONFIGS))
     print(f"wrote {out_path}")
 
 
