@@ -44,9 +44,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 # — plus the round-9 addition dedup_substring_exact.
 # Round 10: the two r10 additions (dedup_minhash_incremental's index
 # probe join and bpe_train_merges' 3-round scan+broadcast chain).
+# Round 11: the stored-bucketed index probe and the batched trainer.
 SNAPSHOT_QUERIES = [
     "dedup_minhash_incremental",
+    "dedup_minhash_incremental_bucketed",
     "bpe_train_merges",
+    "bpe_train_merges_batched",
     "bpe_encode_corpus",
     "decontaminate_winnowing",
     "gopher_repetition_signals",
