@@ -12,6 +12,10 @@ stage. The claim under test: cost is LINEAR in rounds (the persisted
 plan snapshot pins scans == rounds) and the heavy exchange stays
 vocabulary-sized, never corpus-sized.
 
+Round 11 adds the batched-trainer cell: 6 merges trained both ways —
+sequential (6 counting scans) vs batched k=3 (2 counting scans) —
+measuring the n_merges/k scan cut as wall-clock.
+
 Usage: python scripts/bpe_scale_probe.py [n_docs]
 Writes results/bpe_scale_probe.json; summarized in SCALE.md.
 """
@@ -31,6 +35,7 @@ from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark import get_spark
 from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
     _BPE_APPLY_MERGE_EXPR,
     _bpe_merge_rounds,
+    _bpe_merge_rounds_batched,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -96,7 +101,29 @@ def run_cell(spark, dist: str) -> dict:
         F.sum(F.size(F.split("seq", " "))).alias("n")
     ).collect()[0].n
     stages["encode_3_merges_s"] = round(time.perf_counter() - t0, 2)
+
+    # r11 batched-trainer cell (VERDICT r10 #5): same 6 merges, 6
+    # counting scans sequential vs 2 scans batched (k=3) — the
+    # n_merges/k scan cut is the whole claim, so the speedup should
+    # track the scan ratio minus the fixed selection/apply overhead.
+    t0 = time.perf_counter()
+    seq6 = _bpe_merge_rounds(docs, 6).collect()
+    stages["train_6_sequential_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    bat6 = _bpe_merge_rounds_batched(docs, 6, batch_k=3).collect()
+    stages["train_6_batched_k3_s"] = round(time.perf_counter() - t0, 2)
+    batched_extras = {
+        "batched_speedup": round(
+            stages["train_6_sequential_s"] / stages["train_6_batched_k3_s"], 2
+        ),
+        # merge SETS may legitimately differ when top candidates
+        # interact (the documented approximation); record the overlap
+        "batched_merge_overlap": len(
+            {r.pair for r in seq6} & {r.pair for r in bat6}
+        ),
+    }
     return {
+        **batched_extras,
         "distribution": dist,
         "docs": n_docs,
         "pairs_per_round": n_docs * (DOC_TOKENS - 1),
@@ -118,6 +145,7 @@ def main() -> None:
     out = {"cells": cells, "generated": time.strftime("%Y-%m-%dT%H:%M:%S")}
     with open(os.path.join(REPO, "results", "bpe_scale_probe.json"), "w") as f:
         json.dump(out, f, indent=1)
+        f.write("\n")
     print("-> results/bpe_scale_probe.json", file=sys.stderr)
 
 

@@ -82,6 +82,41 @@ def synth_batch(spark, corpus_n: int, batch_n: int):
     return novel.unionByName(planted)
 
 
+def bucketed_index(spark, corpus, tag):
+    """Write the corpus index as the stored bucketed tables
+    dedup_minhash_incremental_bucketed uses (signatures from one scan,
+    bands derived from the stored signatures), once per corpus size."""
+    import os as _os
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.sources.storage import (
+        N_BUCKETS,
+        WAREHOUSE,
+    )
+
+    sigs_tbl, bands_tbl = f"probe_mh_sig_{tag}", f"probe_mh_band_{tag}"
+    specs = (
+        (sigs_tbl, ("doc_id",), lambda: minhash_signatures(corpus)),
+        (bands_tbl, ("band", "bh"), lambda: band_table(spark.table(sigs_tbl))),
+    )
+    for tbl, keys, build in specs:
+        path = _os.path.join(WAREHOUSE, tbl)
+        if spark.catalog.tableExists(tbl) and not _os.path.exists(
+            _os.path.join(path, "_SUCCESS")
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if not spark.catalog.tableExists(tbl):
+            (
+                build()
+                .write.bucketBy(N_BUCKETS, *keys)
+                .sortBy(*keys)
+                .option("path", path)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+    return spark.table(bands_tbl), spark.table(sigs_tbl)
+
+
 def lookup(batch, index_sigs, index_bands):
     """The dedup_minhash_incremental probe pipeline on explicit frames."""
     batch_sigs = minhash_signatures(batch).persist()
@@ -152,6 +187,37 @@ def main() -> None:
         index_sigs.unpersist()
         index_bands.unpersist()
 
+        # r11 STORED-BUCKETED arm (VERDICT r10 #1): the same index as
+        # bucketBy tables — (band, bh, doc_id) on (band, bh) and
+        # (doc_id, signature) on doc_id — probed with merge-hinted
+        # joins so the index side reads co-located buckets with ZERO
+        # exchange (the plan tests pin this; here we measure it).
+        t0 = time.perf_counter()
+        b_bands, b_sigs = bucketed_index(spark, corpus, corpus_n)
+        build_bucketed_s = time.perf_counter() - t0
+        batch = synth_batch(spark, corpus_n, BATCH_SIZE)
+        t0 = time.perf_counter()
+        pairs = lookup(batch, b_sigs.hint("merge"), b_bands.hint("merge"))
+        planted_found = pairs.filter(
+            F.col("batch_id") == F.col("corpus_id") + 20_000_000
+        ).count()
+        n_pairs = pairs.count()
+        query_s = time.perf_counter() - t0
+        cell = {
+            "corpus_docs": corpus_n,
+            "batch_docs": BATCH_SIZE,
+            "arm": "stored_bucketed",
+            "index_build_s": round(build_bucketed_s, 2),
+            "batch_query_s": round(query_s, 2),
+            "pairs_found": n_pairs,
+            "planted": BATCH_SIZE // PLANT_EVERY,
+            "planted_recall": round(
+                planted_found / (BATCH_SIZE // PLANT_EVERY), 4
+            ),
+        }
+        cells.append(cell)
+        print(json.dumps(cell), flush=True)
+
     out = {
         "generated": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "claim": (
@@ -163,6 +229,7 @@ def main() -> None:
     }
     with open(os.path.join(REPO, "results", "incremental_minhash_probe.json"), "w") as f:
         json.dump(out, f, indent=1)
+        f.write("\n")
     print("-> results/incremental_minhash_probe.json")
 
 

@@ -172,20 +172,32 @@ def test_committed_bench_detail_matches_committed_bench_round():
     import os
     import re
     import subprocess
-    from glob import glob
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    bench_files = sorted(glob(os.path.join(repo, "BENCH_r*.json")))
-    if not bench_files:
-        return  # round 1: nothing committed yet
-    bench_art = json.load(open(bench_files[-1]))
-    out = subprocess.run(
-        ["git", "-C", repo, "show", "HEAD:results/bench_detail.json"],
+
+    def _git_show(path):
+        out = subprocess.run(
+            ["git", "-C", repo, "show", f"HEAD:{path}"],
+            capture_output=True,
+            text=True,
+        )
+        return out.stdout if out.returncode == 0 else None
+
+    # both sides from HEAD: the invariant is per-commit
+    # self-consistency — a mid-round tree with an uncommitted new
+    # BENCH file must not fail against the prior round's detail
+    ls = subprocess.run(
+        ["git", "-C", repo, "ls-tree", "--name-only", "HEAD"],
         capture_output=True,
         text=True,
-    )
-    assert out.returncode == 0, "results/bench_detail.json missing from HEAD"
-    detail = json.loads(out.stdout)
+    ).stdout.split()
+    bench_files = sorted(f for f in ls if re.fullmatch(r"BENCH_r\d+\.json", f))
+    if not bench_files:
+        return  # round 1: nothing committed yet
+    bench_art = json.loads(_git_show(bench_files[-1]))
+    detail_text = _git_show("results/bench_detail.json")
+    assert detail_text is not None, "results/bench_detail.json missing from HEAD"
+    detail = json.loads(detail_text)
     sf_detail = float(
         os.path.basename(detail["sf_dir"].rstrip("/")).removeprefix("sf")
     )
