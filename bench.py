@@ -421,13 +421,21 @@ def contract_line(per_query: dict[str, float], sf: float) -> str:
     2-decimal per-query values keep the line ~1850 chars; the full
     4-decimal medians live in bench_detail.json "per_query".
     tests/test_harness.py::test_contract_line_fits_driver_tail fails
-    the suite before a suite addition can overflow the budget again."""
+    the suite before a suite addition can overflow the budget again.
+
+    SPARK_GRAFT_CONTRACT_PRECISION overrides the per-query precision:
+    the rebaseline jobs (reanchor_job / calm_window_job) set it to 4
+    because make_rebaseline.py mins over these very values — a
+    2-decimal rebaseline would inject up to ~4% error into drift
+    ratios whose alarm margin is 5%. Those jobs read stdout from a
+    pipe, so the driver's 2000-char tail limit does not apply."""
+    prec = int(os.environ.get("SPARK_GRAFT_CONTRACT_PRECISION", "2"))
     return json.dumps(
         {
             "metric": "total_sec",
             "value": round(sum(per_query.values()), 4),
             "unit": "sec",
-            "queries": {q: round(v, 2) for q, v in per_query.items()},
+            "queries": {q: round(v, prec) for q, v in per_query.items()},
             "sf": sf,
         },
         separators=(",", ":"),

@@ -2080,36 +2080,21 @@ def _ensure_minhash_index_tables(
 
     Signatures are written first from ONE corpus scan; the band table
     is derived from the stored signatures, so build cost is one pass
-    and the two tables can never disagree. Catalog entries whose
-    backing files were wiped are dropped and rebuilt (same guard as
-    ``storage._ensure_bucketed``)."""
-    import os as _os
-
-    from ..sources.storage import N_BUCKETS, WAREHOUSE, _tag
+    and the two tables can never disagree. Write/guard machinery is
+    ``storage.ensure_bucketed_specs`` (shared with the scale probe,
+    so the probe measures exactly this layout)."""
+    from ..sources.storage import _tag, ensure_bucketed_specs
 
     tag = _tag(sf_dir, "documents")
     sigs_tbl, bands_tbl = f"mh_sig_idx_{tag}", f"mh_band_idx_{tag}"
-    specs = (
-        (sigs_tbl, ("doc_id",), lambda: minhash_signatures(_incremental_sides(spark, sf_dir)[0])),
-        (bands_tbl, ("band", "bh"), lambda: band_table(spark.table(sigs_tbl))),
+    sigs, bands = ensure_bucketed_specs(
+        spark,
+        (
+            (sigs_tbl, ("doc_id",), lambda: minhash_signatures(_incremental_sides(spark, sf_dir)[0])),
+            (bands_tbl, ("band", "bh"), lambda: band_table(spark.table(sigs_tbl))),
+        ),
     )
-    for tbl, keys, build in specs:
-        path = _os.path.join(WAREHOUSE, tbl)
-        if spark.catalog.tableExists(tbl) and not _os.path.exists(
-            _os.path.join(path, "_SUCCESS")
-        ):
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        if not spark.catalog.tableExists(tbl):
-            (
-                build()
-                .write.bucketBy(N_BUCKETS, *keys)
-                .sortBy(*keys)
-                .option("path", path)
-                .mode("overwrite")
-                .format("parquet")
-                .saveAsTable(tbl)
-            )
-    return spark.table(bands_tbl), spark.table(sigs_tbl)
+    return bands, sigs
 
 
 def _bucketed_probe_band_join(

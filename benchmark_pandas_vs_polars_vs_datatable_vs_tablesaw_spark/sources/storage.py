@@ -56,6 +56,39 @@ def _tag(sf_dir: str, name: str) -> str:
     return f"{base}_{_fixture_fingerprint(sf_dir, name)}"
 
 
+def ensure_bucketed_specs(spark: SparkSession, specs) -> list[DataFrame]:
+    """Write COMPUTED frames as bucketed+sorted catalog tables, once
+    per (table name, session catalog); later calls read the stored
+    buckets. ``specs`` is an ordered iterable of
+    ``(table_name, bucket_keys, build_fn)`` — ordered so a later spec
+    may derive from an earlier stored table (the MinHash index builds
+    signatures from one corpus scan, then bands from the STORED
+    signatures). Same stale-catalog guard as :func:`_ensure_bucketed`:
+    a catalog entry whose backing files are gone is dropped and
+    rebuilt. Shared by operators/dedup._ensure_minhash_index_tables
+    and scripts/incremental_minhash_probe.py so the probe measures
+    exactly the layout the operator ships."""
+    out = []
+    for tbl, keys, build in specs:
+        path = os.path.join(WAREHOUSE, tbl)
+        if spark.catalog.tableExists(tbl) and not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if not spark.catalog.tableExists(tbl):
+            (
+                build()
+                .write.bucketBy(N_BUCKETS, *keys)
+                .sortBy(*keys)
+                .option("path", path)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+        out.append(spark.table(tbl))
+    return out
+
+
 def _ensure_bucketed(
     spark: SparkSession, sf_dir: str, name: str, bucket_col: str, cols: list[str]
 ) -> DataFrame:

@@ -101,6 +101,10 @@ def fire(opening: dict) -> bool:
                     stdout=f,
                     stderr=subprocess.DEVNULL,
                     timeout=3600,
+                    # full-precision line: make_rebaseline mins over
+                    # these values; 2dp would leak ~4% into drift
+                    # ratios (the pipe has no tail limit)
+                    env=dict(os.environ, SPARK_GRAFT_CONTRACT_PRECISION="4"),
                     cwd=REPO,
                 )
         closing = probe()

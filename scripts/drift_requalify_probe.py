@@ -55,7 +55,9 @@ _DEFAULT_SUSPECTS = (
 SUSPECTS = tuple(
     s for s in os.environ.get("SPARK_GRAFT_REQUALIFY_SUSPECTS", "").split(",") if s
 ) or _DEFAULT_SUSPECTS
-TAG = os.environ.get("SPARK_GRAFT_REQUALIFY_TAG", "r9")
+# default tag "adhoc" so a bare rerun can NEVER clobber a committed
+# round artifact (drift_requalify_r9.json is round-9 evidence)
+TAG = os.environ.get("SPARK_GRAFT_REQUALIFY_TAG", "adhoc")
 CONTROL = "groupby_mean"
 ARROW_CONTROL = "mapinarrow_matrix_stats"  # timed for the record only
 MARGIN = 1.15

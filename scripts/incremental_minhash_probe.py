@@ -85,36 +85,22 @@ def synth_batch(spark, corpus_n: int, batch_n: int):
 def bucketed_index(spark, corpus, tag):
     """Write the corpus index as the stored bucketed tables
     dedup_minhash_incremental_bucketed uses (signatures from one scan,
-    bands derived from the stored signatures), once per corpus size."""
-    import os as _os
-
+    bands derived from the stored signatures), once per corpus size —
+    via the SAME storage.ensure_bucketed_specs the operator uses, so
+    the probe measures exactly the shipped layout."""
     from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.sources.storage import (
-        N_BUCKETS,
-        WAREHOUSE,
+        ensure_bucketed_specs,
     )
 
     sigs_tbl, bands_tbl = f"probe_mh_sig_{tag}", f"probe_mh_band_{tag}"
-    specs = (
-        (sigs_tbl, ("doc_id",), lambda: minhash_signatures(corpus)),
-        (bands_tbl, ("band", "bh"), lambda: band_table(spark.table(sigs_tbl))),
+    sigs, bands = ensure_bucketed_specs(
+        spark,
+        (
+            (sigs_tbl, ("doc_id",), lambda: minhash_signatures(corpus)),
+            (bands_tbl, ("band", "bh"), lambda: band_table(spark.table(sigs_tbl))),
+        ),
     )
-    for tbl, keys, build in specs:
-        path = _os.path.join(WAREHOUSE, tbl)
-        if spark.catalog.tableExists(tbl) and not _os.path.exists(
-            _os.path.join(path, "_SUCCESS")
-        ):
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        if not spark.catalog.tableExists(tbl):
-            (
-                build()
-                .write.bucketBy(N_BUCKETS, *keys)
-                .sortBy(*keys)
-                .option("path", path)
-                .mode("overwrite")
-                .format("parquet")
-                .saveAsTable(tbl)
-            )
-    return spark.table(bands_tbl), spark.table(sigs_tbl)
+    return bands, sigs
 
 
 def lookup(batch, index_sigs, index_bands):

@@ -97,6 +97,10 @@ def main() -> int:
                     stdout=f,
                     stderr=subprocess.DEVNULL,
                     timeout=3600,
+                    # full-precision line: make_rebaseline mins over
+                    # these values; 2dp would leak ~4% into drift
+                    # ratios (the pipe has no tail limit)
+                    env=dict(os.environ, SPARK_GRAFT_CONTRACT_PRECISION="4"),
                     cwd=REPO,
                 )
             with open(path) as f:

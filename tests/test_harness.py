@@ -135,6 +135,28 @@ def test_bench_contract_line_shape():
     assert parsed["queries"]["q0"] == 0.12
 
 
+def test_rebaseline_jobs_request_full_precision_line(monkeypatch):
+    """make_rebaseline.py mins over the contract line's per-query
+    values; a 2-decimal line would bake ~4% error into a drift
+    machinery whose alarm margin is 5%. Pin both halves: the env
+    override restores 4 decimals, and both rebaseline jobs actually
+    set it when invoking bench.py."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_CONTRACT_PRECISION", "4")
+    parsed = json.loads(bench.contract_line({"q0": 0.1234}, 0.1))
+    assert parsed["queries"]["q0"] == 0.1234
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for job in ("reanchor_job.py", "calm_window_job.py"):
+        src = open(os.path.join(repo, "scripts", job)).read()
+        assert 'SPARK_GRAFT_CONTRACT_PRECISION="4"' in src, job
+
+
 def test_contract_line_fits_driver_tail():
     """The driver keeps only the LAST 2000 chars of stdout and parses
     the contract line out of that tail; BENCH_r09/r10 recorded
