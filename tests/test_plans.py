@@ -542,6 +542,64 @@ def test_incremental_minhash_bucketed_probe_no_index_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
 
 
+def test_bucketed_index_append_preserves_exchange_free_probe(spark, sf_dir):
+    """The grow-by-batch lifecycle at 100 TB: after a batch is
+    admitted, its band rows are APPENDED to the stored index
+    (write.mode('append').bucketBy — Spark buckets the new files the
+    same way), and the NEXT batch's probe must still read
+    `Bucketed: true` with zero index-side exchange. Uses test-scoped
+    table names: appending to the shared warehouse index would
+    pollute every later correctness run in this /tmp lifetime."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import dedup
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.sources.storage import (
+        N_BUCKETS,
+        ensure_bucketed_specs,
+    )
+
+    corpus, batch = dedup._incremental_sides(spark, sf_dir)
+    tag = uuid.uuid4().hex[:8]
+    tbl = f"test_append_band_{tag}"
+    (bands,) = ensure_bucketed_specs(
+        spark,
+        (
+            (
+                tbl,
+                ("band", "bh"),
+                lambda: dedup.band_table(dedup.minhash_signatures(corpus)),
+            ),
+        ),
+    )
+    n_before = bands.count()
+    # admit the batch: append its band rows, bucketed the same way
+    (
+        dedup.band_table(dedup.minhash_signatures(batch))
+        .write.mode("append")
+        .bucketBy(N_BUCKETS, "band", "bh")
+        .sortBy("band", "bh")
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    grown = spark.table(tbl)
+    assert grown.count() > n_before, "append must grow the index"
+    probe = (
+        dedup.band_table(dedup.minhash_signatures(batch))
+        .withColumnRenamed("doc_id", "batch_id")
+        .join(
+            grown.hint("merge").withColumnRenamed("doc_id", "corpus_id"),
+            ["band", "bh"],
+        )
+        .select("batch_id", "corpus_id")
+    )
+    text = explain.plan_text(probe)
+    assert "Bucketed: true" in text, "appended index fell off the bucketed read path"
+    assert explain.shuffle_count(probe) == 2, text
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_incremental_minhash_bucketed_verify_join_uses_sig_buckets(spark, sf_dir):
     """The est-Jaccard verify step re-attaches corpus signatures from
     the doc_id-bucketed signature table: both stored index scans in the
