@@ -718,7 +718,10 @@ def streaming_minhash_dedup(
     which is what keeps `streaming_minhash_dedup_recall`'s
     planted-rejected assertion exact. Rows-only (xxhash64); that
     paired certificate is fully oracle-checked. foreachBatch state
-    lives in parquet dirs, never executor memory.
+    lives in parquet dirs, never executor memory, and every sink
+    writes overwrite-by-batch-id partitions (r11) so a re-delivered
+    micro-batch after restart is idempotent — exactly-once decisions,
+    the standard foreachBatch recipe.
     """
     import os
     import shutil
@@ -844,10 +847,21 @@ def streaming_minhash_dedup(
                 F.when(F.col("rej").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("admitted"),
             )
         )
-        decisions.write.mode("append").parquet(dec_dir)
-        # every fingerprint SEEN enters the index (split-invariance)
-        sigs.write.mode("append").parquet(sig_dir)
-        bands.write.mode("append").parquet(band_dir)
+        # REPLAY-IDEMPOTENT sinks (exactly-once decisions): each
+        # micro-batch OVERWRITES its own batch=N partition dir instead
+        # of blind-appending — foreachBatch re-delivers a batch after
+        # a restart, and an append sink would double-count its
+        # decisions and double-grow the index; overwrite-by-batch-id
+        # is the standard idempotence recipe for foreachBatch sinks.
+        for frame, d in (
+            (decisions, dec_dir),
+            # every fingerprint SEEN enters the index (split-invariance)
+            (sigs, sig_dir),
+            (bands, band_dir),
+        ):
+            frame.write.mode("overwrite").parquet(
+                os.path.join(d, f"batch={_batch_id}")
+            )
         state["has_index"] = True
         sigs.unpersist()
         batch_df.unpersist()
