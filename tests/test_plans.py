@@ -531,11 +531,16 @@ def test_incremental_minhash_bucketed_probe_no_index_exchange(spark, sf_dir):
     assert "SortMergeJoin" in text
     assert "mh_band_idx" in text
     assert "Bucketed: true" in text, "index scan must use the bucketed layout"
-    assert explain.shuffle_count(cand) == 2, text
+    n_bucketed = explain.shuffle_count(cand)
+    # the absolute count is cache-sensitive (a prior test persisting
+    # batch signatures swaps an InMemoryRelation into the plan, and
+    # shuffle_count also sees the exchanges recorded inside its build
+    # plan), so pin the CLAIM relatively: disabling bucketing adds
+    # exactly ONE exchange — the index side's
     spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
     try:
         control, _ = dedup._bucketed_probe_band_join(spark, sf_dir)
-        assert explain.shuffle_count(control) == 3, (
+        assert explain.shuffle_count(control) == n_bucketed + 1, (
             "control: without bucketing the index side must add its exchange"
         )
     finally:
@@ -585,18 +590,28 @@ def test_bucketed_index_append_preserves_exchange_free_probe(spark, sf_dir):
     )
     grown = spark.table(tbl)
     assert grown.count() > n_before, "append must grow the index"
-    probe = (
-        dedup.band_table(dedup.minhash_signatures(batch))
-        .withColumnRenamed("doc_id", "batch_id")
-        .join(
-            grown.hint("merge").withColumnRenamed("doc_id", "corpus_id"),
-            ["band", "bh"],
+    def probe_plan():
+        return (
+            dedup.band_table(dedup.minhash_signatures(batch))
+            .withColumnRenamed("doc_id", "batch_id")
+            .join(
+                grown.hint("merge").withColumnRenamed("doc_id", "corpus_id"),
+                ["band", "bh"],
+            )
+            .select("batch_id", "corpus_id")
         )
-        .select("batch_id", "corpus_id")
-    )
+
+    probe = probe_plan()
     text = explain.plan_text(probe)
     assert "Bucketed: true" in text, "appended index fell off the bucketed read path"
-    assert explain.shuffle_count(probe) == 2, text
+    n_bucketed = explain.shuffle_count(probe)
+    # relative control (cache-robust, same as the non-append test):
+    # without bucketing the grown index adds exactly its one exchange
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    try:
+        assert explain.shuffle_count(probe_plan()) == n_bucketed + 1
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
