@@ -1127,15 +1127,26 @@ BPE_BATCH_K = 2
 BPE_CAND_CAP = 64
 
 
+def _sql_str(s: str) -> str:
+    """Spark-SQL single-quoted string literal with backslashes and
+    quotes escaped (ADVICE r11: the batched trainer accepts arbitrary
+    text frames, so a token containing ``'`` or ``\\`` must not be
+    able to break out of — or silently corrupt — the inlined
+    expression)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _apply_merge_literal_expr(pair: str) -> str:
-    """:data:`_BPE_APPLY_MERGE_EXPR` with the chosen pair inlined as a
-    literal (tokens are [a-z0-9+] — quote-safe): the batched trainer
-    selects merges driver-side, so the apply projection carries no
-    DataFrame reference and the per-round plan stays one scan deep."""
+    """:data:`_BPE_APPLY_MERGE_EXPR` with the chosen pair inlined as an
+    ESCAPED literal (see :func:`_sql_str`): the batched trainer selects
+    merges driver-side, so the apply projection carries no DataFrame
+    reference and the per-round plan stays one scan deep."""
     a, b = pair.split(" ")
+    find = _sql_str(f" {a}  {b} ")
+    repl = _sql_str(f" {a}+{b} ")
     return (
         f"trim(replace(replace(' ' || replace(seq, ' ', '  ') || ' ',"
-        f" ' {a}  {b} ', ' {a}+{b} '), '  ', ' '))"
+        f" {find}, {repl}), '  ', ' '))"
     )
 
 

@@ -102,67 +102,73 @@ _MODULES = (
 # (tests/test_registry_smoke.py), so a convention violation fails
 # pytest before it can fail a driver round.
 _PRIORITY = (
-    # ---- ROUND 11 WINDOW (first 50 = the driver's check set) ----
-    # (iii) never-checked: the round-11 additions — no driver row
-    #       exists, they rotate in first.
-    "dedup_minhash_incremental_bucketed",  # new r11 (dedup.py, stored bucketBy index — VERDICT r10 #1)
-    "bpe_train_merges_batched",            # new r11 (text.py, batched disjoint merges — VERDICT r10 #5)
-    # (i) changed-since-row (attestation_ledger.py, round-11 run):
-    "dedup_minhash_incremental_recall",    # re-pointed at the bucketed probe path
-    "streaming_minhash_dedup",             # first-seen-wins admission (VERDICT r10 #2)
-    "streaming_minhash_dedup_recall",      # certificate re-stated for arrival semantics
+    # ---- ROUND 12 WINDOW (first 50 = the driver's check set) ----
+    # (iii) never-checked: the round-12 additions — no driver row
+    #       exists, they rotate in first (each swaps an r6 tail entry
+    #       out of the window as it lands):
+    "ivfpq_ann_topk_bucketed",             # new r12 (similarity.py, stored bucketBy ANN index — VERDICT r11 #1)
+    #   streaming_minhash_dedup_precision  (VERDICT r11 #3 — pending)
+    #   bpe_train_merges_delta             (VERDICT r11 #6 — pending)
+    # (i) changed-since-row (attestation_ledger.py, round-12 run):
+    "streaming_minhash_dedup",             # index reads pin explicit schema (ADVICE r11); replay wording
     # (ii) stalest-first, monotone (max in-window round <= min
-    #     excluded round, changed entries aside): 45 of the 47
-    #     r5-vintage rows, alphabetical; the remaining 2
-    #     (target_encode_smoothed, user_feature_vector — the
-    #     alphabetical tail) queue for round 12, when the r5 vintage
-    #     fully drains.
-    # r5 vintage (45 of 47):
-    "asof_forward_tolerance",
-    "asof_nearest_tolerance",
-    "bloom_prefilter_join",
-    "chi2_token_source",
-    "classifier_pr_eval",
-    "collocation_pmi_top",
-    "copurchase_degree_distribution",
-    "corpus_fingerprint",
-    "curriculum_shard_plan",
-    "cusum_changepoint_by_type",
-    "dedup_clusters_star_contraction",
-    "dedup_containment",
-    "dedup_edit_distance_blocked",
-    "dedup_incremental_exact",
-    "dedup_survivorship",
-    "embedding_dim_variance",
-    "er_weighted_match",
-    "gdpr_delete_cascade",
-    "heavy_hitters_twophase",
-    "hll_distinct_certificate",
-    "hybrid_rrf_fusion",
-    "kaplan_meier_churn_table",
-    "kcore_copurchase_peel",
-    "late_event_accounting",
-    "lateral_topn_per_nation",
-    "latesim_maxsim_topk",
-    "latesim_rerank_ann",
-    "length_bucket_batch_plan",
-    "link_prediction_common_neighbors",
-    "market_basket_rules",
-    "negative_sampling_pairs",
-    "pit_dimension_join",
-    "pq_quantize_stats",
-    "python_datasource_scan",
-    "quantile_normalize_scores",
-    "recursive_spine_gapfill",
-    "retrieval_ndcg_eval",
-    "schema_evolution_read",
-    "session_funnel_strict",
-    "skyline_pareto_frontier",
-    "sql_pipe_flagship",
-    "stratified_kfold_assign",
-    "streaming_corpus_fingerprint",
-    "streaming_doc_quality_gate",
-    "streaming_foreachbatch_upsert",
+    #     excluded round, changed entries aside): the 2 remaining
+    #     r5-vintage rows — the r5 vintage fully drains this round —
+    #     then 44 of the 49 r6-vintage rows, alphabetical; the 5-row
+    #     alphabetical tail (token_entropy_quality .. zorder_layout_stats)
+    #     queues for round 13.
+    # r5 vintage (the final 2 of 47):
+    "target_encode_smoothed",
+    "user_feature_vector",
+    # r6 vintage (44 of 49):
+    "ab_proportion_ztest",
+    "adaptive_quality_gate",
+    "array_agg_suite",
+    "array_dimension_stats",
+    "array_hof_suite",
+    "array_topk_elements",
+    "bootstrap_ci_group_means",
+    "cohort_ltv_curve",
+    "dataset_card_stats",
+    "dataset_mixture_plan",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "deterministic_shuffle_shard",
+    "dup_ngram_char_fraction",
+    "embedding_centroid_outliers",
+    "embedding_random_projection",
+    "flagship_lazy_pipeline",
+    "geo_point_in_polygon",
+    "hourly_autocorrelation",
+    "inter_event_time_stats",
+    "k_anonymity_spectrum",
+    "keyword_search_tfidf",
+    "l_diversity_report",
+    "label_centroid_similarity",
+    "linear_quality_classifier",
+    "listagg_status_rollup",
+    "mllib_lsh_ann_topk",
+    "multi_touch_attribution_decay",
+    "multimodal_decode",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_phash_dedup",
+    "multimodal_resize",
+    "observe_metrics_single_pass",
+    "pareto_revenue_share",
+    "quota_sample_per_source",
+    "rfm_segmentation",
+    "shipping_lag_stats",
+    "source_vocab_overlap",
+    "sparse_tfidf_doc_pairs",
+    "streaming_dedup_events",
+    "streaming_session_window",
+    "theilsen_trend_by_type",
+    "time_to_first_purchase",
+    # interim fill while the three r12 additions land (each new query
+    # swaps the alphabetical tail of these out):
+    "token_entropy_quality",
+    "user_growth_accounting",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -65,17 +65,25 @@ def ensure_bucketed_specs(spark: SparkSession, specs) -> list[DataFrame]:
     signatures from one corpus scan, then bands from the STORED
     signatures). Same stale-catalog guard as :func:`_ensure_bucketed`:
     a catalog entry whose backing files are gone is dropped and
-    rebuilt. Shared by operators/dedup._ensure_minhash_index_tables
-    and scripts/incremental_minhash_probe.py so the probe measures
-    exactly the layout the operator ships."""
+    rebuilt — and because later specs DERIVE from earlier ones,
+    rebuilding any spec cascades a rebuild of every spec after it in
+    the same call (ADVICE r11: without the cascade, a band table that
+    kept its files would be served against freshly rebuilt signatures,
+    correct only by the unstated determinism of build_fn). Shared by
+    operators/dedup._ensure_minhash_index_tables and
+    scripts/incremental_minhash_probe.py so the probe measures exactly
+    the layout the operator ships."""
     out = []
+    rebuilt_upstream = False
     for tbl, keys, build in specs:
         path = os.path.join(WAREHOUSE, tbl)
-        if spark.catalog.tableExists(tbl) and not os.path.exists(
+        stale = spark.catalog.tableExists(tbl) and not os.path.exists(
             os.path.join(path, "_SUCCESS")
-        ):
+        )
+        if stale or (rebuilt_upstream and spark.catalog.tableExists(tbl)):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         if not spark.catalog.tableExists(tbl):
+            rebuilt_upstream = True
             (
                 build()
                 .write.bucketBy(N_BUCKETS, *keys)

@@ -719,9 +719,15 @@ def streaming_minhash_dedup(
     planted-rejected assertion exact. Rows-only (xxhash64); that
     paired certificate is fully oracle-checked. foreachBatch state
     lives in parquet dirs, never executor memory, and every sink
-    writes overwrite-by-batch-id partitions (r11) so a re-delivered
-    micro-batch after restart is idempotent — exactly-once decisions,
-    the standard foreachBatch recipe.
+    writes overwrite-by-batch-id partitions (r11) — the REPLAY-SAFE
+    LAYOUT for foreachBatch: a re-delivered batch id overwrites its
+    own partition instead of double-appending. As shipped the query
+    runs availableNow into a fresh per-invocation work dir with no
+    checkpointLocation, so re-delivery never actually occurs here
+    (ADVICE r11 — the layout is the recipe a checkpointed production
+    deployment needs, not a guarantee this invocation exercises; wire
+    ``.option("checkpointLocation", ...)`` plus a durable work dir to
+    get real exactly-once decisions across restarts).
     """
     import os
     import shutil
@@ -818,8 +824,11 @@ def streaming_minhash_dedup(
         )
         rejected_parts.append(within)
         if state["has_index"]:
-            idx_sigs = sess.read.parquet(sig_dir)
-            idx_bands = sess.read.parquet(band_dir)
+            # explicit selects pin the schema: the batch=N dir layout
+            # surfaces an inferred 'batch' partition column that must
+            # not leak into joins/unions (ADVICE r11)
+            idx_sigs = sess.read.parquet(sig_dir).select("doc_id", "signature")
+            idx_bands = sess.read.parquet(band_dir).select("band", "bh", "doc_id")
             vs_index = (
                 bands.join(
                     idx_bands.withColumnRenamed("doc_id", "idx_id"), ["band", "bh"]
@@ -847,12 +856,13 @@ def streaming_minhash_dedup(
                 F.when(F.col("rej").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("admitted"),
             )
         )
-        # REPLAY-IDEMPOTENT sinks (exactly-once decisions): each
-        # micro-batch OVERWRITES its own batch=N partition dir instead
-        # of blind-appending — foreachBatch re-delivers a batch after
-        # a restart, and an append sink would double-count its
-        # decisions and double-grow the index; overwrite-by-batch-id
-        # is the standard idempotence recipe for foreachBatch sinks.
+        # REPLAY-SAFE layout: each micro-batch OVERWRITES its own
+        # batch=N partition dir instead of blind-appending — the
+        # standard idempotence recipe for checkpointed foreachBatch
+        # sinks (a re-delivered batch id overwrites, never
+        # double-counts). This invocation runs checkpoint-free into a
+        # fresh work dir, so the recipe is carried, not exercised
+        # (see docstring).
         for frame, d in (
             (decisions, dec_dir),
             # every fingerprint SEEN enters the index (split-invariance)

@@ -13,12 +13,24 @@ shortlist. Reports build time, query time, and planted recall@10.
 
 Usage: python scripts/ivfpq_scale_probe.py [n_vectors]
 Results recorded in SCALE.md.
+
+STORED-INDEX ARM (VERDICT r11 #1):
+``python scripts/ivfpq_scale_probe.py --stored-index [N ...]``
+(default 250000 1000000) measures the registry's
+`ivfpq_ann_topk_bucketed` — the ONE stored bucketBy(list_id)
+codes+vectors table — against the recompute-per-session
+`ivfpq_ann_topk`, via storage.ensure_bucketed_specs itself (nothing
+re-implemented). Three cells per N: one-time build_s, median stored
+probe, one unstored run; plus a 4x-query-batch cell per N showing
+probe cost tracks the query batch. Writes
+results/ivfpq_scale_probe.json.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,7 +41,8 @@ from pyspark.sql import functions as F
 
 from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark import get_spark
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+_POSITIONAL = [a for a in sys.argv[1:] if not a.startswith("--")]
+N = int(_POSITIONAL[0]) if _POSITIONAL else 1_000_000
 DIM = 64
 N_CENTROIDS = 64
 N_PROBE = 4
@@ -214,5 +227,117 @@ def main() -> None:
     )
 
 
+DIM_STORED = 64
+STORED_REPS = 3
+
+
+def _synth_sf_dir(spark, n: int) -> str:
+    """Deterministic synthetic embeddings.parquet shaped like a
+    testdata sf_dir (vec_id BIGINT, embedding ARRAY<FLOAT>) so the
+    stored-index arm exercises the EXACT registry operator + its
+    ensure_bucketed_specs machinery."""
+    sf_dir = f"/tmp/ivfpq_probe_{n}"
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        vec_expr = (
+            f"transform(sequence(1, {DIM_STORED}),"
+            f" j -> CAST(pmod(xxhash64(vec_id * 8191 + j), 1000000) / 500000.0 - 1.0 AS FLOAT))"
+        )
+        (
+            spark.range(n)
+            .select(F.col("id").alias("vec_id"))
+            .select("vec_id", F.expr(vec_expr).alias("embedding"))
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return sf_dir
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def stored_index_main(ns: list[int]) -> None:
+    """VERDICT r11 #1 arm: the stored bucketed index vs per-session
+    recompute, measured on the shipped operators."""
+    import shutil
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import (
+        similarity,
+    )
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.sources.storage import (
+        WAREHOUSE,
+        _tag,
+    )
+
+    spark = get_spark("ivfpq-stored-index-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"arm": "stored_index", "dim": DIM_STORED, "reps": STORED_REPS, "cells": []}
+
+    for n in ns:
+        sf_dir = _synth_sf_dir(spark, n)
+        cell: dict = {"n_vectors": n}
+
+        # drop any prior build so build_s is honest
+        tag = _tag(sf_dir, "embeddings")
+        spark.sql(f"DROP TABLE IF EXISTS ivfpq_idx_{tag}")
+        shutil.rmtree(os.path.join(WAREHOUSE, f"ivfpq_idx_{tag}"), ignore_errors=True)
+
+        t0 = time.time()
+        similarity._ensure_ivfpq_index_table(spark, sf_dir)
+        cell["build_s"] = round(time.time() - t0, 2)
+
+        probes = []
+        for _ in range(STORED_REPS):
+            t0 = time.time()
+            _force(similarity.ivfpq_ann_topk_bucketed(spark, sf_dir))
+            probes.append(time.time() - t0)
+        cell["stored_probe_s"] = round(statistics.median(probes), 2)
+        cell["stored_probe_all"] = [round(p, 2) for p in probes]
+
+        t0 = time.time()
+        _force(similarity.ivfpq_ann_topk(spark, sf_dir))
+        cell["unstored_run_s"] = round(time.time() - t0, 2)
+        spark.catalog.clearCache()  # unstored variant's size-gated persist
+
+        # query-batch arm at this N: 4x the queries, same corpus
+        orig_q = similarity.N_QUERIES
+        try:
+            similarity.N_QUERIES = orig_q * 4
+            t0 = time.time()
+            _force(similarity.ivfpq_ann_topk_bucketed(spark, sf_dir))
+            cell["stored_probe_4x_queries_s"] = round(time.time() - t0, 2)
+            cell["n_queries"] = [orig_q, orig_q * 4]
+        finally:
+            similarity.N_QUERIES = orig_q
+
+        out["cells"].append(cell)
+        print(json.dumps(cell), flush=True)
+
+    if len(out["cells"]) >= 2:
+        a, b = out["cells"][0], out["cells"][-1]
+        out["corpus_ratio"] = round(b["n_vectors"] / a["n_vectors"], 2)
+        out["stored_probe_ratio"] = round(
+            b["stored_probe_s"] / max(a["stored_probe_s"], 1e-9), 2
+        )
+        out["unstored_ratio"] = round(
+            b["unstored_run_s"] / max(a["unstored_run_s"], 1e-9), 2
+        )
+    dst = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "results",
+        "ivfpq_scale_probe.json",
+    )
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps({k: v for k, v in out.items() if k != "cells"}))
+    print(f"-> {dst}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--stored-index" in sys.argv[1:]:
+        stored_index_main([int(a) for a in _POSITIONAL] or [250_000, 1_000_000])
+    else:
+        main()

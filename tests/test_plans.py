@@ -601,18 +601,78 @@ def test_bucketed_index_append_preserves_exchange_free_probe(spark, sf_dir):
             .select("batch_id", "corpus_id")
         )
 
-    probe = probe_plan()
-    text = explain.plan_text(probe)
-    assert "Bucketed: true" in text, "appended index fell off the bucketed read path"
-    n_bucketed = explain.shuffle_count(probe)
-    # relative control (cache-robust, same as the non-append test):
-    # without bucketing the grown index adds exactly its one exchange
-    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    # one finally for BOTH the conf restore and the test-scoped table
+    # drop (ADVICE r11: dropping only on the success path leaked
+    # parquet files + a catalog entry into the shared /tmp warehouse
+    # whenever an assertion failed)
     try:
-        assert explain.shuffle_count(probe_plan()) == n_bucketed + 1
+        probe = probe_plan()
+        text = explain.plan_text(probe)
+        assert "Bucketed: true" in text, "appended index fell off the bucketed read path"
+        n_bucketed = explain.shuffle_count(probe)
+        # relative control (cache-robust, same as the non-append test):
+        # without bucketing the grown index adds exactly its one exchange
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+        try:
+            assert explain.shuffle_count(probe_plan()) == n_bucketed + 1
+        finally:
+            spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     finally:
-        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_ivfpq_bucketed_probe_reads_only_probed_buckets(spark, sf_dir):
+    """The stored IVF-PQ index (VERDICT r11 #1): a probe must read
+    ONLY the probed lists' buckets, on BOTH index scans, with zero
+    index-side exchange.
+
+    - bucket pruning: the literal ``list_id IN (probed)`` filter makes
+      each index scan report ``SelectedBucketsCount: x out of y`` with
+      x < y — at 100 TB that is the difference between reading
+      n_probe/nlist of the index and reading all of it, per query
+      batch;
+    - column pruning: the ADC scan's ReadSchema carries ``codes`` but
+      NOT ``embedding`` (the hot path reads ~4 bytes/vector), while
+      the re-rank fetch reads ``embedding``/``nrm`` but not ``codes``;
+    - no index-side exchange: both index consumers are broadcast
+      joins (probes / shortlist are the build sides), so no Exchange
+      sits between either index scan and its join."""
+    import re
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import (
+        similarity,
+    )
+
+    df = similarity.ivfpq_ann_topk_bucketed(spark, sf_dir)
+    text = explain.plan_text(df)
+    idx_scans = [
+        seg
+        for seg in (s.strip() for s in text.split("\n\n"))
+        if re.match(r"\(\d+\) Scan parquet spark_catalog\.default\.ivfpq_idx_", seg)
+    ]
+    assert len(idx_scans) == 2, f"expected ADC + fetch index scans, got {len(idx_scans)}"
+    schemas = set()
+    for seg in idx_scans:
+        assert "Bucketed: true" in seg, "index scan fell off the bucketed read path"
+        assert re.search(r"PushedFilters:.*In\(list_id", seg), seg
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", seg)
+        assert m, "index scan is not bucket-pruned"
+        assert int(m.group(1)) < int(m.group(2)), (
+            "probe read every bucket — the literal probe-list filter "
+            "is not pruning"
+        )
+        read = re.search(r"ReadSchema: struct<([^>]*)", seg).group(1)
+        schemas.add(
+            ("codes" in read, "embedding" in read)
+        )
+    assert schemas == {(True, False), (False, True)}, (
+        f"column pruning regressed: index scans read {schemas} — the ADC "
+        "scan must read codes-without-embedding and the fetch the reverse"
+    )
+    # every index consumer is a broadcast join: the only Exchanges in
+    # the plan are candidate-sized (ADC aggregate + rank windows)
+    assert "SortMergeJoin" not in text
+    assert explain.shuffle_count(df) <= 5
 
 
 def test_incremental_minhash_bucketed_verify_join_uses_sig_buckets(spark, sf_dir):

@@ -931,6 +931,20 @@ def test_incremental_bucketed_equals_persisted(spark, sf_dir):
     assert len(bucketed) > 0
 
 
+def test_ivfpq_bucketed_equals_unstored(spark, sf_dir):
+    """The stored bucketed IVF-PQ index probe (VERDICT r11 #1) and the
+    in-session variant are the same deterministic algorithm (same
+    data-sampled centroids, same seeded codebook, same int64-exact ADC,
+    same tiebreaks) over the same corpus — their top-k must be
+    row-identical, which is what lets one oracle cover both."""
+    stored = sorted(
+        map(tuple, similarity.ivfpq_ann_topk_bucketed(spark, sf_dir).collect())
+    )
+    unstored = sorted(map(tuple, similarity.ivfpq_ann_topk(spark, sf_dir).collect()))
+    assert stored == unstored
+    assert len(stored) > 0
+
+
 def test_streaming_minhash_multibatch_equals_batch():
     """Multi-batch certificate for streaming_minhash_dedup
     (scripts/streaming_minhash_probe.py at test scale): admission
