@@ -113,6 +113,13 @@ BENCH_QUERIES = [
     # round-10 additions
     "dedup_minhash_incremental",  # batch probe vs persisted LSH band index
     "bpe_train_merges",         # unrolled BPE merge loop (3 scan+agg rounds)
+    # round-12 addition (no rebaseline entry until the next
+    # calm-window regeneration; drift annotations skip unknown names).
+    # bpe_train_merges_delta is deliberately NOT benched: adding both
+    # r12 names would push the worst-case contract line past the
+    # driver's 2000-char tail (test_contract_line_fits_driver_tail);
+    # its perf evidence lives in results/bpe_scale_probe.json instead.
+    "ivfpq_ann_topk_bucketed",  # stored bucketBy(list_id) ANN index probe
 ]
 
 # Host-epoch calibration (VERDICT r7 #1). Three rounds running, the

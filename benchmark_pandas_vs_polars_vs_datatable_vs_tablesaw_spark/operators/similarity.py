@@ -2165,7 +2165,7 @@ def ivfpq_ann_topk_bucketed(
     pattern) and pushed into the codes scan as ``list_id IN (...)``,
     which both parquet-row-group-prunes and bucket-prunes — the scan
     reads only the probed lists' buckets
-    (tests/test_plans.py::test_ivfpq_bucketed_probe asserts
+    (tests/test_plans.py::test_ivfpq_bucketed_probe_reads_only_probed_buckets asserts
     SelectedBucketsCount and zero index-side Exchange). ADC scoring
     then runs on candidates alone (the broadcast lookup-table join of
     the unstored variant), and the exact re-rank fetches only

@@ -17,6 +17,8 @@ rounding.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1240,6 +1242,156 @@ def bpe_train_merges_batched(
     """
     docs = load_table(spark, sf_dir, "documents").select("text")
     return _bpe_merge_rounds_batched(docs, n_merges, batch_k)
+
+
+def _bpe_merge_rounds_delta(
+    docs: DataFrame, n_merges: int, stats: list | None = None
+) -> DataFrame:
+    """Core of :func:`bpe_train_merges_delta` on an arbitrary (text)
+    frame so the property tests can drive hand-built micro corpora.
+    ``stats``, when a list, receives one dict per round
+    ({rank, affected_docs, round_s}) — the instrumentation
+    scripts/bpe_scale_probe.py uses for its round-cost-∝-affected-docs
+    cell; it costs one extra count() per round and is skipped when
+    None (every registry/test path).
+
+    Pair-count state (pair, n) is MAINTAINED BY SIGNED DELTA instead
+    of recounted: merging pair P only changes sequences where P occurs
+    adjacently, so each round (after the one full initial count)
+    touches ONLY the affected slice — subtract its old pair counts,
+    apply the merge to it alone, add its new pair counts, and fold
+    both into the state. Selection (count desc, pair asc over the
+    state) therefore equals the full-recount trainer's exactly —
+    tests/test_property.py pins delta == sequential on the fixture and
+    on hypothesis-generated corpora.
+
+    Each round's new state/corpus is persisted and force-materialized
+    before its parent is released (the k-means iterative pattern;
+    without the persist round r's plan re-derives every earlier round
+    — the 2^r blowup the sequential trainer's docstring documents).
+    At 100 TB both live as stored tables and the affected slice is a
+    partitioned update; per-round cost is ∝ affected docs
+    (scripts/bpe_scale_probe.py measures the affected fraction and the
+    per-round delta-vs-rescan gap).
+    """
+    spark = docs.sparkSession
+    cur = docs.select(F.col("text").alias("seq")).persist()
+    counts = (
+        cur.select(F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    picked: list[tuple[int, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        _t0 = time.perf_counter() if stats is not None else 0.0
+        # TakeOrderedAndProject of the 1-row winner — the same bounded
+        # driver-side step as the batched trainer's candidate list
+        top = counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(1).collect()
+        if not top:
+            break  # corpus fully merged
+        pair, n = top[0].pair, int(top[0].n)
+        picked.append((rank, pair, int(n)))
+        if rank == n_merges:
+            break
+        a, b = pair.split(" ")
+        # token-aligned containment: the merge changes a sequence iff
+        # the pair occurs adjacently in it (Column.contains takes the
+        # needle as a literal — no expression inlining)
+        has_pair = F.concat(F.lit(" "), F.col("seq"), F.lit(" ")).contains(
+            f" {a} {b} "
+        )
+        affected = cur.filter(has_pair)
+        new_affected = affected.select(
+            F.expr(_apply_merge_literal_expr(pair)).alias("seq")
+        )
+        # signed deltas aggregate over the AFFECTED slice only — the
+        # round's one data shuffle is delta-sized, never state-sized
+        deltas = (
+            affected.select(
+                F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"),
+                F.lit(-1).alias("sign"),
+            )
+            .unionByName(
+                new_affected.select(
+                    F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"),
+                    F.lit(1).alias("sign"),
+                )
+            )
+            .groupBy("pair")
+            .agg(F.sum("sign").alias("d"))
+            .filter(F.col("d") != 0)
+        )
+        # fold by FULL OUTER JOIN, not union+re-aggregate: the
+        # persisted state is already hash-partitioned by pair (it is a
+        # groupBy output), so the join plans zero exchange on the
+        # state side — only the tiny delta frame shuffles; a
+        # union+groupBy fold would re-shuffle the whole state every
+        # round (measured 0.57x vs sequential before this fix). The
+        # shuffle_hash hint keeps the fold a hash join — SortMergeJoin
+        # would re-SORT the whole state every round, the same
+        # state-sized cost through a different door.
+        new_counts = (
+            counts.join(deltas.hint("shuffle_hash"), "pair", "full_outer")
+            .select(
+                "pair",
+                (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0))).alias("n"),
+            )
+            .filter(F.col("n") > 0)
+            .persist()
+        )
+        new_cur = cur.filter(~has_pair).unionByName(new_affected).persist()
+        # materialize the new state BEFORE releasing its parents (the
+        # new frames' plans read the old persisted ones)
+        new_counts.count()
+        new_cur.count()
+        if stats is not None:
+            # round_s closes BEFORE the affected count — that count is
+            # instrumentation, not trainer work
+            _round_s = round(time.perf_counter() - _t0, 2)
+            stats.append(
+                {
+                    "rank": rank,
+                    "affected_docs": affected.count(),
+                    "round_s": _round_s,
+                }
+            )
+        counts.unpersist()
+        cur.unpersist()
+        counts, cur = new_counts, new_cur
+    counts.unpersist()
+    cur.unpersist()
+    return spark.createDataFrame(picked, schema="merge_rank INT, pair STRING, n BIGINT")
+
+
+def bpe_train_merges_delta(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """BPE training with INCREMENTAL pair-count maintenance (VERDICT
+    r11 #6) — the second real-trainer optimization after batching:
+    :func:`bpe_train_merges` recounts every pair in every sequence
+    each round, but merging pair P can only change sequences where P
+    occurs adjacently, so after one full initial count each round (i)
+    filters the corpus to the affected slice (token-aligned
+    ``contains``), (ii) re-derives pair counts for that slice before
+    and after applying the merge, and (iii) folds the signed deltas
+    into the persisted count state. Selection over the maintained
+    state is provably identical to full recounting (the delta algebra
+    is exact), so the merge table equals the sequential trainer's
+    row-for-row and the SAME oracle covers it.
+
+    Per-round cost: one contains-filter scan of the current corpus +
+    pair extraction over ONLY the affected docs (top merges early in
+    training touch most docs; by mid-vocabulary the affected fraction
+    collapses, which is where real trainers spend their rounds —
+    scripts/bpe_scale_probe.py's delta cell measures the fraction and
+    the per-round gap at 1M docs). The count state is corpus-wide but
+    (pair, n)-shaped — at 100 TB a stored table keyed by pair, with
+    the round's deltas a map-side-combined aggregate over the
+    affected slice only.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return _bpe_merge_rounds_delta(docs, n_merges)
 
 
 def _bpe_batched_oracle(
@@ -3128,6 +3280,7 @@ QUERIES: dict = {
     "bpe_pair_counts": (bpe_pair_counts, BPE_PAIR_ORACLE),
     "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_MERGES_ORACLE),
     "bpe_train_merges_batched": (bpe_train_merges_batched, BPE_BATCHED_ORACLE),
+    "bpe_train_merges_delta": (bpe_train_merges_delta, BPE_TRAIN_MERGES_ORACLE),
     "bpe_encode_corpus": (bpe_encode_corpus, BPE_ENCODE_ORACLE),
     "data_mixture_resample": (data_mixture_resample, DATA_MIXTURE_ORACLE),
     "token_rarity_score": (token_rarity_score, TOKEN_RARITY_ORACLE),

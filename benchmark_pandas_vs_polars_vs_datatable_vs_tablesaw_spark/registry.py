@@ -60,13 +60,15 @@ _MODULES = (
 
 # Registration order == driver correctness-check order (the driver
 # verifies the first N registry entries per round; N has been 50).
-# Entering round 11 every one of the 289 pre-existing queries has a
-# driver row (284 hash-green, 5 rows-only by design; round 11 adds 2
-# never-checked entries, 291 total), so the window's job is keeping
+# Entering round 12 every one of the 291 pre-existing queries has a
+# driver row (285 hash-green, 6 rows-only by design; round 12 adds 3
+# never-checked entries, 294 total), so the window's job is keeping
 # rows from silently trailing code changes (VERDICT r6 "Next round"
 # #1) and continuing the vintage drain — this window takes the 3
-# round-11-changed entries plus 45 of the 47 r5-vintage rows (the
-# 2-row alphabetical tail queues for round 12). ROTATION POLICY, pinned
+# round-12 additions, the 1 round-12-changed entry, the final 2
+# r5-vintage rows (the r5 vintage fully drains, VERDICT r11 #2), and
+# 44 of the 49 r6-vintage rows (the 5-row alphabetical tail queues
+# for round 13). ROTATION POLICY, pinned
 # by tests/test_harness.py::test_priority_window_is_ledger_justified
 # against scripts/attestation_ledger.py (which ast-diffs every query
 # function between the commit its last driver row ran against and the
@@ -74,14 +76,12 @@ _MODULES = (
 #
 #   (i)  changed-since-row first: every query whose function body
 #        changed after the round of its last driver row MUST be in
-#        the window (round 10: none — no pre-existing query function
-#        was edited this round; the ledger run confirms);
+#        the window (round 12: streaming_minhash_dedup — explicit
+#        index-read schemas + replay-layout wording, ADVICE r11);
 #   (ii) then stalest-first, monotone: the window may include a
 #        round-k row only if every older row is also included (the
 #        enforced rule is max(window rounds) <= min(excluded rounds),
-#        changed-since-row entries aside). Round 10 drains the entire
-#        r4 tail (44 rows — the VERDICT r9 #4 queue); with the 6 new
-#        entries that fills 50 exactly (no r5 fill this round).
+#        changed-since-row entries aside).
 #
 # OUTPUT CONVENTION (registry-wide, pinned after r5's red row): every
 # registry query result must be sortable by an engine-neutral pandas
@@ -104,11 +104,10 @@ _MODULES = (
 _PRIORITY = (
     # ---- ROUND 12 WINDOW (first 50 = the driver's check set) ----
     # (iii) never-checked: the round-12 additions — no driver row
-    #       exists, they rotate in first (each swaps an r6 tail entry
-    #       out of the window as it lands):
+    #       exists, they rotate in first.
     "ivfpq_ann_topk_bucketed",             # new r12 (similarity.py, stored bucketBy ANN index — VERDICT r11 #1)
-    #   streaming_minhash_dedup_precision  (VERDICT r11 #3 — pending)
-    #   bpe_train_merges_delta             (VERDICT r11 #6 — pending)
+    "streaming_minhash_dedup_precision",   # new r12 (windows.py, FP-rate certificate — VERDICT r11 #3)
+    "bpe_train_merges_delta",              # new r12 (text.py, delta pair-count maintenance — VERDICT r11 #6)
     # (i) changed-since-row (attestation_ledger.py, round-12 run):
     "streaming_minhash_dedup",             # index reads pin explicit schema (ADVICE r11); replay wording
     # (ii) stalest-first, monotone (max in-window round <= min
@@ -165,10 +164,6 @@ _PRIORITY = (
     "streaming_session_window",
     "theilsen_trend_by_type",
     "time_to_first_purchase",
-    # interim fill while the three r12 additions land (each new query
-    # swaps the alphabetical tail of these out):
-    "token_entropy_quality",
-    "user_growth_accounting",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

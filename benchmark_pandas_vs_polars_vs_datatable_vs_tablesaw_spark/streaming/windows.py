@@ -675,6 +675,32 @@ _EST_JACCARD_EXPR = (
     " 0, (acc, v) -> acc + v)"
 )
 
+def _derived_arrival_seq():
+    """Arrival permutation for sources carrying no ingest sequence:
+    arbitrary-but-fixed, deliberately decoupled from id order (pmod
+    keeps it non-negative so the day-2 offset always sorts after it).
+    A function, not a module constant — building a Column requires an
+    active SparkContext."""
+    return F.pmod(F.xxhash64(F.lit("arrival"), F.col("doc_id")), F.lit(1 << 40))
+
+
+def _with_planted_resubmissions(docs: DataFrame) -> DataFrame:
+    """Union ``docs`` (doc_id, text, arrival_seq) with the fixture's
+    planted re-submissions: doc_id < 25, last word dropped, id + 1e6,
+    arriving on "day 2" (strictly after every base doc). Shared by the
+    stream source and the static truth twin the precision certificate
+    compares against, so the two can never drift."""
+    toks = F.split(F.col("text"), " ")
+    trimmed = F.expr(
+        "substr(text, 1, length(text) - length(element_at(split(text, ' '), -1)) - 1)"
+    )
+    planted = docs.filter((F.col("doc_id") < 25) & (F.size(toks) >= 2)).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        trimmed.alias("text"),
+        (F.lit(1 << 41) + F.col("arrival_seq")).alias("arrival_seq"),
+    )
+    return docs.unionByName(planted)
+
 
 def streaming_minhash_dedup(
     spark: SparkSession,
@@ -745,29 +771,12 @@ def streaming_minhash_dedup(
     dec_dir = os.path.join(work, "decisions")
     state = {"has_index": False}
 
-    # Derived arrival permutation for sources that carry no ingest
-    # sequence: arbitrary-but-fixed, deliberately decoupled from id
-    # order (pmod keeps it non-negative so the day-2 offset below
-    # always sorts after it).
-    derived_seq = F.pmod(F.xxhash64(F.lit("arrival"), F.col("doc_id")), F.lit(1 << 40))
-
     if stream_dir is None:
-        docs = (
+        stream = _with_planted_resubmissions(
             _documents_stream(spark, sf_dir)
             .select("doc_id", "text")
-            .withColumn("arrival_seq", derived_seq)
+            .withColumn("arrival_seq", _derived_arrival_seq())
         )
-        toks = F.split(F.col("text"), " ")
-        trimmed = F.expr(
-            "substr(text, 1, length(text) - length(element_at(split(text, ' '), -1)) - 1)"
-        )
-        # re-submissions arrive on "day 2": strictly after every base doc
-        planted = docs.filter((F.col("doc_id") < 25) & (F.size(toks) >= 2)).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
-            trimmed.alias("text"),
-            (F.lit(1 << 41) + F.col("arrival_seq")).alias("arrival_seq"),
-        )
-        stream = docs.unionByName(planted)
     else:
         from pyspark.sql import types as T
 
@@ -784,7 +793,7 @@ def streaming_minhash_dedup(
         # files written without an ingest sequence fall back to the
         # derived permutation (nulls -> coalesce)
         stream = reader.parquet(stream_dir).withColumn(
-            "arrival_seq", F.coalesce(F.col("arrival_seq"), derived_seq)
+            "arrival_seq", F.coalesce(F.col("arrival_seq"), _derived_arrival_seq())
         )
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
@@ -915,6 +924,111 @@ WHERE doc_id < 25 AND len(string_split(text, ' ')) >= 2
 """
 
 
+# Precision certificate dials (VERDICT r11 #3). Truth floor: an
+# organically rejected doc counts as a TRUE rejection if some other
+# stream doc shares exact word-3-gram Jaccard >= 0.35 with it — below
+# the operational est_jaccard 0.5 on purpose, so MinHash estimator
+# noise on genuinely-similar pairs (est 0.5 on exact ~0.4) is not
+# branded a false positive; a banding-collision FP pairs docs with
+# near-zero exact overlap and sits nowhere near 0.35. Measured on the
+# pinned fixtures: sf0.01 has 24 organic rejections, ALL true
+# (best-partner exact Jaccard >= 0.9 — the fixture's organic
+# near-dups); sf0.001 has 25, of which exactly ONE is a real banding
+# false positive (best partner 0.018); the 510k probe measured 46
+# true FPs of 47 rejected originals = 0.009% of the stream (one had
+# a genuine organic partner — scripts/streaming_minhash_probe.py
+# classifies every rejected original against exact truth each run).
+# FP ceiling 1 covers the known
+# sf0.001 collision while still flipping on any systematic precision
+# bug (wholesale false rejection trips it immediately). An
+# exact-verify gate before rejection would zero the FPs but requires
+# carrying per-doc shingle sets in the index (~30x index growth for
+# long docs) to buy back ~1 doc in 10k — deliberately NOT wired; the
+# certificate + probe keep the rate visible instead.
+STREAM_PRECISION_TRUTH_FLOOR = 0.35
+STREAM_PRECISION_FP_CEIL = 1
+
+
+def streaming_minhash_dedup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked PRECISION certificate for
+    :func:`streaming_minhash_dedup` — the recall certificate's dual
+    (VERDICT r11 #3): every ORGANIC rejection (doc_id < 1e6, i.e. not
+    a planted re-submission, which is a true duplicate by
+    construction) must have a true near-dup partner somewhere in the
+    stream — exact word-3-gram Jaccard >= STREAM_PRECISION_TRUTH_FLOOR
+    against ANY other stream doc. Partner-existence is order-free
+    truth: first-seen-wins only ever rejects the LATER element of a
+    qualifying pair, so a true rejection always has a partner, while a
+    banding/estimator false positive has none.
+
+    Truth pairs come from DF-capped shingle postings (the
+    dedup_minhash_incremental_recall pattern) with the REJECTED side
+    broadcast — bounded by the rejection list, never corpus x corpus.
+    Output: the stream size (base + planted, oracle recomputes it
+    exactly) and precision_ok = organic false positives <=
+    STREAM_PRECISION_FP_CEIL (oracle asserts TRUE; an
+    admission-rule/banding bug that starts rejecting arbitrary docs
+    flips it)."""
+    from ..catalog import read_raw
+    from ..operators.dedup import MAX_SHINGLE_DF, _SHINGLES_EXPR
+
+    decisions = streaming_minhash_dedup(spark, sf_dir)
+    stream_docs = _with_planted_resubmissions(
+        read_raw(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("arrival_seq", _derived_arrival_seq())
+    ).select("doc_id", "text")
+
+    rejected_org = decisions.filter(
+        (F.col("admitted") == 0) & (F.col("doc_id") < 1_000_000)
+    ).select("doc_id")
+
+    postings = stream_docs.select(
+        "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES_EXPR})")).alias("sh")
+    )
+    hot = (
+        postings.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("sh")
+    )
+    kept = postings.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    rej_postings = kept.join(F.broadcast(rejected_org), "doc_id").select(
+        F.col("doc_id").alias("rej_id"), "sh"
+    )
+    overlap = (
+        rej_postings.join(kept, "sh")
+        .filter(F.col("doc_id") != F.col("rej_id"))
+        .groupBy("rej_id", F.col("doc_id").alias("other_id"))
+        .agg(F.count("*").alias("common"))
+        .join(sizes.select(F.col("doc_id").alias("rej_id"), F.col("sz").alias("sz_r")), "rej_id")
+        .join(sizes.select(F.col("doc_id").alias("other_id"), F.col("sz").alias("sz_o")), "other_id")
+    )
+    jac = F.col("common") / (F.col("sz_r") + F.col("sz_o") - F.col("common"))
+    partnered = (
+        overlap.filter(jac >= STREAM_PRECISION_TRUTH_FLOOR)
+        .select(F.col("rej_id").alias("doc_id"))
+        .distinct()
+    )
+    n_fp = rejected_org.join(partnered, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_fp")
+    )
+    n_stream = stream_docs.agg(F.count(F.lit(1)).alias("n_stream"))
+    return n_stream.crossJoin(n_fp).select(
+        "n_stream",
+        (F.col("n_fp") <= F.lit(STREAM_PRECISION_FP_CEIL)).alias("precision_ok"),
+    )
+
+
+STREAMING_MINHASH_PRECISION_ORACLE = """
+SELECT (SELECT count(*) FROM documents)
+     + (SELECT count(*) FROM documents
+        WHERE doc_id < 25 AND len(string_split(text, ' ')) >= 2) AS n_stream,
+       TRUE AS precision_ok
+"""
+
+
 QUERIES: dict = {
     "streaming_hourly_agg": (streaming_hourly_agg, STREAMING_HOURLY_ORACLE),
     "streaming_foreachbatch_upsert": (streaming_foreachbatch_upsert, STREAMING_UPSERT_ORACLE),
@@ -940,6 +1054,10 @@ QUERIES: dict = {
     "streaming_minhash_dedup_recall": (
         streaming_minhash_dedup_recall,
         STREAMING_MINHASH_RECALL_ORACLE,
+    ),
+    "streaming_minhash_dedup_precision": (
+        streaming_minhash_dedup_precision,
+        STREAMING_MINHASH_PRECISION_ORACLE,
     ),
 }
 if _TWS_AVAILABLE:

@@ -36,6 +36,7 @@ from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text im
     _BPE_APPLY_MERGE_EXPR,
     _bpe_merge_rounds,
     _bpe_merge_rounds_batched,
+    _bpe_merge_rounds_delta,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -122,8 +123,33 @@ def run_cell(spark, dist: str) -> dict:
             {r.pair for r in seq6} & {r.pair for r in bat6}
         ),
     }
+
+    # r12 delta-trainer cell (VERDICT r11 #6): same 6 merges with
+    # signed-delta pair-count maintenance — after the one full initial
+    # count, each round recounts ONLY the sequences containing the
+    # just-merged pair. The instrumentation records per-round affected
+    # docs + wall time, the round-cost-∝-affected-docs claim made
+    # measurable (and delta merges must equal sequential exactly —
+    # checked here, property-tested in tests/test_property.py).
+    delta_stats: list = []
+    t0 = time.perf_counter()
+    dlt6 = _bpe_merge_rounds_delta(docs, 6, stats=delta_stats).collect()
+    stages["train_6_delta_s"] = round(time.perf_counter() - t0, 2)
+    assert [(r.merge_rank, r.pair, r.n) for r in sorted(dlt6, key=lambda r: r.merge_rank)] == [
+        (r.merge_rank, r.pair, r.n) for r in sorted(seq6, key=lambda r: r.merge_rank)
+    ], "delta trainer diverged from sequential"
+    delta_extras = {
+        "delta_speedup_vs_sequential": round(
+            stages["train_6_sequential_s"] / stages["train_6_delta_s"], 2
+        ),
+        "delta_rounds": [
+            {**s, "affected_frac": round(s["affected_docs"] / n_docs, 4)}
+            for s in delta_stats
+        ],
+    }
     return {
         **batched_extras,
+        **delta_extras,
         "distribution": dist,
         "docs": n_docs,
         "pairs_per_round": n_docs * (DOC_TOKENS - 1),

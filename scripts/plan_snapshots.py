@@ -45,7 +45,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 # Round 10: the two r10 additions (dedup_minhash_incremental's index
 # probe join and bpe_train_merges' 3-round scan+broadcast chain).
 # Round 11: the stored-bucketed index probe and the batched trainer.
+# Round 12: the stored-bucketed ANN index probe (bucket-pruning +
+# column-pruning shape is the whole point — pin it).
 SNAPSHOT_QUERIES = [
+    "ivfpq_ann_topk_bucketed",
     "dedup_minhash_incremental",
     "dedup_minhash_incremental_bucketed",
     "bpe_train_merges",

@@ -568,3 +568,61 @@ def test_bpe_batched_skips_interacting_candidate(spark):
         for r in _bpe_merge_rounds_batched(docs, 3, batch_k=2).collect()
     }
     assert got == {1: ("a b", 5), 2: ("d e", 3), 3: ("b c", 4)}
+
+
+def test_bpe_delta_equals_sequential_interacting(spark):
+    """Delta-counting must equal full recounting even when a round's
+    winner is a pair SPAWNED by an earlier merge — the case that
+    exercises the positive-delta path. Corpus: 'a b c' x7 + 'b c' x3:
+    round 1 merges 'b c' (count 10), which DESTROYS all 7 'a b'
+    adjacencies (negative delta on an unselected pair — 'a b c'
+    becomes 'a b+c') and SPAWNS 'a b+c' x7, which wins round 2; the
+    corpus is then fully merged, so BOTH trainers stop at rank 2 with
+    no third row."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        _bpe_merge_rounds,
+        _bpe_merge_rounds_delta,
+    )
+
+    rows = [("a b c",)] * 7 + [("b c",)] * 3
+    docs = spark.createDataFrame(rows, ["text"])
+    seq = {r.merge_rank: (r.pair, r.n) for r in _bpe_merge_rounds(docs, 3).collect()}
+    dlt = {
+        r.merge_rank: (r.pair, r.n)
+        for r in _bpe_merge_rounds_delta(docs, 3).collect()
+    }
+    assert seq == dlt == {1: ("b c", 10), 2: ("a b+c", 7)}
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=6).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_bpe_delta_equals_sequential_random_corpora(spark, docs):
+    """VERDICT r11 #6 property: on ARBITRARY micro corpora (tiny
+    alphabet => dense pair interactions, spawned pairs, vanishing
+    pairs, fully-merged docs) the delta-maintained trainer and the
+    full-recount sequential trainer must emit identical merge tables —
+    the delta algebra is exact, not approximate."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        _bpe_merge_rounds,
+        _bpe_merge_rounds_delta,
+    )
+
+    frame = spark.createDataFrame([(d,) for d in docs], ["text"])
+    seq = sorted(map(tuple, _bpe_merge_rounds(frame, 3).collect()))
+    dlt = sorted(map(tuple, _bpe_merge_rounds_delta(frame, 3).collect()))
+    # exhaustion agrees too: when the corpus fully merges early, the
+    # sequential trainer's remaining rounds emit no rows and delta
+    # breaks out of its loop — both tables end at the same rank
+    assert dlt == seq

@@ -931,6 +931,54 @@ def test_incremental_bucketed_equals_persisted(spark, sf_dir):
     assert len(bucketed) > 0
 
 
+def test_bucketed_specs_rebuild_cascades_to_derived(spark):
+    """ADVICE r11 (storage.py): when an earlier spec in an
+    ensure_bucketed_specs list is rebuilt (its backing files vanished),
+    every LATER spec in the same call must rebuild too — later specs
+    derive from earlier ones, so serving an old derived table against
+    a fresh base is only correct by an unstated determinism
+    assumption. The cascade makes it correct by construction."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.sources.storage import (
+        WAREHOUSE,
+        ensure_bucketed_specs,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    base_tbl, derived_tbl = f"test_casc_base_{tag}", f"test_casc_derived_{tag}"
+    state = {"v": 1}
+
+    def build_base():
+        return spark.range(20).select(
+            F.col("id").alias("k"), F.lit(state["v"]).alias("v")
+        )
+
+    def build_derived():
+        return spark.table(base_tbl).groupBy("v").agg(F.count("*").alias("n"))
+
+    specs = ((base_tbl, ("k",), build_base), (derived_tbl, ("v",), build_derived))
+    try:
+        ensure_bucketed_specs(spark, specs)
+        assert [r.v for r in spark.table(derived_tbl).collect()] == [1]
+        # base's files vanish; builders now produce v=2 content
+        state["v"] = 2
+        shutil.rmtree(os.path.join(WAREHOUSE, base_tbl), ignore_errors=True)
+        ensure_bucketed_specs(spark, specs)
+        assert [r.v for r in spark.table(base_tbl).select("v").distinct().collect()] == [2]
+        assert [r.v for r in spark.table(derived_tbl).collect()] == [2], (
+            "derived spec served stale content after its base was rebuilt"
+        )
+    finally:
+        for tbl in (base_tbl, derived_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(os.path.join(WAREHOUSE, tbl), ignore_errors=True)
+
+
 def test_ivfpq_bucketed_equals_unstored(spark, sf_dir):
     """The stored bucketed IVF-PQ index probe (VERDICT r11 #1) and the
     in-session variant are the same deterministic algorithm (same
