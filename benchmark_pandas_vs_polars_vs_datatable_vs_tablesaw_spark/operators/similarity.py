@@ -2274,6 +2274,96 @@ def ivfpq_ann_topk_bucketed(
     )
 
 
+def ivf_within_list_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's inner loop (Abbas et al. 2023) as the SECOND
+    consumer of the stored IVF-PQ index — the 100 TB argument for a
+    stored layout is precisely that its write cost amortizes across
+    every downstream workload, so here the same bucketBy(list_id)
+    table that serves ANN probes also serves semantic dedup: for
+    every vector, its exact nearest neighbour WITHIN its coarse list
+    (the within-cluster NN scan SemDeDup thresholds to drop
+    semantic duplicates; `dedup_semantic_clusters` runs the
+    k-means-cluster variant from scratch each session).
+
+    Plan shape is the point (plan-tested): a SELF-join of the stored
+    index on list_id reads co-located, pre-sorted buckets on BOTH
+    sides — the SortMergeJoin plans ZERO exchange and ZERO sort
+    anywhere below it (bucketBy + sortBy list_id satisfy both the
+    distribution and the ordering requirement), and column pruning
+    reads only (list_id, vec_id, embedding, nrm). The n²/nlist
+    within-list pair fan-out is SemDeDup's documented cost model; it
+    exists only inside map tasks — the lone exchange in the query is
+    the final per-vector max_by aggregate, which partial-aggregates
+    to one row per vector before shuffling. Vectors alone in their
+    list have no neighbour and are absent (both engines agree by
+    construction).
+
+    Deterministic and fully oracle-checked: same data-sampled
+    centroids and 4-dp-rounded cosine as every ANN operator here,
+    ties broken by smaller nn_id."""
+    idx = _ensure_ivfpq_index_table(spark, sf_dir)
+    a = idx.select("list_id", "vec_id", "embedding", "nrm")
+    b = idx.select(
+        F.col("list_id").alias("list_id_b"),
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.round(
+        vectors.dot(F.col("embedding"), F.col("emb_b")) / (F.col("nrm") * F.col("nrm_b")),
+        4,
+    )
+    return (
+        a.hint("merge")
+        .join(
+            b,
+            (F.col("list_id") == F.col("list_id_b"))
+            & (F.col("vec_id") != F.col("nn_id")),
+        )
+        .withColumn("cos", cos)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("nn_id"), F.col("cos")),
+                F.struct(F.col("cos").alias("c"), (-F.col("nn_id")).alias("t")),
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.nn_id").alias("nn_id"), F.col("best.cos").alias("cos"))
+    )
+
+
+IVF_WITHIN_LIST_NN_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id - 100 AS cent_id, embedding AS c_vec
+  FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS list_id
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.embedding', b='c.c_vec')} DESC,
+                      c.cent_id ASC) AS a_rank
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE a_rank = 1
+),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+         {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos
+  FROM assigned a JOIN assigned b
+    ON a.list_id = b.list_id AND a.vec_id != b.vec_id
+)
+SELECT vec_id, nn_id, cos
+FROM (
+  SELECT vec_id, nn_id, cos,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rk
+  FROM pairs
+) WHERE rk = 1
+"""
+
+
 QUERIES: dict = {
     "embedding_centroid_outliers": (
         embedding_centroid_outliers,
@@ -2299,6 +2389,7 @@ QUERIES: dict = {
     "pq_quantize_stats": (pq_quantize_stats, PQ_QUANTIZE_ORACLE),
     "ivfpq_ann_topk": (ivfpq_ann_topk, IVFPQ_ANN_ORACLE),
     "ivfpq_ann_topk_bucketed": (ivfpq_ann_topk_bucketed, IVFPQ_ANN_ORACLE),
+    "ivf_within_list_nn": (ivf_within_list_nn, IVF_WITHIN_LIST_NN_ORACLE),
     "label_centroid_similarity": (
         label_centroid_similarity,
         LABEL_CENTROID_SIM_ORACLE,

@@ -61,13 +61,13 @@ _MODULES = (
 # Registration order == driver correctness-check order (the driver
 # verifies the first N registry entries per round; N has been 50).
 # Entering round 12 every one of the 291 pre-existing queries has a
-# driver row (285 hash-green, 6 rows-only by design; round 12 adds 3
-# never-checked entries, 294 total), so the window's job is keeping
+# driver row (285 hash-green, 6 rows-only by design; round 12 adds 4
+# never-checked entries, 295 total), so the window's job is keeping
 # rows from silently trailing code changes (VERDICT r6 "Next round"
-# #1) and continuing the vintage drain — this window takes the 3
+# #1) and continuing the vintage drain — this window takes the 4
 # round-12 additions, the 1 round-12-changed entry, the final 2
 # r5-vintage rows (the r5 vintage fully drains, VERDICT r11 #2), and
-# 44 of the 49 r6-vintage rows (the 5-row alphabetical tail queues
+# 43 of the 49 r6-vintage rows (the 6-row alphabetical tail queues
 # for round 13). ROTATION POLICY, pinned
 # by tests/test_harness.py::test_priority_window_is_ledger_justified
 # against scripts/attestation_ledger.py (which ast-diffs every query
@@ -106,6 +106,7 @@ _PRIORITY = (
     # (iii) never-checked: the round-12 additions — no driver row
     #       exists, they rotate in first.
     "ivfpq_ann_topk_bucketed",             # new r12 (similarity.py, stored bucketBy ANN index — VERDICT r11 #1)
+    "ivf_within_list_nn",                  # new r12 (similarity.py, SemDeDup NN scan on the SAME stored index)
     "streaming_minhash_dedup_precision",   # new r12 (windows.py, FP-rate certificate — VERDICT r11 #3)
     "bpe_train_merges_delta",              # new r12 (text.py, delta pair-count maintenance — VERDICT r11 #6)
     # (i) changed-since-row (attestation_ledger.py, round-12 run):
@@ -163,7 +164,6 @@ _PRIORITY = (
     "streaming_dedup_events",
     "streaming_session_window",
     "theilsen_trend_by_type",
-    "time_to_first_purchase",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -71,6 +71,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Report bucketed scans' sortBy ordering (r12): Spark 3+
+        # hides it by default (SPARK-28595); with it on, a scan whose
+        # buckets are SINGLE-FILE (ensure_bucketed_specs repartitions
+        # by the bucket keys to guarantee exactly that) satisfies a
+        # sort-merge join's ordering requirement, so self-joins on
+        # the bucket key plan with zero exchange AND zero sort
+        # (tests/test_plans.py::test_ivf_within_list_nn_...).
+        # Correctness-safe: multi-file buckets (e.g. after appends)
+        # claim no ordering and keep their Sorts.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # Local-mode shuffle files go to tmpfs when available AND it
         # has headroom (capacity-checked): a sort's shuffle write+fetch
         # is pure disk I/O on /tmp otherwise (the single-node stand-in

@@ -85,7 +85,17 @@ def ensure_bucketed_specs(spark: SparkSession, specs) -> list[DataFrame]:
         if not spark.catalog.tableExists(tbl):
             rebuilt_upstream = True
             (
+                # repartition on the bucket keys first so each bucket
+                # lands in EXACTLY ONE file: Spark trusts a bucketed
+                # table's sortBy ordering only when buckets are
+                # single-file, and that trust is what lets a
+                # sort-merge self-join on the bucket key plan with
+                # zero exchange AND zero sort (r12,
+                # tests/test_plans.py::test_ivf_within_list_nn_...).
+                # Also the right write shape: 8 compact bucket files
+                # instead of tasks x buckets fragments.
                 build()
+                .repartition(N_BUCKETS, *[F.col(k) for k in keys])
                 .write.bucketBy(N_BUCKETS, *keys)
                 .sortBy(*keys)
                 .option("path", path)

@@ -49,6 +49,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 # column-pruning shape is the whole point — pin it).
 SNAPSHOT_QUERIES = [
     "ivfpq_ann_topk_bucketed",
+    "ivf_within_list_nn",
     "dedup_minhash_incremental",
     "dedup_minhash_incremental_bucketed",
     "bpe_train_merges",

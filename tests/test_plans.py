@@ -675,6 +675,51 @@ def test_ivfpq_bucketed_probe_reads_only_probed_buckets(spark, sf_dir):
     assert explain.shuffle_count(df) <= 5
 
 
+def test_ivf_within_list_nn_selfjoin_no_exchange_no_sort(spark, sf_dir):
+    """The stored index's SECOND consumer (SemDeDup within-list NN):
+    a self-join of the bucketBy/sortBy(list_id) table on list_id must
+    plan with ZERO exchange and ZERO sort — bucketing satisfies the
+    join's distribution requirement on both sides and the bucket-file
+    sort order satisfies its ordering requirement, so the only
+    exchange in the whole query is the final per-vector aggregate.
+    At 100 TB this is the difference between a free within-list pair
+    scan and re-shuffling + re-sorting the entire index per dedup
+    run."""
+    import re
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import (
+        similarity,
+    )
+
+    df = similarity.ivf_within_list_nn(spark, sf_dir)
+    text = explain.plan_text(df)
+    assert "SortMergeJoin" in text
+    idx_scans = [
+        seg
+        for seg in (s.strip() for s in text.split("\n\n"))
+        if re.match(r"\(\d+\) Scan parquet spark_catalog\.default\.ivfpq_idx_", seg)
+    ]
+    assert len(idx_scans) == 2, f"expected two index scans, got {len(idx_scans)}"
+    for seg in idx_scans:
+        assert "Bucketed: true" in seg
+    assert explain.shuffle_count(df) == 1, (
+        "the only exchange must be the final per-vector aggregate"
+    )
+    # no JOIN-KEY sort anywhere: the single-file-per-bucket sortBy
+    # layout + the bucketed-scan-ordering conf satisfy the SMJ's
+    # ordering requirement (per-vector aggregate sorts on vec_id are
+    # the aggregate's own business and allowed)
+    join_key_sorts = [
+        seg.splitlines()[0]
+        for seg in (s.strip() for s in text.split("\n\n"))
+        if re.match(r"\(\d+\) Sort\b", seg)
+        and re.search(r"Arguments: \[list_id", seg)
+    ]
+    assert not join_key_sorts, (
+        f"bucket sort order should satisfy the SMJ: {join_key_sorts}"
+    )
+
+
 def test_incremental_minhash_bucketed_verify_join_uses_sig_buckets(spark, sf_dir):
     """The est-Jaccard verify step re-attaches corpus signatures from
     the doc_id-bucketed signature table: both stored index scans in the
