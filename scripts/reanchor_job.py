@@ -27,9 +27,12 @@ probes RECORDED as brackets rather than used as a gate:
      the (mid+closing) bracket and the policy statement
 
 Every step is appended to results/calm_window_log.jsonl with
-job=reanchor so the round's evidence trail stays in one place. The
-working-tree results/bench_detail.json is restored from HEAD on every
-exit path (the committed detail artifact stays the driver-run one).
+job=reanchor so the round's evidence trail stays in one place. Since
+r12 (VERDICT r11 #4) this job is the ONE legitimate writer of the
+committed results/bench_detail.json: its bench runs set
+SPARK_GRAFT_BENCH_DETAIL_COMMIT=1, the last run's detail is kept on
+the success path for the re-anchor commit, and any failure path
+restores HEAD's.
 
 Usage: python scripts/reanchor_job.py [--round 10] [--bench-runs 3]
 """
