@@ -720,6 +720,70 @@ def test_ivf_within_list_nn_selfjoin_no_exchange_no_sort(spark, sf_dir):
     )
 
 
+def test_ivfpq_index_append_preserves_bucket_pruned_probe(spark, sf_dir):
+    """The ANN grow-by-batch lifecycle at 100 TB (the
+    test_bucketed_index_append pattern for the IVF-PQ index): after a
+    batch of newly encoded vectors is APPENDED to the stored index
+    (write.mode('append').bucketBy — Spark buckets the new files the
+    same way), a probe against the grown table must still read
+    ``Bucketed: true`` AND still bucket-prune on the literal probed
+    list_ids (SelectedBucketsCount < total). Multi-file buckets lose
+    only the sortBy ORDERING guarantee (the conf claims nothing for
+    them — correctness-safe), never pruning. Test-scoped table: an
+    append to the shared index would pollute every later run in this
+    /tmp lifetime."""
+    import re
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import (
+        similarity,
+    )
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.sources.storage import (
+        N_BUCKETS,
+        ensure_bucketed_specs,
+    )
+
+    base = similarity._ensure_ivfpq_index_table(spark, sf_dir)
+    tbl = f"test_append_ivfpq_{uuid.uuid4().hex[:8]}"
+    try:
+        ensure_bucketed_specs(
+            spark, ((tbl, ("list_id",), lambda: base),)
+        )
+        n_before = spark.table(tbl).count()
+        # admit a batch: re-id'd copies of existing rows stand in for
+        # freshly assigned+encoded vectors (same schema, same layout)
+        (
+            base.filter(F.col("vec_id") < 50)
+            .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+            .write.mode("append")
+            .bucketBy(N_BUCKETS, "list_id")
+            .sortBy("list_id")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        grown = spark.table(tbl)
+        assert grown.count() > n_before, "append must grow the index"
+        # a bare filter+project doesn't JUSTIFY a bucketed scan (AQE's
+        # autoBucketedScan drops it when nothing needs the
+        # distribution), so probe with the aggregate shape the real
+        # operator ends in
+        probe = (
+            grown.filter(F.col("list_id").isin([0, 1]))
+            .groupBy("list_id")
+            .agg(F.count("*").alias("n"))
+        )
+        text = explain.plan_text(probe)
+        assert "Bucketed: true" in text, "appended index fell off the bucketed path"
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", text)
+        assert m and int(m.group(1)) < int(m.group(2)), (
+            "appended index lost bucket pruning"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_incremental_minhash_bucketed_verify_join_uses_sig_buckets(spark, sf_dir):
     """The est-Jaccard verify step re-attaches corpus signatures from
     the doc_id-bucketed signature table: both stored index scans in the
