@@ -1265,22 +1265,26 @@ def _bpe_merge_rounds_delta(
     tests/test_property.py pins delta == sequential on the fixture and
     on hypothesis-generated corpora.
 
-    Each round's new state/corpus is persisted and force-materialized
-    before its parent is released (the k-means iterative pattern;
-    without the persist round r's plan re-derives every earlier round
-    — the 2^r blowup the sequential trainer's docstring documents).
-    At 100 TB both live as stored tables and the affected slice is a
-    partitioned update; per-round cost is ∝ affected docs
-    (scripts/bpe_scale_probe.py measures the affected fraction and the
-    per-round delta-vs-rescan gap).
+    Each round's new state/corpus is truncated with an EAGER
+    localCheckpoint — the codebase's hard-won rule for every iterative
+    DataFrame loop (see SCALE.md / dedup_clusters_star_contraction):
+    persist() alone caches data but the LOGICAL plan still doubles per
+    round (cur_r references cur_{r-1} twice — the kept slice and the
+    merged slice), so by round ~10 Catalyst re-optimization dominates
+    wall time (measured: depth-12 delta 394 s with persist-only vs
+    flat rounds after the checkpoint swap). At 100 TB both live as
+    stored tables and the affected slice is a partitioned update;
+    per-round cost is ∝ affected docs (scripts/bpe_scale_probe.py
+    measures the affected fraction and the per-round delta-vs-rescan
+    gap).
     """
     spark = docs.sparkSession
-    cur = docs.select(F.col("text").alias("seq")).persist()
+    cur = docs.select(F.col("text").alias("seq")).localCheckpoint(eager=True)
     counts = (
         cur.select(F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").alias("n"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     picked: list[tuple[int, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -1338,13 +1342,13 @@ def _bpe_merge_rounds_delta(
                 (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0))).alias("n"),
             )
             .filter(F.col("n") > 0)
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        new_cur = cur.filter(~has_pair).unionByName(new_affected).persist()
-        # materialize the new state BEFORE releasing its parents (the
-        # new frames' plans read the old persisted ones)
-        new_counts.count()
-        new_cur.count()
+        new_cur = (
+            cur.filter(~has_pair)
+            .unionByName(new_affected)
+            .localCheckpoint(eager=True)
+        )
         if stats is not None:
             # round_s closes BEFORE the affected count — that count is
             # instrumentation, not trainer work
@@ -1356,11 +1360,10 @@ def _bpe_merge_rounds_delta(
                     "round_s": _round_s,
                 }
             )
-        counts.unpersist()
-        cur.unpersist()
+        # previous generations' checkpoint blocks are released by the
+        # ContextCleaner once dereferenced here (the star-contraction
+        # loop's convention)
         counts, cur = new_counts, new_cur
-    counts.unpersist()
-    cur.unpersist()
     return spark.createDataFrame(picked, schema="merge_rank INT, pair STRING, n BIGINT")
 
 

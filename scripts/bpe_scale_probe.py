@@ -147,6 +147,22 @@ def run_cell(spark, dist: str) -> dict:
             for s in delta_stats
         ],
     }
+
+    # depth-12 pair: the delta trainer's one-time initial count
+    # amortizes over rounds, so its advantage COMPOUNDS with merge
+    # depth (real vocab training runs thousands of rounds)
+    t0 = time.perf_counter()
+    seq12 = _bpe_merge_rounds(docs, 12).collect()
+    stages["train_12_sequential_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    dlt12 = _bpe_merge_rounds_delta(docs, 12).collect()
+    stages["train_12_delta_s"] = round(time.perf_counter() - t0, 2)
+    assert sorted(map(tuple, dlt12)) == sorted(map(tuple, seq12)), (
+        "delta trainer diverged from sequential at depth 12"
+    )
+    delta_extras["delta_speedup_12_merges"] = round(
+        stages["train_12_sequential_s"] / stages["train_12_delta_s"], 2
+    )
     return {
         **batched_extras,
         **delta_extras,
