@@ -72,7 +72,18 @@ def ensure_bucketed_specs(spark: SparkSession, specs) -> list[DataFrame]:
     correct only by the unstated determinism of build_fn). Shared by
     operators/dedup._ensure_minhash_index_tables and
     scripts/incremental_minhash_probe.py so the probe measures exactly
-    the layout the operator ships."""
+    the layout the operator ships.
+
+    CONTRACT (ADVICE r12): the rebuild cascade propagates only WITHIN
+    one call — ``rebuilt_upstream`` starts False per invocation, so a
+    base rebuilt by an earlier call (or a prior session against the
+    persistent metastore) cannot trigger a rebuild of a derived table
+    passed in a later call. A derived spec must therefore always be
+    passed in the SAME call as the spec it derives from (every caller
+    in this codebase does); the alternative — keying each derived
+    table on a fingerprint of its upstream table's files, the way
+    ``_fixture_fingerprint`` keys source tables — would make split
+    calls safe but buys nothing while no such caller exists."""
     out = []
     rebuilt_upstream = False
     for tbl, keys, build in specs:

@@ -85,6 +85,9 @@ def main() -> int:
     ap.add_argument("--bench-runs", type=int, default=3)
     args = ap.parse_args()
     tmpdir = tempfile.mkdtemp(prefix="reanchor_")
+    ok = False  # explicit flag, tested in finally (ADVICE r12:
+    # locals().get("ok") worked but hid the control-flow dependency —
+    # an early return or a rename would silently skip the restore)
     try:
         _log({"event": "start", "round": args.round, "bench_runs": args.bench_runs})
         opening = probe("opening")
@@ -207,7 +210,7 @@ def main() -> int:
         # written detail stays for the re-anchor commit; on any
         # failure path restore HEAD's so a half-run never leaves the
         # tracked artifact dirty.
-        if not locals().get("ok"):
+        if not ok:
             subprocess.run(
                 ["git", "checkout", "--", "results/bench_detail.json"],
                 check=False,

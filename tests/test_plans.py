@@ -4,6 +4,9 @@ tested facts, not hopes. These run against sf0.001 — plan shape is
 scale-independent for these queries (AQE may coalesce partitions but
 does not add exchanges)."""
 
+import os
+import shutil
+
 from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import core, joins
 from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.plans import explain
 from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.sources import storage
@@ -618,7 +621,13 @@ def test_bucketed_index_append_preserves_exchange_free_probe(spark, sf_dir):
         finally:
             spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     finally:
+        # DROP alone does not delete data here: ensure_bucketed_specs
+        # creates EXTERNAL tables (.option("path", ...)), so without
+        # the rmtree every run leaves an orphan uuid-named parquet dir
+        # (base + appended files) in the shared /tmp warehouse
+        # (ADVICE r12).
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(storage.WAREHOUSE, tbl), ignore_errors=True)
 
 
 def test_ivfpq_bucketed_probe_reads_only_probed_buckets(spark, sf_dir):
@@ -781,7 +790,10 @@ def test_ivfpq_index_append_preserves_bucket_pruned_probe(spark, sf_dir):
             "appended index lost bucket pruning"
         )
     finally:
+        # external table (see the other append test): rmtree the data
+        # dir too or every run orphans it in the /tmp warehouse
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(storage.WAREHOUSE, tbl), ignore_errors=True)
 
 
 def test_incremental_minhash_bucketed_verify_join_uses_sig_buckets(spark, sf_dir):
