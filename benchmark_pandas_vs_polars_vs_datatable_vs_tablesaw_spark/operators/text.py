@@ -1397,6 +1397,163 @@ def bpe_train_merges_delta(
     return _bpe_merge_rounds_delta(docs, n_merges)
 
 
+# Adaptive path-choice threshold (VERDICT r12 #5): a round runs FULL
+# RECOUNT when the selected pair's occurrence count is at least this
+# fraction of the doc count, DELTA otherwise. Occurrences upper-bound
+# affected docs (a doc with k occurrences contributes k), and the
+# winner's count is already IN the maintained state — so the policy
+# predictor is free and available BEFORE the round runs, unlike the
+# verdict's "previous round's affected_frac" (which predicts the next
+# round from the last one and needs an instrumentation count). Sweep:
+# scripts/bpe_scale_probe.py's adaptive cell measures the hybrid at
+# 1M docs under both distributions; 0.5 sits in the wide flat region
+# between "rank-1 zipf merges touch most docs many times over"
+# (n/docs >> 1, recount wins) and "mid-vocabulary merges touch a few
+# percent" (n/docs << 0.5, delta wins).
+BPE_ADAPTIVE_RECOUNT_FRAC = 0.5
+
+
+def _bpe_merge_rounds_adaptive(
+    docs: DataFrame,
+    n_merges: int,
+    recount_frac: float = BPE_ADAPTIVE_RECOUNT_FRAC,
+    stats: list | None = None,
+) -> DataFrame:
+    """Core of :func:`bpe_train_merges_adaptive` on an arbitrary
+    (text) frame so the property tests can drive hand-built micro
+    corpora. ``stats``, when a list, receives one dict per round
+    ({rank, path, n, round_s}) for scripts/bpe_scale_probe.py.
+
+    Both paths maintain the identical (pair, n) state the delta
+    trainer proves exact, so selection — and therefore the merge
+    table — equals the sequential trainer's row-for-row regardless of
+    which path any round takes (property-tested across random
+    thresholds). The recount path rebuilds the state from the merged
+    corpus (one full pair extraction, the sequential trainer's round
+    shape); the delta path folds signed deltas from the affected
+    slice (the delta trainer's round shape). Checkpoint discipline is
+    the delta trainer's: every new corpus/state generation is
+    truncated with an eager localCheckpoint."""
+    spark = docs.sparkSession
+    cur = docs.select(F.col("text").alias("seq")).localCheckpoint(eager=True)
+    # merge application is a per-row projection — row count is
+    # invariant across rounds, so ONE count serves every policy call
+    n_docs = cur.count()
+    counts = (
+        cur.select(F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    picked: list[tuple[int, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        _t0 = time.perf_counter() if stats is not None else 0.0
+        top = counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(1).collect()
+        if not top:
+            break  # corpus fully merged
+        pair, n = top[0].pair, int(top[0].n)
+        picked.append((rank, pair, int(n)))
+        if rank == n_merges:
+            break
+        use_recount = n >= recount_frac * n_docs
+        if use_recount:
+            # full-recount round: apply the merge corpus-wide (one
+            # narrow projection) and rebuild the state from scratch —
+            # cheaper than delta exactly when the affected slice is
+            # most of the corpus anyway
+            new_cur = cur.select(
+                F.expr(_apply_merge_literal_expr(pair)).alias("seq")
+            ).localCheckpoint(eager=True)
+            new_counts = (
+                new_cur.select(F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"))
+                .groupBy("pair")
+                .agg(F.count("*").alias("n"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            # delta round: identical to _bpe_merge_rounds_delta's body
+            a, b = pair.split(" ")
+            has_pair = F.concat(F.lit(" "), F.col("seq"), F.lit(" ")).contains(
+                f" {a} {b} "
+            )
+            affected = cur.filter(has_pair)
+            new_affected = affected.select(
+                F.expr(_apply_merge_literal_expr(pair)).alias("seq")
+            )
+            deltas = (
+                affected.select(
+                    F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"),
+                    F.lit(-1).alias("sign"),
+                )
+                .unionByName(
+                    new_affected.select(
+                        F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"),
+                        F.lit(1).alias("sign"),
+                    )
+                )
+                .groupBy("pair")
+                .agg(F.sum("sign").alias("d"))
+                .filter(F.col("d") != 0)
+            )
+            new_counts = (
+                counts.join(deltas.hint("shuffle_hash"), "pair", "full_outer")
+                .select(
+                    "pair",
+                    (
+                        F.coalesce(F.col("n"), F.lit(0))
+                        + F.coalesce(F.col("d"), F.lit(0))
+                    ).alias("n"),
+                )
+                .filter(F.col("n") > 0)
+                .localCheckpoint(eager=True)
+            )
+            new_cur = (
+                cur.filter(~has_pair)
+                .unionByName(new_affected)
+                .localCheckpoint(eager=True)
+            )
+        if stats is not None:
+            stats.append(
+                {
+                    "rank": rank,
+                    "path": "recount" if use_recount else "delta",
+                    "n": n,
+                    "round_s": round(time.perf_counter() - _t0, 2),
+                }
+            )
+        counts, cur = new_counts, new_cur
+    return spark.createDataFrame(picked, schema="merge_rank INT, pair STRING, n BIGINT")
+
+
+def bpe_train_merges_adaptive(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """BPE training with ADAPTIVE pair-count maintenance (VERDICT r12
+    #5) — the hybrid of :func:`bpe_train_merges` (full recount) and
+    :func:`bpe_train_merges_delta` (signed-delta fold): the r12 probe
+    showed delta LOSES to sequential early in training (0.91x at 6
+    zipf merges) because rank-1 merges touch most pair mass while the
+    delta round's overhead (contains-filter scan + affected-slice
+    double extraction + state fold) is flat, then wins once the
+    affected fraction collapses (1.82x on the skewed cell). Each
+    round therefore picks its path from the winner's own occurrence
+    count — already in the state, free — against
+    BPE_ADAPTIVE_RECOUNT_FRAC x doc count: heavy merges recount,
+    light merges fold deltas.
+
+    Both paths maintain the same exact state, so the merge table is
+    identical to the sequential trainer's and the SAME oracle covers
+    all three trainers (property tests additionally sweep random
+    thresholds against hypothesis corpora). At 100 TB the policy
+    reads: pay one full corpus pass when you were going to rewrite
+    most of it anyway; otherwise touch only the affected partition
+    slice — scripts/bpe_scale_probe.py's adaptive cell pins hybrid >=
+    max(sequential, delta) at 1M docs under both fixture
+    distributions."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return _bpe_merge_rounds_adaptive(docs, n_merges)
+
+
 def _bpe_batched_oracle(
     n_merges: int = BPE_BATCHED_MERGES,
     batch_k: int = BPE_BATCH_K,
@@ -3284,6 +3441,7 @@ QUERIES: dict = {
     "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_MERGES_ORACLE),
     "bpe_train_merges_batched": (bpe_train_merges_batched, BPE_BATCHED_ORACLE),
     "bpe_train_merges_delta": (bpe_train_merges_delta, BPE_TRAIN_MERGES_ORACLE),
+    "bpe_train_merges_adaptive": (bpe_train_merges_adaptive, BPE_TRAIN_MERGES_ORACLE),
     "bpe_encode_corpus": (bpe_encode_corpus, BPE_ENCODE_ORACLE),
     "data_mixture_resample": (data_mixture_resample, DATA_MIXTURE_ORACLE),
     "token_rarity_score": (token_rarity_score, TOKEN_RARITY_ORACLE),

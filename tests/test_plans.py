@@ -729,6 +729,35 @@ def test_ivf_within_list_nn_selfjoin_no_exchange_no_sort(spark, sf_dir):
     )
 
 
+def test_semdedup_apply_zero_exchange(spark, sf_dir):
+    """The stored index's THIRD consumer (semdedup_apply, VERDICT r12
+    #7) must plan with ZERO Exchange anywhere: the decision self-join
+    is the same bucketed SMJ as ivf_within_list_nn, and — unlike that
+    query's per-vector aggregate — every aggregate here groups by
+    list_id or (list_id, vec_id), both of which the scan's
+    hash(list_id) bucket distribution already satisfies (a hash
+    partitioning on a subset of the grouping keys clusters the
+    groups). At 100 TB the entire dedup decision + accounting runs
+    without moving a single index byte between executors."""
+    import re
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import (
+        similarity,
+    )
+
+    df = similarity.semdedup_apply(spark, sf_dir)
+    text = explain.plan_text(df)
+    assert explain.shuffle_count(df) == 0, "semdedup_apply must be exchange-free"
+    idx_scans = [
+        seg
+        for seg in (s.strip() for s in text.split("\n\n"))
+        if re.match(r"\(\d+\) Scan parquet spark_catalog\.default\.ivfpq_idx_", seg)
+    ]
+    assert len(idx_scans) >= 3  # a-side, b-side, totals
+    for seg in idx_scans:
+        assert "Bucketed: true" in seg
+
+
 def test_ivfpq_index_append_preserves_bucket_pruned_probe(spark, sf_dir):
     """The ANN grow-by-batch lifecycle at 100 TB (the
     test_bucketed_index_append pattern for the IVF-PQ index): after a

@@ -626,3 +626,80 @@ def test_bpe_delta_equals_sequential_random_corpora(spark, docs):
     # sequential trainer's remaining rounds emit no rows and delta
     # breaks out of its loop — both tables end at the same rank
     assert dlt == seq
+
+
+def test_bpe_adaptive_paths_and_equality(spark):
+    """The adaptive trainer (VERDICT r12 #5) must (a) equal the
+    sequential trainer on the interacting corpus of
+    test_bpe_delta_equals_sequential_interacting, and (b) actually
+    take BOTH paths under a mid threshold on a corpus built for it:
+    round 1's winner covers most docs (recount) while round 2's
+    winner is rare (delta) — the stats hook records which path each
+    round took, so a policy inversion fails loudly rather than
+    degenerating into always-delta or always-recount."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        _bpe_merge_rounds,
+        _bpe_merge_rounds_adaptive,
+    )
+
+    # (a) exact equality where deltas interact (spawned + destroyed)
+    rows = [("a b c",)] * 7 + [("b c",)] * 3
+    docs = spark.createDataFrame(rows, ["text"])
+    seq = sorted(map(tuple, _bpe_merge_rounds(docs, 3).collect()))
+    adp = sorted(map(tuple, _bpe_merge_rounds_adaptive(docs, 3).collect()))
+    assert adp == seq
+
+    # (b) both paths exercised: 'x y' in 8/10 docs (n/docs=0.8 >= 0.5
+    # -> recount), then 'p q' in 2/10 (0.2 < 0.5 -> delta)
+    rows = [("x y",)] * 8 + [("p q",)] * 2
+    docs = spark.createDataFrame(rows, ["text"])
+    stats: list = []
+    got = {
+        r.merge_rank: (r.pair, r.n)
+        for r in _bpe_merge_rounds_adaptive(docs, 2, stats=stats).collect()
+    }
+    assert got == {1: ("x y", 8), 2: ("p q", 2)}
+    assert [s["path"] for s in stats] == ["recount"]  # rank-2 is final (no apply)
+
+    stats = []
+    got = {
+        r.merge_rank: (r.pair, r.n)
+        for r in _bpe_merge_rounds_adaptive(docs, 3, stats=stats).collect()
+    }
+    assert got == {1: ("x y", 8), 2: ("p q", 2)}
+    assert [s["path"] for s in stats] == ["recount", "delta"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=6).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    frac=st.sampled_from([0.0, 0.3, 0.7, 10.0]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_bpe_adaptive_equals_sequential_any_threshold(spark, docs, frac):
+    """VERDICT r12 #5 property: the adaptive trainer's merge table is
+    threshold-INVARIANT — for any recount_frac (always-delta at 10.0,
+    always-recount at 0.0, mixed between) it equals the sequential
+    trainer on arbitrary micro corpora, because both paths maintain
+    the identical exact state and the policy only chooses who pays
+    for the next round, never what it computes."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        _bpe_merge_rounds,
+        _bpe_merge_rounds_adaptive,
+    )
+
+    frame = spark.createDataFrame([(d,) for d in docs], ["text"])
+    seq = sorted(map(tuple, _bpe_merge_rounds(frame, 3).collect()))
+    adp = sorted(
+        map(tuple, _bpe_merge_rounds_adaptive(frame, 3, recount_frac=frac).collect())
+    )
+    assert adp == seq

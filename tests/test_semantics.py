@@ -993,6 +993,32 @@ def test_ivfpq_bucketed_equals_unstored(spark, sf_dir):
     assert len(stored) > 0
 
 
+def test_semdedup_apply_accounting_and_certificate(spark, sf_dir):
+    """semdedup_apply (VERDICT r12 #7) accounting identities and the
+    drop certificate, checked against the index and the NN scan it
+    shares the stored table with: per-list kept+dropped == total,
+    totals sum to the corpus, every list with drops carries a witness
+    cosine >= SEMDEDUP_TAU (and NULL otherwise), and the fixture
+    actually exercises the drop path at every SF (SEMDEDUP_TAU sits
+    below the fixture NN-cos tail by construction).
+    The value-level survivor selection is the oracle's job
+    (test_differential); this pins the invariants a refactor is most
+    likely to break silently."""
+    rows = similarity.semdedup_apply(spark, sf_dir).collect()
+    corpus_n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == corpus_n
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_vectors
+        if r.n_dropped:
+            assert r.min_drop_cos >= similarity.SEMDEDUP_TAU
+        else:
+            assert r.min_drop_cos is None
+    assert sum(r.n_dropped for r in rows) > 0, (
+        "fixture must exercise the drop path (threshold sits below the "
+        "fixture NN-cos tail by construction)"
+    )
+
+
 def test_streaming_minhash_multibatch_equals_batch():
     """Multi-batch certificate for streaming_minhash_dedup
     (scripts/streaming_minhash_probe.py at test scale): admission
