@@ -60,15 +60,9 @@ _MODULES = (
 
 # Registration order == driver correctness-check order (the driver
 # verifies the first N registry entries per round; N has been 50).
-# Entering round 12 every one of the 291 pre-existing queries has a
-# driver row (285 hash-green, 6 rows-only by design; round 12 adds 4
-# never-checked entries, 295 total), so the window's job is keeping
-# rows from silently trailing code changes (VERDICT r6 "Next round"
-# #1) and continuing the vintage drain — this window takes the 4
-# round-12 additions, the 1 round-12-changed entry, the final 2
-# r5-vintage rows (the r5 vintage fully drains, VERDICT r11 #2), and
-# 43 of the 49 r6-vintage rows (the 6-row alphabetical tail queues
-# for round 13). ROTATION POLICY, pinned
+# The window's job is keeping rows from silently trailing code
+# changes (VERDICT r6 "Next round" #1) and continuing the vintage
+# drain, stalest rows first. ROTATION POLICY, pinned
 # by tests/test_harness.py::test_priority_window_is_ledger_justified
 # against scripts/attestation_ledger.py (which ast-diffs every query
 # function between the commit its last driver row ran against and the
@@ -102,68 +96,74 @@ _MODULES = (
 # (tests/test_registry_smoke.py), so a convention violation fails
 # pytest before it can fail a driver round.
 _PRIORITY = (
-    # ---- ROUND 12 WINDOW (first 50 = the driver's check set) ----
-    # (iii) never-checked: the round-12 additions — no driver row
-    #       exists, they rotate in first.
-    "ivfpq_ann_topk_bucketed",             # new r12 (similarity.py, stored bucketBy ANN index — VERDICT r11 #1)
-    "ivf_within_list_nn",                  # new r12 (similarity.py, SemDeDup NN scan on the SAME stored index)
-    "streaming_minhash_dedup_precision",   # new r12 (windows.py, FP-rate certificate — VERDICT r11 #3)
-    "bpe_train_merges_delta",              # new r12 (text.py, delta pair-count maintenance — VERDICT r11 #6)
-    # (i) changed-since-row (attestation_ledger.py, round-12 run):
-    "streaming_minhash_dedup",             # index reads pin explicit schema (ADVICE r11); replay wording
+    # ---- ROUND 13 WINDOW (first 50 = the driver's check set) ----
+    # Entering round 13 all 295 pre-existing queries are green at
+    # their latest driver row; round 13 adds 2 never-checked entries
+    # (297 total). Window composition per the ledger
+    # (scripts/attestation_ledger.py, round-13 run: rows by round
+    # {0: 2, 6: 6, 7: 46, 8: 47, ...}):
+    # (iii) never-checked: the round-13 additions rotate in first.
+    "semdedup_apply",                      # new r13 (similarity.py, SemDeDup applied on the stored index — VERDICT r12 #7)
+    "bpe_train_merges_adaptive",           # new r13 (text.py, hybrid recount/delta trainer — VERDICT r12 #5)
+    # (i) changed-since-row:
+    "streaming_minhash_dedup_precision",   # per-fixture FP ceilings at measured+margin (VERDICT r12 #4)
     # (ii) stalest-first, monotone (max in-window round <= min
-    #     excluded round, changed entries aside): the 2 remaining
-    #     r5-vintage rows — the r5 vintage fully drains this round —
-    #     then 44 of the 49 r6-vintage rows, alphabetical; the 5-row
-    #     alphabetical tail (token_entropy_quality .. zorder_layout_stats)
-    #     queues for round 13.
-    # r5 vintage (the final 2 of 47):
-    "target_encode_smoothed",
-    "user_feature_vector",
-    # r6 vintage (44 of 49):
-    "ab_proportion_ztest",
-    "adaptive_quality_gate",
-    "array_agg_suite",
-    "array_dimension_stats",
-    "array_hof_suite",
-    "array_topk_elements",
-    "bootstrap_ci_group_means",
-    "cohort_ltv_curve",
-    "dataset_card_stats",
-    "dataset_mixture_plan",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "deterministic_shuffle_shard",
-    "dup_ngram_char_fraction",
-    "embedding_centroid_outliers",
-    "embedding_random_projection",
-    "flagship_lazy_pipeline",
-    "geo_point_in_polygon",
-    "hourly_autocorrelation",
-    "inter_event_time_stats",
-    "k_anonymity_spectrum",
-    "keyword_search_tfidf",
-    "l_diversity_report",
-    "label_centroid_similarity",
-    "linear_quality_classifier",
-    "listagg_status_rollup",
-    "mllib_lsh_ann_topk",
-    "multi_touch_attribution_decay",
-    "multimodal_decode",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "multimodal_phash_dedup",
-    "multimodal_resize",
-    "observe_metrics_single_pass",
-    "pareto_revenue_share",
-    "quota_sample_per_source",
-    "rfm_segmentation",
-    "shipping_lag_stats",
-    "source_vocab_overlap",
-    "sparse_tfidf_doc_pairs",
-    "streaming_dedup_events",
-    "streaming_session_window",
-    "theilsen_trend_by_type",
+    #     excluded round, changed entries aside): the final 6
+    #     r6-vintage rows — the r6 vintage fully drains this round
+    #     (VERDICT r12 #1) — then 41 of the 46 r7-vintage rows,
+    #     alphabetical; the 5-row alphabetical tail (q8_market_share,
+    #     q9_product_profit, rollup_returnflag_linestatus,
+    #     sql_api_flagship, streaming_session_certificate) queues for
+    #     round 14.
+    # r6 vintage (the final 6 of 49):
+    "time_to_first_purchase",
+    "token_entropy_quality",
+    "user_growth_accounting",
+    "vocab_oov_rate",
+    "winsorized_stats_by_group",
+    "zorder_layout_stats",
+    # r7 vintage (41 of 46):
+    "anti_join_customers_without_orders",
+    "blocklist_policy_gate",
+    "broadcast_dim_join",
+    "cast_nan_matrix",
+    "csv_roundtrip",
+    "dedup_clusters_cc",
+    "dedup_ngram_jaccard",
+    "dedup_sentence_clean",
+    "dedup_sentence_stats",
+    "distinct_counts",
+    "filter_numeric_gt",
+    "generator_scaling4_invariants",
+    "groupby_first",
+    "groupby_first_minby",
+    "groupby_mean",
+    "groupby_multi_mean",
+    "intersect_segments",
+    "ks_drift_test",
+    "limit_prefix",
+    "mapinarrow_matrix_stats",
+    "matrix_col_means",
+    "median_stats",
+    "merge_upsert_orders",
+    "outer_join_coverage",
+    "pivot_linestatus",
+    "project_first_numeric",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
