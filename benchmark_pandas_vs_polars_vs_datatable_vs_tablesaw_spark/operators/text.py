@@ -1397,57 +1397,80 @@ def bpe_train_merges_delta(
     return _bpe_merge_rounds_delta(docs, n_merges)
 
 
-# Adaptive path-choice threshold (VERDICT r12 #5): a round runs FULL
-# RECOUNT when the selected pair's occurrence count is at least this
-# fraction of the doc count, DELTA otherwise. Occurrences upper-bound
-# affected docs (a doc with k occurrences contributes k), and the
-# winner's count is already IN the maintained state — so the policy
-# predictor is free and available BEFORE the round runs, unlike the
-# verdict's "previous round's affected_frac" (which predicts the next
-# round from the last one and needs an instrumentation count). Sweep:
-# scripts/bpe_scale_probe.py's adaptive cell measures the hybrid at
-# 1M docs under both distributions; 0.5 sits in the wide flat region
-# between "rank-1 zipf merges touch most docs many times over"
-# (n/docs >> 1, recount wins) and "mid-vocabulary merges touch a few
-# percent" (n/docs << 0.5, delta wins).
+# Adaptive trainer policy (VERDICT r12 #5). The r12 probe
+# (results/bpe_scale_probe.json) showed the cost driver is NOT the
+# affected fraction alone: on the zipf cell the rank-1 winner touches
+# only ~2% of docs yet delta still lost to sequential at 6 merges
+# (0.91x), because maintaining the 25M-row (pair, n) state
+# (checkpoint materialization + per-round fold) costs about as much
+# as a recount while merges are shallow. The hybrid is therefore
+# TWO-PHASE rather than per-round:
+#
+#   LAZY phase — no state: each round counts pairs over the corpus
+#   with all previous merges applied as CHAINED LITERAL projections
+#   (driver-known pairs, so plan depth is linear — no crossJoin
+#   against uncollected winners, no checkpoint). This is the
+#   sequential trainer minus its plan-growth pathology, and it is
+#   the cheap mode while counting scans are unavoidable anyway.
+#
+#   STATEFUL phase — one-way switch when the winner's occurrence
+#   count drops below BPE_ADAPTIVE_DELTA_FRAC x docs (occurrences
+#   upper-bound affected docs, and the count is free — it IS the
+#   selection): materialize corpus + counts once (the counts were
+#   just computed; the switch costs only their checkpoint), then
+#   fold signed deltas per round. A late HEAVY merge (a spawned
+#   pair covering >= BPE_ADAPTIVE_RECOUNT_FRAC x docs) escapes to a
+#   full recount round — cheaper than delta exactly when the
+#   affected slice is most of the corpus anyway.
+#
+# Sweep: scripts/bpe_scale_probe.py's adaptive cell measures the
+# hybrid against both pure trainers at 1M docs under both
+# distributions and across switch fractions; the pinned default
+# keeps zipf-shallow training lazy (winners stay above 0.2% of docs
+# for the first dozen zipf merges) while uniform-shaped corpora
+# (rank-1 winner ~4 occurrences in 1M docs) switch to delta
+# immediately.
+BPE_ADAPTIVE_DELTA_FRAC = 0.002
 BPE_ADAPTIVE_RECOUNT_FRAC = 0.5
 
 
 def _bpe_merge_rounds_adaptive(
     docs: DataFrame,
     n_merges: int,
+    delta_frac: float = BPE_ADAPTIVE_DELTA_FRAC,
     recount_frac: float = BPE_ADAPTIVE_RECOUNT_FRAC,
     stats: list | None = None,
 ) -> DataFrame:
     """Core of :func:`bpe_train_merges_adaptive` on an arbitrary
     (text) frame so the property tests can drive hand-built micro
-    corpora. ``stats``, when a list, receives one dict per round
-    ({rank, path, n, round_s}) for scripts/bpe_scale_probe.py.
+    corpora. ``stats``, when a list, receives one dict per APPLIED
+    round ({rank, path, n, round_s}; path in lazy|delta|recount) for
+    scripts/bpe_scale_probe.py and the path-exercise tests.
 
-    Both paths maintain the identical (pair, n) state the delta
-    trainer proves exact, so selection — and therefore the merge
-    table — equals the sequential trainer's row-for-row regardless of
-    which path any round takes (property-tested across random
-    thresholds). The recount path rebuilds the state from the merged
-    corpus (one full pair extraction, the sequential trainer's round
-    shape); the delta path folds signed deltas from the affected
-    slice (the delta trainer's round shape). Checkpoint discipline is
-    the delta trainer's: every new corpus/state generation is
-    truncated with an eager localCheckpoint."""
+    Every mode selects from exact corpus-wide pair counts — the lazy
+    phase recounts from the merged-so-far corpus, the stateful phase
+    maintains the state the delta trainer proves exact — so the merge
+    table equals the sequential trainer's row-for-row for ANY
+    threshold pair (property-tested across random corpora and random
+    thresholds). Checkpoint discipline: nothing is materialized in
+    the lazy phase (chained literal projections keep the plan
+    linear); from the switch on, every corpus/state generation is
+    truncated with an eager localCheckpoint (the delta trainer's
+    hard-won rule)."""
     spark = docs.sparkSession
-    cur = docs.select(F.col("text").alias("seq")).localCheckpoint(eager=True)
-    # merge application is a per-row projection — row count is
-    # invariant across rounds, so ONE count serves every policy call
-    n_docs = cur.count()
-    counts = (
-        cur.select(F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"))
-        .groupBy("pair")
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
-    )
+    cur = docs.select(F.col("text").alias("seq"))
+    n_docs = docs.count()
     picked: list[tuple[int, str, int]] = []
+    stateful = False
+    counts: DataFrame | None = None
     for rank in range(1, n_merges + 1):
         _t0 = time.perf_counter() if stats is not None else 0.0
+        if not stateful:
+            counts = (
+                cur.select(F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"))
+                .groupBy("pair")
+                .agg(F.count("*").alias("n"))
+            )
         top = counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(1).collect()
         if not top:
             break  # corpus fully merged
@@ -1455,23 +1478,38 @@ def _bpe_merge_rounds_adaptive(
         picked.append((rank, pair, int(n)))
         if rank == n_merges:
             break
-        use_recount = n >= recount_frac * n_docs
-        if use_recount:
-            # full-recount round: apply the merge corpus-wide (one
-            # narrow projection) and rebuild the state from scratch —
-            # cheaper than delta exactly when the affected slice is
-            # most of the corpus anyway
-            new_cur = cur.select(
+        if not stateful and n < delta_frac * n_docs:
+            # ONE-WAY switch: winners have collapsed below the
+            # affected-slice regime where counting scans pay for
+            # themselves. The counts just computed become the initial
+            # state (they reflect the corpus as currently merged), so
+            # the switch costs two checkpoints, never an extra count.
+            cur = cur.localCheckpoint(eager=True)
+            counts = counts.localCheckpoint(eager=True)
+            stateful = True
+        if not stateful:
+            path = "lazy"
+            # literal apply, lazily chained — next round's count scan
+            # re-derives the merged corpus in one narrow pass
+            cur = cur.select(F.expr(_apply_merge_literal_expr(pair)).alias("seq"))
+        elif n >= recount_frac * n_docs:
+            path = "recount"
+            # heavy-merge escape (a spawned pair can cover most docs
+            # even late in training): apply corpus-wide and rebuild
+            # the state — cheaper than delta when the affected slice
+            # is most of the corpus
+            cur = cur.select(
                 F.expr(_apply_merge_literal_expr(pair)).alias("seq")
             ).localCheckpoint(eager=True)
-            new_counts = (
-                new_cur.select(F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"))
+            counts = (
+                cur.select(F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"))
                 .groupBy("pair")
                 .agg(F.count("*").alias("n"))
                 .localCheckpoint(eager=True)
             )
         else:
-            # delta round: identical to _bpe_merge_rounds_delta's body
+            path = "delta"
+            # identical to _bpe_merge_rounds_delta's round body
             a, b = pair.split(" ")
             has_pair = F.concat(F.lit(" "), F.col("seq"), F.lit(" ")).contains(
                 f" {a} {b} "
@@ -1495,7 +1533,7 @@ def _bpe_merge_rounds_adaptive(
                 .agg(F.sum("sign").alias("d"))
                 .filter(F.col("d") != 0)
             )
-            new_counts = (
+            counts = (
                 counts.join(deltas.hint("shuffle_hash"), "pair", "full_outer")
                 .select(
                     "pair",
@@ -1507,7 +1545,7 @@ def _bpe_merge_rounds_adaptive(
                 .filter(F.col("n") > 0)
                 .localCheckpoint(eager=True)
             )
-            new_cur = (
+            cur = (
                 cur.filter(~has_pair)
                 .unionByName(new_affected)
                 .localCheckpoint(eager=True)
@@ -1516,12 +1554,11 @@ def _bpe_merge_rounds_adaptive(
             stats.append(
                 {
                     "rank": rank,
-                    "path": "recount" if use_recount else "delta",
+                    "path": path,
                     "n": n,
                     "round_s": round(time.perf_counter() - _t0, 2),
                 }
             )
-        counts, cur = new_counts, new_cur
     return spark.createDataFrame(picked, schema="merge_rank INT, pair STRING, n BIGINT")
 
 
@@ -1529,27 +1566,27 @@ def bpe_train_merges_adaptive(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
 ) -> DataFrame:
     """BPE training with ADAPTIVE pair-count maintenance (VERDICT r12
-    #5) — the hybrid of :func:`bpe_train_merges` (full recount) and
-    :func:`bpe_train_merges_delta` (signed-delta fold): the r12 probe
-    showed delta LOSES to sequential early in training (0.91x at 6
-    zipf merges) because rank-1 merges touch most pair mass while the
-    delta round's overhead (contains-filter scan + affected-slice
-    double extraction + state fold) is flat, then wins once the
-    affected fraction collapses (1.82x on the skewed cell). Each
-    round therefore picks its path from the winner's own occurrence
-    count — already in the state, free — against
-    BPE_ADAPTIVE_RECOUNT_FRAC x doc count: heavy merges recount,
-    light merges fold deltas.
+    #5) — the hybrid of :func:`bpe_train_merges` (recount every
+    round) and :func:`bpe_train_merges_delta` (signed-delta fold
+    every round): a LAZY phase that recounts over chained literal
+    merge projections while winners are heavy, then a ONE-WAY switch
+    to delta-maintained state once the winner's occurrence count
+    falls below BPE_ADAPTIVE_DELTA_FRAC x docs, with a full-recount
+    escape for late heavy merges (>= BPE_ADAPTIVE_RECOUNT_FRAC x
+    docs). Rationale and measurements: the policy comment above
+    _bpe_merge_rounds_adaptive and scripts/bpe_scale_probe.py's
+    adaptive cell (r12 showed per-round path choice cannot win —
+    shallow training loses on state materialization itself, which
+    only a stateless phase avoids).
 
-    Both paths maintain the same exact state, so the merge table is
-    identical to the sequential trainer's and the SAME oracle covers
-    all three trainers (property tests additionally sweep random
-    thresholds against hypothesis corpora). At 100 TB the policy
-    reads: pay one full corpus pass when you were going to rewrite
-    most of it anyway; otherwise touch only the affected partition
-    slice — scripts/bpe_scale_probe.py's adaptive cell pins hybrid >=
-    max(sequential, delta) at 1M docs under both fixture
-    distributions."""
+    Every phase selects from exact corpus-wide counts, so the merge
+    table is identical to the sequential trainer's and the SAME
+    oracle covers all three trainers; property tests sweep random
+    thresholds against hypothesis corpora. At 100 TB the policy
+    reads: while every round must scan most pair mass anyway, do not
+    also pay to materialize and maintain vocabulary-scale state; once
+    rounds touch slivers, maintain state and touch only the affected
+    partition slice."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     return _bpe_merge_rounds_adaptive(docs, n_merges)
 

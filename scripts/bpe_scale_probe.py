@@ -35,8 +35,10 @@ from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark import get_spark
 from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
     _BPE_APPLY_MERGE_EXPR,
     _bpe_merge_rounds,
+    _bpe_merge_rounds_adaptive,
     _bpe_merge_rounds_batched,
     _bpe_merge_rounds_delta,
+    BPE_ADAPTIVE_DELTA_FRAC,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -163,7 +165,52 @@ def run_cell(spark, dist: str) -> dict:
     delta_extras["delta_speedup_12_merges"] = round(
         stages["train_12_sequential_s"] / stages["train_12_delta_s"], 2
     )
+
+    # r13 adaptive-trainer cell (VERDICT r12 #5): the two-phase
+    # hybrid (lazy literal-apply recount phase -> one-way switch to
+    # delta state once winners drop under delta_frac x docs, recount
+    # escape for late heavy merges) at 6 and 12 merges, against the
+    # seq/delta endpoints measured above in the SAME session. The
+    # endpoints ARE the policy sweep's extremes (never-switch ==
+    # sequential counting, immediate-switch == delta); the zipf cell
+    # additionally sweeps delta_frac across the winner-count knee its
+    # r12 rounds exposed (rank-2..5 winners sit at 0.0037-0.0057 of
+    # docs — 0.002 keeps them lazy, 0.004 switches mid-run).
+    fracs = (
+        [BPE_ADAPTIVE_DELTA_FRAC, 0.004]
+        if dist == "zipf"
+        else [BPE_ADAPTIVE_DELTA_FRAC]
+    )
+    adaptive_cells = []
+    for frac in fracs:
+        for depth, ref in ((6, seq6), (12, seq12)):
+            a_stats: list = []
+            t0 = time.perf_counter()
+            adp = _bpe_merge_rounds_adaptive(
+                docs, depth, delta_frac=frac, stats=a_stats
+            ).collect()
+            wall = round(time.perf_counter() - t0, 2)
+            assert sorted(map(tuple, adp)) == sorted(map(tuple, ref)), (
+                f"adaptive trainer diverged from sequential (frac={frac}, depth={depth})"
+            )
+            adaptive_cells.append(
+                {
+                    "delta_frac": frac,
+                    "depth": depth,
+                    "wall_s": wall,
+                    "paths": [s["path"] for s in a_stats],
+                    "speedup_vs_sequential": round(
+                        stages[f"train_{depth}_sequential_s"] / wall, 2
+                    ),
+                    "speedup_vs_delta": round(
+                        stages[f"train_{depth}_delta_s"] / wall, 2
+                    ),
+                }
+            )
+            print(json.dumps({"adaptive": adaptive_cells[-1]}), flush=True)
+
     return {
+        "adaptive": adaptive_cells,
         **batched_extras,
         **delta_extras,
         "distribution": dist,

@@ -632,11 +632,10 @@ def test_bpe_adaptive_paths_and_equality(spark):
     """The adaptive trainer (VERDICT r12 #5) must (a) equal the
     sequential trainer on the interacting corpus of
     test_bpe_delta_equals_sequential_interacting, and (b) actually
-    take BOTH paths under a mid threshold on a corpus built for it:
-    round 1's winner covers most docs (recount) while round 2's
-    winner is rare (delta) — the stats hook records which path each
-    round took, so a policy inversion fails loudly rather than
-    degenerating into always-delta or always-recount."""
+    take ALL THREE round shapes under engineered thresholds on a
+    corpus built for it — the stats hook records which path each
+    applied round took, so a policy inversion fails loudly rather
+    than degenerating into always-one-mode."""
     from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
         _bpe_merge_rounds,
         _bpe_merge_rounds_adaptive,
@@ -649,22 +648,41 @@ def test_bpe_adaptive_paths_and_equality(spark):
     adp = sorted(map(tuple, _bpe_merge_rounds_adaptive(docs, 3).collect()))
     assert adp == seq
 
-    # (b) both paths exercised: 'x y' in 8/10 docs (n/docs=0.8 >= 0.5
-    # -> recount), then 'p q' in 2/10 (0.2 < 0.5 -> delta)
+    # (b) corpus: 'x y' in 8/10 docs, 'p q' in 2/10.
     rows = [("x y",)] * 8 + [("p q",)] * 2
     docs = spark.createDataFrame(rows, ["text"])
+
+    # default fracs: both winners stay above delta_frac x docs
+    # (0.002 x 10) -> the whole run is lazy, no state ever built
     stats: list = []
     got = {
         r.merge_rank: (r.pair, r.n)
-        for r in _bpe_merge_rounds_adaptive(docs, 2, stats=stats).collect()
+        for r in _bpe_merge_rounds_adaptive(docs, 3, stats=stats).collect()
     }
     assert got == {1: ("x y", 8), 2: ("p q", 2)}
-    assert [s["path"] for s in stats] == ["recount"]  # rank-2 is final (no apply)
+    assert [s["path"] for s in stats] == ["lazy", "lazy"]
 
+    # delta_frac 0.5: round 1 (n=8 >= 5) lazy, round 2 (n=2 < 5)
+    # switches and folds as a delta round
     stats = []
     got = {
         r.merge_rank: (r.pair, r.n)
-        for r in _bpe_merge_rounds_adaptive(docs, 3, stats=stats).collect()
+        for r in _bpe_merge_rounds_adaptive(
+            docs, 3, delta_frac=0.5, stats=stats
+        ).collect()
+    }
+    assert got == {1: ("x y", 8), 2: ("p q", 2)}
+    assert [s["path"] for s in stats] == ["lazy", "delta"]
+
+    # delta_frac 10 (immediate switch) + recount_frac 0.5: round 1
+    # (n=8 >= 0.5 x 10) takes the heavy-merge recount escape, round 2
+    # (n=2) folds as delta
+    stats = []
+    got = {
+        r.merge_rank: (r.pair, r.n)
+        for r in _bpe_merge_rounds_adaptive(
+            docs, 3, delta_frac=10.0, recount_frac=0.5, stats=stats
+        ).collect()
     }
     assert got == {1: ("x y", 8), 2: ("p q", 2)}
     assert [s["path"] for s in stats] == ["recount", "delta"]
@@ -678,20 +696,25 @@ def test_bpe_adaptive_paths_and_equality(spark):
         min_size=1,
         max_size=10,
     ),
-    frac=st.sampled_from([0.0, 0.3, 0.7, 10.0]),
+    delta_frac=st.sampled_from([0.0, 0.3, 0.7, 10.0]),
+    recount_frac=st.sampled_from([0.0, 0.5, 10.0]),
 )
 @settings(
-    max_examples=8,
+    max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
-def test_bpe_adaptive_equals_sequential_any_threshold(spark, docs, frac):
+def test_bpe_adaptive_equals_sequential_any_threshold(
+    spark, docs, delta_frac, recount_frac
+):
     """VERDICT r12 #5 property: the adaptive trainer's merge table is
-    threshold-INVARIANT — for any recount_frac (always-delta at 10.0,
-    always-recount at 0.0, mixed between) it equals the sequential
-    trainer on arbitrary micro corpora, because both paths maintain
-    the identical exact state and the policy only chooses who pays
-    for the next round, never what it computes."""
+    threshold-INVARIANT — for any (delta_frac, recount_frac) pair
+    (never-switch at 0.0, immediate-switch at 10.0, always-recount /
+    always-delta inside the stateful phase, mixed between) it equals
+    the sequential trainer on arbitrary micro corpora, because every
+    round shape selects from exact corpus-wide counts and the policy
+    only chooses who pays for the next round, never what it
+    computes."""
     from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
         _bpe_merge_rounds,
         _bpe_merge_rounds_adaptive,
@@ -700,6 +723,11 @@ def test_bpe_adaptive_equals_sequential_any_threshold(spark, docs, frac):
     frame = spark.createDataFrame([(d,) for d in docs], ["text"])
     seq = sorted(map(tuple, _bpe_merge_rounds(frame, 3).collect()))
     adp = sorted(
-        map(tuple, _bpe_merge_rounds_adaptive(frame, 3, recount_frac=frac).collect())
+        map(
+            tuple,
+            _bpe_merge_rounds_adaptive(
+                frame, 3, delta_frac=delta_frac, recount_frac=recount_frac
+            ).collect(),
+        )
     )
     assert adp == seq
