@@ -105,7 +105,14 @@ def main() -> None:
     out_csv = sys.argv[1] if len(sys.argv) > 1 else "results/b13_spark_results.csv"
     work = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="b13_")
     os.makedirs(work, exist_ok=True)
-    spark = get_spark("b13-benchmark")
+    # shuffle width 2x threads (r13): at width 32 on 32 threads the
+    # sort's range-exchange has zero task overlap — every straggler
+    # stalls the stage tail; 64 gives each thread a second task to
+    # fill the gap (the standard 2-3x-cores sizing). Measured on the
+    # exact fixture in results/sort_floor_probe.json: sort min
+    # 1.279 s at width64 vs 1.727/1.454 s in the bracketing width-32
+    # baselines — the one named lever (VERDICT r12 #2) that moved.
+    spark = get_spark("b13-benchmark", cpus=32, shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
 
     # ---- setup (untimed, mirrors the reference's fixture build cell):
