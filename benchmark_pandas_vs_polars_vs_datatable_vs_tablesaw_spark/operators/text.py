@@ -1423,14 +1423,18 @@ def bpe_train_merges_delta(
 #   full recount round — cheaper than delta exactly when the
 #   affected slice is most of the corpus anyway.
 #
-# Sweep: scripts/bpe_scale_probe.py's adaptive cell measures the
-# hybrid against both pure trainers at 1M docs under both
-# distributions and across switch fractions; the pinned default
-# keeps zipf-shallow training lazy (winners stay above 0.2% of docs
-# for the first dozen zipf merges) while uniform-shaped corpora
-# (rank-1 winner ~4 occurrences in 1M docs) switch to delta
-# immediately.
-BPE_ADAPTIVE_DELTA_FRAC = 0.002
+# Sweep: scripts/bpe_scale_probe.py's adaptive cell and the
+# interleaved scripts/bpe_adaptive_ab_probe.py measure the hybrid
+# against both pure trainers at 1M docs under both distributions and
+# across switch fractions. 0.004 won the sweep: on the zipf cell it
+# switches once rank-4's winner falls under 0.4% of docs (3 lazy
+# rounds, then delta — 4.0x sequential and 1.85x delta at 12
+# merges), where staying lazy longer (0.002) pays linearly-growing
+# chained-replace scans (112s vs 77s at depth 12) and switching
+# immediately pays vocabulary-scale state maintenance from round 1;
+# uniform-shaped corpora (rank-1 winner ~4 occurrences in 1M docs)
+# switch to delta immediately under any sane fraction.
+BPE_ADAPTIVE_DELTA_FRAC = 0.004
 BPE_ADAPTIVE_RECOUNT_FRAC = 0.5
 
 

@@ -177,7 +177,7 @@ def run_cell(spark, dist: str) -> dict:
     # r12 rounds exposed (rank-2..5 winners sit at 0.0037-0.0057 of
     # docs — 0.002 keeps them lazy, 0.004 switches mid-run).
     fracs = (
-        [BPE_ADAPTIVE_DELTA_FRAC, 0.004]
+        [BPE_ADAPTIVE_DELTA_FRAC, 0.002]
         if dist == "zipf"
         else [BPE_ADAPTIVE_DELTA_FRAC]
     )
