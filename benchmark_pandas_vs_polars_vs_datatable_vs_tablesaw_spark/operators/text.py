@@ -1397,44 +1397,45 @@ def bpe_train_merges_delta(
     return _bpe_merge_rounds_delta(docs, n_merges)
 
 
-# Adaptive trainer policy (VERDICT r12 #5). The r12 probe
-# (results/bpe_scale_probe.json) showed the cost driver is NOT the
-# affected fraction alone: on the zipf cell the rank-1 winner touches
-# only ~2% of docs yet delta still lost to sequential at 6 merges
-# (0.91x), because maintaining the 25M-row (pair, n) state
-# (checkpoint materialization + per-round fold) costs about as much
-# as a recount while merges are shallow. The hybrid is therefore
-# TWO-PHASE rather than per-round:
+# Adaptive trainer policy (VERDICT r12 #5, re-derived twice on
+# probe evidence). The r12 sequential-cells probe suggested "delta
+# loses early"; the r13 interleaved A/B (results/bpe_adaptive_ab.json,
+# scripts/bpe_adaptive_ab_probe.py) exposed that reading as a
+# MEASUREMENT ARTIFACT: the sequential trainer persist()s its 1-row
+# winners and Spark's CacheManager serves any later identical plan
+# from them, so every same-session comparison that ran sequential
+# first was crediting it cached work. On clean interleaved minima,
+# delta-maintained state wins on BOTH light-winner fixtures (zipf /
+# uniform 50k-vocab: winners touch <= 2% of docs from round 1). The
+# regime where stateless counting genuinely wins is HEAVY winners —
+# real early BPE, where char-level merges occur >= once per doc and
+# a delta round would extract pairs over ~the whole corpus twice
+# (old + new slices) plus rewrite it, strictly more work than one
+# recount; the dense-vocab A/B cell models exactly that.
 #
-#   LAZY phase — no state: each round counts pairs over the corpus
-#   with all previous merges applied as CHAINED LITERAL projections
-#   (driver-known pairs, so plan depth is linear — no crossJoin
-#   against uncollected winners, no checkpoint). This is the
-#   sequential trainer minus its plan-growth pathology, and it is
-#   the cheap mode while counting scans are unavoidable anyway.
+# Policy, two-phase with a one-round-delayed switch:
 #
-#   STATEFUL phase — one-way switch when the winner's occurrence
-#   count drops below BPE_ADAPTIVE_DELTA_FRAC x docs (occurrences
-#   upper-bound affected docs, and the count is free — it IS the
-#   selection): materialize corpus + counts once (the counts were
-#   just computed; the switch costs only their checkpoint), then
-#   fold signed deltas per round. A late HEAVY merge (a spawned
-#   pair covering >= BPE_ADAPTIVE_RECOUNT_FRAC x docs) escapes to a
-#   full recount round — cheaper than delta exactly when the
-#   affected slice is most of the corpus anyway.
+#   LAZY phase — no state: count pairs over the corpus with all
+#   previous merges applied as chained literal projections; stay
+#   while the PREVIOUS round's winner covered >= delta_frac x docs
+#   (occurrences upper-bound affected docs; using last round's
+#   winner costs nothing and avoids re-counting at the switch).
 #
-# Sweep: scripts/bpe_scale_probe.py's adaptive cell and the
-# interleaved scripts/bpe_adaptive_ab_probe.py measure the hybrid
-# against both pure trainers at 1M docs under both distributions and
-# across switch fractions. 0.004 won the sweep: on the zipf cell it
-# switches once rank-4's winner falls under 0.4% of docs (3 lazy
-# rounds, then delta — 4.0x sequential and 1.85x delta at 12
-# merges), where staying lazy longer (0.002) pays linearly-growing
-# chained-replace scans (112s vs 77s at depth 12) and switching
-# immediately pays vocabulary-scale state maintenance from round 1;
-# uniform-shaped corpora (rank-1 winner ~4 occurrences in 1M docs)
-# switch to delta immediately under any sane fraction.
-BPE_ADAPTIVE_DELTA_FRAC = 0.004
+#   STATEFUL phase — one-way switch once winners collapse: the round
+#   opens by checkpointing the merged corpus and rebuilding counts
+#   ONCE from that checkpoint (the delta trainer's initial-count
+#   shape — building state from the lazy chain's plan would execute
+#   the whole chain a second time, the bug the r13 uniform cell
+#   caught at 2.2x delta's cost); every later round folds signed
+#   deltas, with a full-recount escape when a late heavy SPAWNED
+#   pair covers >= recount_frac x docs.
+#
+# Defaults: delta_frac 0.1 — both 50k-vocab fixtures (winners at
+# 0.0004-2.2% of docs) switch at the first opportunity, while
+# dense/char-like corpora (winners >= 10% of docs) stay lazy until
+# their winners collapse; recount_frac 0.5 per the affected-slice
+# argument above.
+BPE_ADAPTIVE_DELTA_FRAC = 0.1
 BPE_ADAPTIVE_RECOUNT_FRAC = 0.5
 
 
@@ -1449,7 +1450,7 @@ def _bpe_merge_rounds_adaptive(
     (text) frame so the property tests can drive hand-built micro
     corpora. ``stats``, when a list, receives one dict per APPLIED
     round ({rank, path, n, round_s}; path in lazy|delta|recount) for
-    scripts/bpe_scale_probe.py and the path-exercise tests.
+    scripts/bpe_adaptive_ab_probe.py and the path-exercise tests.
 
     Every mode selects from exact corpus-wide pair counts — the lazy
     phase recounts from the merged-so-far corpus, the stateful phase
@@ -1466,9 +1467,25 @@ def _bpe_merge_rounds_adaptive(
     n_docs = docs.count()
     picked: list[tuple[int, str, int]] = []
     stateful = False
+    prev_n: int | None = None
     counts: DataFrame | None = None
     for rank in range(1, n_merges + 1):
         _t0 = time.perf_counter() if stats is not None else 0.0
+        if not stateful and prev_n is not None and prev_n < delta_frac * n_docs:
+            # one-way switch, decided on LAST round's winner weight so
+            # this round's selection count doubles as the state build:
+            # checkpoint the merged corpus, rebuild counts once from
+            # the checkpoint (NOT from the lazy chain — materializing
+            # the chain's counts plan would re-execute every chained
+            # merge a second time)
+            cur = cur.localCheckpoint(eager=True)
+            counts = (
+                cur.select(F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"))
+                .groupBy("pair")
+                .agg(F.count("*").alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            stateful = True
         if not stateful:
             counts = (
                 cur.select(F.explode(F.expr(_BPE_SEQ_PAIRS_EXPR)).alias("pair"))
@@ -1480,17 +1497,9 @@ def _bpe_merge_rounds_adaptive(
             break  # corpus fully merged
         pair, n = top[0].pair, int(top[0].n)
         picked.append((rank, pair, int(n)))
+        prev_n = n
         if rank == n_merges:
             break
-        if not stateful and n < delta_frac * n_docs:
-            # ONE-WAY switch: winners have collapsed below the
-            # affected-slice regime where counting scans pay for
-            # themselves. The counts just computed become the initial
-            # state (they reflect the corpus as currently merged), so
-            # the switch costs two checkpoints, never an extra count.
-            cur = cur.localCheckpoint(eager=True)
-            counts = counts.localCheckpoint(eager=True)
-            stateful = True
         if not stateful:
             path = "lazy"
             # literal apply, lazily chained — next round's count scan
@@ -1500,8 +1509,8 @@ def _bpe_merge_rounds_adaptive(
             path = "recount"
             # heavy-merge escape (a spawned pair can cover most docs
             # even late in training): apply corpus-wide and rebuild
-            # the state — cheaper than delta when the affected slice
-            # is most of the corpus
+            # the state — one extraction instead of delta's two over
+            # ~the whole corpus
             cur = cur.select(
                 F.expr(_apply_merge_literal_expr(pair)).alias("seq")
             ).localCheckpoint(eager=True)
@@ -1578,10 +1587,11 @@ def bpe_train_merges_adaptive(
     falls below BPE_ADAPTIVE_DELTA_FRAC x docs, with a full-recount
     escape for late heavy merges (>= BPE_ADAPTIVE_RECOUNT_FRAC x
     docs). Rationale and measurements: the policy comment above
-    _bpe_merge_rounds_adaptive and scripts/bpe_scale_probe.py's
-    adaptive cell (r12 showed per-round path choice cannot win —
-    shallow training loses on state materialization itself, which
-    only a stateless phase avoids).
+    _bpe_merge_rounds_adaptive and the interleaved
+    scripts/bpe_adaptive_ab_probe.py (which also exposed the r12
+    "delta loses early" reading as a CacheManager artifact — the
+    sequential trainer's persisted winners were serving later
+    same-session comparisons from cache).
 
     Every phase selects from exact corpus-wide counts, so the merge
     table is identical to the sequential trainer's and the SAME

@@ -65,7 +65,7 @@ def main() -> None:
     spark = get_spark("bpe-adaptive-ab")
     spark.sparkContext.setLogLevel("ERROR")
     cells = []
-    for dist in ("zipf", "uniform"):
+    for dist in ("zipf", "uniform", "dense"):
         docs = fixture(spark, dist)
         for depth in (6, 12):
             times: dict[str, list[float]] = {n: [] for n in TRAINERS}
@@ -75,6 +75,13 @@ def main() -> None:
                     t0 = time.perf_counter()
                     got = sorted(map(tuple, fn(docs, depth).collect()))
                     times[name].append(round(time.perf_counter() - t0, 2))
+                    # the sequential trainer persist()s its 1-row
+                    # winners and CacheManager matches the NEXT rep's
+                    # identical logical plans against them — without
+                    # this, rep 2+ of `sequential` reads the whole
+                    # training run from cache (~0.9s) and the A/B is
+                    # fiction
+                    spark.catalog.clearCache()
                     if ref is None:
                         ref = got
                     assert got == ref, f"{name} diverged ({dist}, depth {depth})"

@@ -58,6 +58,15 @@ TOKEN_EXPRS = {
         f"concat('w', CAST(pow(pmod(xxhash64(id * 131 + t), 100000) / 100000.0, 3)"
         f" * {VOCAB} AS INT))"
     ),
+    # 8-token alphabet: <= 64 distinct pairs over 30M adjacencies, so
+    # the top winner occurs ~once per doc or more for many rounds —
+    # the CHAR-LEVEL EARLY-BPE regime (real trainers' first thousands
+    # of merges touch nearly every doc), which the 50k-vocab fixtures
+    # never enter; this is the regime where stateless lazy counting
+    # beats delta maintenance (a delta round extracts pairs over the
+    # affected ~whole corpus TWICE and rewrites it; a recount does one
+    # extraction) — r13 adaptive-policy cell
+    "dense": "concat('w', pmod(xxhash64(id * 131 + t), 8))",
 }
 
 

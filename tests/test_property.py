@@ -652,8 +652,8 @@ def test_bpe_adaptive_paths_and_equality(spark):
     rows = [("x y",)] * 8 + [("p q",)] * 2
     docs = spark.createDataFrame(rows, ["text"])
 
-    # default fracs: both winners stay above delta_frac x docs
-    # (0.002 x 10) -> the whole run is lazy, no state ever built
+    # default fracs (delta_frac 0.1 -> threshold 1 occurrence): both
+    # winners stay above it -> the whole run is lazy, no state built
     stats: list = []
     got = {
         r.merge_rank: (r.pair, r.n)
@@ -662,21 +662,24 @@ def test_bpe_adaptive_paths_and_equality(spark):
     assert got == {1: ("x y", 8), 2: ("p q", 2)}
     assert [s["path"] for s in stats] == ["lazy", "lazy"]
 
-    # delta_frac 0.5: round 1 (n=8 >= 5) lazy, round 2 (n=2 < 5)
-    # switches and folds as a delta round
+    # delta_frac 10 (threshold 100): the switch is one-round-delayed
+    # (decided on the PREVIOUS winner's weight), so round 1 is always
+    # lazy, round 2 opens the stateful phase and folds as delta
     stats = []
     got = {
         r.merge_rank: (r.pair, r.n)
         for r in _bpe_merge_rounds_adaptive(
-            docs, 3, delta_frac=0.5, stats=stats
+            docs, 3, delta_frac=10.0, stats=stats
         ).collect()
     }
     assert got == {1: ("x y", 8), 2: ("p q", 2)}
     assert [s["path"] for s in stats] == ["lazy", "delta"]
 
-    # delta_frac 10 (immediate switch) + recount_frac 0.5: round 1
-    # (n=8 >= 0.5 x 10) takes the heavy-merge recount escape, round 2
-    # (n=2) folds as delta
+    # recount escape: equal-count pairs ('p q' wins rank 1 on the
+    # asc tiebreak), so round 2's winner 'x y' is HEAVY (8 >= 0.5 x
+    # 16 docs) inside the stateful phase -> recount, not delta
+    rows = [("x y",)] * 8 + [("p q",)] * 8
+    docs = spark.createDataFrame(rows, ["text"])
     stats = []
     got = {
         r.merge_rank: (r.pair, r.n)
@@ -684,8 +687,8 @@ def test_bpe_adaptive_paths_and_equality(spark):
             docs, 3, delta_frac=10.0, recount_frac=0.5, stats=stats
         ).collect()
     }
-    assert got == {1: ("x y", 8), 2: ("p q", 2)}
-    assert [s["path"] for s in stats] == ["recount", "delta"]
+    assert got == {1: ("p q", 8), 2: ("x y", 8)}
+    assert [s["path"] for s in stats] == ["lazy", "recount"]
 
 
 @given(
