@@ -1190,10 +1190,206 @@ FROM cells
 CLASSIFIER_PR_ORACLE = _classifier_pr_oracle()
 
 
+# --------------------------------------------------------------------------
+# Classifier evaluation: exact tie-corrected AUC (Mann-Whitney)
+# --------------------------------------------------------------------------
+
+
+def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the hashed linear quality classifier's raw
+    margin against the same repetition-proxy truth ``classifier_pr_eval``
+    uses — the threshold-free companion to that query's fixed-cutoff
+    confusion matrix (a curation gate is tuned by sweeping the margin
+    threshold; AUC is the number that says whether sweeping can help
+    at all). Computed as the tie-corrected Mann-Whitney U statistic
+    over midranks: AUC = (Σ_pos midrank − n_pos(n_pos+1)/2) /
+    (n_pos·n_neg).
+
+    Numerics: margins are exact int64 sums, so ranking happens on a
+    VALUE-LEVEL table (one row per distinct margin). Midranks carry a
+    half for even tie groups, so everything is kept DOUBLED and
+    integral: 2·midrank(v) = 2·cum_below(v) + cnt(v) + 1, and the
+    positive-weighted sum Σ pos_v·2mr_v accumulates in decimal(38,0)
+    (the sum is Θ(n²) in doc count — past int64 at ~3e9 docs, and
+    DuckDB widens the same sum to hugeint; decimal keeps the engines
+    bit-identical instead of silently wrapping). The single division
+    happens once at the end in double, like the reference statistic.
+
+    Scale shape: the classifier's own explode→hash→groupBy(doc) pass
+    plus the row-level proxy, reduced to the value-level table FIRST
+    (map-side combinable; cardinality is bounded by the integer margin
+    RANGE — weights are ±500-bounded per token — not by doc count, so
+    it is metadata-scale and persisting it is safe where persisting
+    ks_drift_test's value table would not be). The cumulative counts
+    use the same two-phase distributed prefix sum as ``ks_drift_test``
+    (arithmetic range bucket from broadcast min/max, local running
+    totals, broadcast per-bucket offsets — a window over ≤ n_part
+    metadata rows, never a single-partition global window), so the
+    plan survives any margin cardinality anyway.
+    """
+    from .text import _hex4_bucket, _tokens
+    from .training import _W_SQL
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    w = F.expr(_W_SQL.format(b=_hex4_bucket("token", 64)))
+    margins = (
+        tok.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("long").alias("margin"))
+    )
+    toks = _tokens()
+    truth = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) * 100 >= F.size(toks) * 55).cast("int").alias(
+            "is_good"
+        ),
+    )
+    perv = (
+        margins.join(truth, "doc_id")
+        .groupBy("margin")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("is_good").cast("long").alias("pos"),
+        )
+        .persist()
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    vbounds = perv.agg(F.min("margin").alias("vlo"), F.max("margin").alias("vhi"))
+    ranged = perv.crossJoin(F.broadcast(vbounds)).withColumn(
+        "_pid",
+        F.least(
+            F.floor(
+                (F.col("margin") - F.col("vlo"))
+                / (F.col("vhi") - F.col("vlo") + 1e-9)
+                * n_part
+            ).cast("int"),
+            F.lit(n_part - 1),
+        ),
+    )
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy("margin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.select(
+        "margin",
+        "_pid",
+        "cnt",
+        "pos",
+        F.sum("cnt").over(w_loc).alias("loc_c"),
+    )
+    # Per-bucket totals (≤ n_part rows — metadata). Persisted: feeds
+    # the offset window AND the class totals without re-running the
+    # value-level aggregation.
+    pidtot = (
+        ranged.groupBy("_pid")
+        .agg(
+            F.sum("cnt").alias("tc"),
+            F.sum("pos").alias("tp"),
+            F.sum((F.col("cnt") >= 2).cast("int")).alias("ttied"),
+        )
+        .persist()
+    )
+    w_cum = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    off = pidtot.select(
+        "_pid",
+        (F.sum("tc").over(w_cum) - F.col("tc")).alias("off_c"),
+    )
+    tot = pidtot.agg(
+        F.sum("tp").cast("long").alias("n_pos"),
+        (F.sum("tc") - F.sum("tp")).cast("long").alias("n_neg"),
+        F.sum("ttied").cast("long").alias("n_tied_values"),
+    )
+    # 2·midrank = 2·cum_below + cnt + 1 where cum_below = loc_c +
+    # off_c − cnt; the pos-weighted sum is the doubled rank-sum.
+    u2 = (
+        local.join(F.broadcast(off), "_pid")
+        .select(
+            (
+                F.col("pos").cast("decimal(38,0)")
+                * (2 * (F.col("loc_c") + F.col("off_c")) - F.col("cnt") + 1).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("u2r"))
+    )
+    numer2 = (
+        F.col("u2r").cast("double")
+        - (F.col("n_pos").cast("double") * (F.col("n_pos") + 1))
+    )
+    return (
+        tot.crossJoin(F.broadcast(u2))
+        .select(
+            "n_pos",
+            "n_neg",
+            "n_tied_values",
+            F.round(
+                numer2 / (2.0 * F.col("n_pos") * F.col("n_neg")), 4
+            ).alias("auc"),
+            F.round(
+                numer2 / (1.0 * F.col("n_pos") * F.col("n_neg")) - 1.0, 4
+            ).alias("gini"),
+        )
+    )
+
+
+def _classifier_auc_oracle() -> str:
+    from .training import _LINEAR_W
+
+    return _CLASSIFIER_AUC_ORACLE_TEMPLATE.format(w=_LINEAR_W)
+
+
+_CLASSIFIER_AUC_ORACLE_TEMPLATE = """
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+), margins AS (
+  SELECT doc_id, CAST(sum({w}) AS BIGINT) AS margin
+  FROM tok GROUP BY doc_id
+), truth AS (
+  SELECT doc_id,
+         CASE WHEN len(list_distinct(string_split(text, ' '))) * 100
+                   >= len(string_split(text, ' ')) * 55
+              THEN 1 ELSE 0 END AS is_good
+  FROM documents
+), perv AS (
+  SELECT margin, count(*) AS cnt, sum(is_good) AS pos
+  FROM margins JOIN truth USING (doc_id)
+  GROUP BY margin
+), cum AS (
+  SELECT margin, cnt, pos,
+         sum(cnt) OVER (ORDER BY margin) - cnt AS below
+  FROM perv
+), tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tied_values
+  FROM perv
+), num AS (
+  SELECT sum(pos * (2 * below + cnt + 1)) AS u2r FROM cum
+)
+SELECT n_pos, n_neg, n_tied_values,
+       round((CAST(u2r AS DOUBLE) - 1.0 * n_pos * (n_pos + 1))
+             / (2.0 * n_pos * n_neg), 4) AS auc,
+       round((CAST(u2r AS DOUBLE) - 1.0 * n_pos * (n_pos + 1))
+             / (1.0 * n_pos * n_neg) - 1.0, 4) AS gini
+FROM num, tot
+"""
+
+CLASSIFIER_AUC_ORACLE = _classifier_auc_oracle()
+
+
 QUERIES: dict = {
     "target_encode_smoothed": (target_encode_smoothed, TARGET_ENCODE_ORACLE),
     "retrieval_ndcg_eval": (retrieval_ndcg_eval, RETRIEVAL_NDCG_ORACLE),
     "classifier_pr_eval": (classifier_pr_eval, CLASSIFIER_PR_ORACLE),
+    "classifier_auc_eval": (classifier_auc_eval, CLASSIFIER_AUC_ORACLE),
     "user_feature_vector": (user_feature_vector, USER_FEATURE_ORACLE),
     "quantile_normalize_scores": (quantile_normalize_scores, QUANTILE_NORMALIZE_ORACLE),
     "embedding_dim_variance": (embedding_dim_variance, EMBEDDING_DIM_VARIANCE_ORACLE),

@@ -1052,3 +1052,59 @@ def test_streaming_minhash_multibatch_equals_batch():
     assert res["split_invariant"], res
     assert res["planted"] > 0 and res["planted_recall"] >= 0.9, res
     assert res["originals_rejected"] == 0, res
+
+
+def test_classifier_auc_equals_bruteforce_pair_count(spark, sf_dir):
+    """The distributed midrank AUC must equal the O(n_pos*n_neg)
+    pair-count definition — AUC = (#(m_pos > m_neg) + 0.5*#(m_pos ==
+    m_neg)) / (n_pos*n_neg) — computed here directly from the
+    classifier's own margins on the small fixture. The doubled-midrank
+    prefix-sum form and the pair-count form are algebraically equal
+    only when the tie correction is exact, so an off-by-half in the
+    midrank (the classic cum<=v vs cum<v slip) fails this test while
+    still producing a plausible-looking AUC."""
+    import numpy as np
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.mlprep import (
+        classifier_auc_eval,
+    )
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        _hex4_bucket,
+        _tokens,
+    )
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.training import (
+        _W_SQL,
+    )
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr(_W_SQL.format(b=_hex4_bucket("token", 64)))
+    margins = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("long").alias("margin"))
+    )
+    toks = _tokens()
+    truth = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) * 100 >= F.size(toks) * 55)
+        .cast("int")
+        .alias("is_good"),
+    )
+    pdf = margins.join(truth, "doc_id").toPandas()
+    pos = np.sort(pdf.loc[pdf.is_good == 1, "margin"].to_numpy())
+    neg = np.sort(pdf.loc[pdf.is_good == 0, "margin"].to_numpy())
+    # counting via searchsorted on the sorted negative margins:
+    # #(neg < m) summed over positives, plus half the exact ties
+    wins = np.searchsorted(neg, pos, side="left").sum()
+    ties = (
+        np.searchsorted(neg, pos, side="right") - np.searchsorted(neg, pos, side="left")
+    ).sum()
+    expected = (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+    row = classifier_auc_eval(spark, sf_dir).collect()[0]
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert row.auc == round(expected, 4), (row.auc, expected)
+    assert row.gini == round(2 * expected - 1, 4), (row.gini, expected)
