@@ -2341,6 +2341,38 @@ def ivf_within_list_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.38
 
 
+def _semdedup_dropped(idx: DataFrame) -> DataFrame:
+    """(list_id, vec_id, w_cos) for every vector that SemDeDup drops —
+    some SMALLER-id vector in its coarse list sits at cosine >=
+    SEMDEDUP_TAU (w_cos = the best such witness). The decision set
+    shared by :func:`semdedup_apply` and the at-scale certificate in
+    scripts/semdedup_scale_probe.py, so the probe measures exactly
+    the shipped decision join (same bucketed SMJ, same expressions)."""
+    a = idx.select("list_id", "vec_id", "embedding", "nrm")
+    b = idx.select(
+        F.col("list_id").alias("list_id_b"),
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.round(
+        vectors.dot(F.col("embedding"), F.col("emb_b")) / (F.col("nrm") * F.col("nrm_b")),
+        4,
+    )
+    return (
+        a.hint("merge")
+        .join(
+            b,
+            (F.col("list_id") == F.col("list_id_b"))
+            & (F.col("nn_id") < F.col("vec_id")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(SEMDEDUP_TAU))
+        .groupBy("list_id", "vec_id")
+        .agg(F.max("cos").alias("w_cos"))
+    )
+
+
 def semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup applied end-to-end (Abbas et al. 2023; VERDICT r12
     #7) — the THIRD consumer of the stored bucketBy(list_id) IVF-PQ
@@ -2371,29 +2403,7 @@ def semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     query plans with zero Exchange
     (tests/test_plans.py::test_semdedup_apply_zero_exchange)."""
     idx = _ensure_ivfpq_index_table(spark, sf_dir)
-    a = idx.select("list_id", "vec_id", "embedding", "nrm")
-    b = idx.select(
-        F.col("list_id").alias("list_id_b"),
-        F.col("vec_id").alias("nn_id"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cos = F.round(
-        vectors.dot(F.col("embedding"), F.col("emb_b")) / (F.col("nrm") * F.col("nrm_b")),
-        4,
-    )
-    dropped = (
-        a.hint("merge")
-        .join(
-            b,
-            (F.col("list_id") == F.col("list_id_b"))
-            & (F.col("nn_id") < F.col("vec_id")),
-        )
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= F.lit(SEMDEDUP_TAU))
-        .groupBy("list_id", "vec_id")
-        .agg(F.max("cos").alias("w_cos"))
-    )
+    dropped = _semdedup_dropped(idx)
     drops = dropped.groupBy("list_id").agg(
         F.count(F.lit(1)).alias("n_dropped"),
         F.round(F.min("w_cos"), 4).alias("min_drop_cos"),
