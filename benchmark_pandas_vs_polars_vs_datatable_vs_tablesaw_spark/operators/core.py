@@ -215,6 +215,30 @@ def global_rank(df: DataFrame, order_cols: list, num_partitions: int | None = No
     row count, for ntile-style arithmetic; drop if unused).
     """
     spark = df.sparkSession
+    # Correctness GUARD (round 13): the offsets branch and the data
+    # branch are consistent only because they read the SAME physical
+    # range exchange (ReusedExchange). Over a cached (InMemoryRelation)
+    # or localCheckpointed (ExistingRDD) input, AQE does NOT reuse the
+    # exchange — each physical exchange then resamples its range
+    # boundaries under a different RDD-id-derived seed, the two
+    # branches disagree on partition sizes, and the ranks silently
+    # stop being a permutation of 1..n (measured: a 5000-row cached
+    # input produced offsets drifted by +70). Refuse such inputs
+    # loudly; callers should rank the uncached plan and accept the
+    # recompute, as quality_signal_spearman does.
+    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+        raise ValueError(
+            "global_rank: input is persisted; the range-exchange reuse "
+            "its offsets depend on breaks over InMemoryRelation inputs "
+            "(non-permutation ranks). Rank the uncached plan instead."
+        )
+    if "LogicalRDD" in df._jdf.queryExecution().analyzed().toString():
+        raise ValueError(
+            "global_rank: input contains an ExistingRDD scan (e.g. "
+            "localCheckpoint); the range-exchange reuse its offsets "
+            "depend on breaks over such inputs (non-permutation ranks). "
+            "Rank the plan that produced it instead."
+        )
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(n_part, *order_cols)
     # Offsets branch: counts are sort-independent, so it reads the bare

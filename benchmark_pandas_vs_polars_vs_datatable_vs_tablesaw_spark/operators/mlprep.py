@@ -1385,11 +1385,162 @@ FROM num, tot
 CLASSIFIER_AUC_ORACLE = _classifier_auc_oracle()
 
 
+# --------------------------------------------------------------------------
+# Quality-signal agreement: exact tie-corrected Spearman correlation
+# --------------------------------------------------------------------------
+
+
+def quality_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation between two
+    quality signals — the stopword/length heuristic
+    (``text_quality_score``) and the hashed linear classifier's margin
+    (``linear_quality_classifier``'s rule) — the scorer-agreement
+    audit a curation pipeline runs before stacking filters: near-±1
+    means the second gate is redundant, near-0 means it cuts an
+    independent axis. (On the fixtures the untrained hash margin
+    tracks document LENGTH, which the score also saturates on, so the
+    measured agreement is real signal, not noise.)
+
+    Numerics: both signals are integer-exact (int64 margin; the 4-dp
+    score in basis points), so midranks are exact — computed as
+    ``min(rank)+max(rank)`` per value over :func:`core.global_rank`
+    (a tie group occupies consecutive global ranks, so min+max IS the
+    doubled midrank, deterministic even though intra-tie order is
+    not). Spearman = Pearson on midranks; the three invariants
+    n·Σxy−Σx·Σy, n·Σx²−(Σx)², n·Σy²−(Σy)² are computed in
+    decimal(38,0) (hugeint-exact vs DuckDB, int64-safe past ~3e4
+    docs, decimal-exact to ~1e9), and doubling both rank vectors
+    cancels exactly, so the single rounded double division at the end
+    is the only float step — spelled sqrt(denx)·sqrt(deny) in BOTH
+    engines so no factoring difference can flip the 4th decimal.
+
+    Scale shape: the doc-level signal table feeds 3 consumers (two
+    rank passes + the rank join-back) and is deliberately NOT
+    persisted: global_rank's offsets/data branches stay consistent
+    only when Spark reuses the range exchange, and a cached or
+    ExistingRDD input breaks that reuse — each physical exchange then
+    resamples range boundaries under a different RDD-id seed and the
+    ranks silently stop being a permutation (global_rank now refuses
+    such inputs; tests/test_semantics.py pins the hazard). The ×3
+    recompute of the signal tree is the ks_drift_test trade. Each
+    signal ranks via global_rank's single range exchange (never a
+    single-partition window), and the per-VALUE midrank tables are
+    metadata-scale (score has ≤ 10,001 levels by construction; margin
+    levels are bounded by the ±500-per-token weight range), so they
+    broadcast back onto the docs — no additional data-sized shuffle.
+    """
+    from .text import _hex4_bucket, _tokens, text_quality_score
+    from .training import _W_SQL
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    w = F.expr(_W_SQL.format(b=_hex4_bucket("token", 64)))
+    margins = (
+        tok.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("long").alias("x"))
+    )
+    score_i = text_quality_score(spark, sf_dir).select(
+        "doc_id", F.round(F.col("score") * 10000).cast("long").alias("y")
+    )
+    sig = margins.join(score_i, "doc_id")
+    rx = (
+        global_rank(sig.select("x"), ["x"])
+        .groupBy("x")
+        .agg((F.min("rank") + F.max("rank")).alias("mr2x"))
+    )
+    ry = (
+        global_rank(sig.select("y"), ["y"])
+        .groupBy("y")
+        .agg((F.min("rank") + F.max("rank")).alias("mr2y"))
+    )
+    dx = F.col("mr2x").cast("decimal(38,0)")
+    dy = F.col("mr2y").cast("decimal(38,0)")
+    sums = (
+        sig.join(F.broadcast(rx), "x")
+        .join(F.broadcast(ry), "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct(F.col("x")).alias("nx"),
+            F.count_distinct(F.col("y")).alias("ny"),
+            F.sum(dx).alias("sx"),
+            F.sum(dy).alias("sy"),
+            F.sum(dx * dx).alias("sxx"),
+            F.sum(dy * dy).alias("syy"),
+            F.sum(dx * dy).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return sums.select(
+        F.col("n").alias("n_docs"),
+        F.col("nx").alias("n_margin_levels"),
+        F.col("ny").alias("n_score_levels"),
+        F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 4).alias("spearman_rho"),
+    )
+
+
+def _quality_spearman_oracle() -> str:
+    from .training import _LINEAR_W
+
+    return _QUALITY_SPEARMAN_ORACLE_TEMPLATE.format(w=_LINEAR_W)
+
+
+_QUALITY_SPEARMAN_ORACLE_TEMPLATE = """
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+), margins AS (
+  SELECT doc_id, CAST(sum({w}) AS BIGINT) AS x
+  FROM tok GROUP BY doc_id
+), score AS (
+  SELECT doc_id,
+         CAST(round(round(least(1.0, len(string_split(text, ' ')) / 100.0)
+               * (1.0 - len(list_filter(string_split(text, ' '),
+                                        t -> t IN ('the','a','and','of')))
+                 / len(string_split(text, ' '))), 4) * 10000, 0) AS BIGINT) AS y
+  FROM documents
+), sig AS (
+  SELECT m.doc_id, m.x, s.y FROM margins m JOIN score s USING (doc_id)
+), rnx AS (
+  SELECT x, row_number() OVER (ORDER BY x) AS rn FROM sig
+), mrx AS (
+  SELECT x, min(rn) + max(rn) AS mr2x FROM rnx GROUP BY x
+), rny AS (
+  SELECT y, row_number() OVER (ORDER BY y) AS rn FROM sig
+), mry AS (
+  SELECT y, min(rn) + max(rn) AS mr2y FROM rny GROUP BY y
+), r AS (
+  SELECT sig.doc_id, mrx.mr2x, mry.mr2y
+  FROM sig JOIN mrx USING (x) JOIN mry USING (y)
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(mr2x) AS sx, sum(mr2y) AS sy,
+         sum(mr2x * mr2x) AS sxx, sum(mr2y * mr2y) AS syy,
+         sum(mr2x * mr2y) AS sxy
+  FROM r
+)
+SELECT n AS n_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM mrx) AS n_margin_levels,
+       (SELECT CAST(count(*) AS BIGINT) FROM mry) AS n_score_levels,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS spearman_rho
+FROM sums
+"""
+
+QUALITY_SPEARMAN_ORACLE = _quality_spearman_oracle()
+
+
 QUERIES: dict = {
     "target_encode_smoothed": (target_encode_smoothed, TARGET_ENCODE_ORACLE),
     "retrieval_ndcg_eval": (retrieval_ndcg_eval, RETRIEVAL_NDCG_ORACLE),
     "classifier_pr_eval": (classifier_pr_eval, CLASSIFIER_PR_ORACLE),
     "classifier_auc_eval": (classifier_auc_eval, CLASSIFIER_AUC_ORACLE),
+    "quality_signal_spearman": (quality_signal_spearman, QUALITY_SPEARMAN_ORACLE),
     "user_feature_vector": (user_feature_vector, USER_FEATURE_ORACLE),
     "quantile_normalize_scores": (quantile_normalize_scores, QUANTILE_NORMALIZE_ORACLE),
     "embedding_dim_variance": (embedding_dim_variance, EMBEDDING_DIM_VARIANCE_ORACLE),

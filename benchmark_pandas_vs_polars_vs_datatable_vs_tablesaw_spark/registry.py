@@ -98,24 +98,26 @@ _MODULES = (
 _PRIORITY = (
     # ---- ROUND 13 WINDOW (first 50 = the driver's check set) ----
     # Entering round 13 all 295 pre-existing queries are green at
-    # their latest driver row; round 13 adds 3 never-checked entries
-    # (298 total). Window composition per the ledger
+    # their latest driver row; round 13 adds 4 never-checked entries
+    # (299 total). Window composition per the ledger
     # (scripts/attestation_ledger.py, round-13 run: rows by round
     # {0: 2, 6: 6, 7: 46, 8: 47, ...}):
     # (iii) never-checked: the round-13 additions rotate in first.
     "semdedup_apply",                      # new r13 (similarity.py, SemDeDup applied on the stored index — VERDICT r12 #7)
     "bpe_train_merges_adaptive",           # new r13 (text.py, hybrid recount/delta trainer — VERDICT r12 #5)
     "classifier_auc_eval",                 # new r13 (mlprep.py, tie-corrected Mann-Whitney AUC of the linear gate)
+    "quality_signal_spearman",             # new r13 (mlprep.py, tie-corrected Spearman scorer-agreement audit)
     # (i) changed-since-row:
     "streaming_minhash_dedup_precision",   # per-fixture FP ceilings at measured+margin (VERDICT r12 #4)
     # (ii) stalest-first, monotone (max in-window round <= min
     #     excluded round, changed entries aside): the final 6
     #     r6-vintage rows — the r6 vintage fully drains this round
-    #     (VERDICT r12 #1) — then 40 of the 46 r7-vintage rows,
-    #     alphabetical; the 6-row alphabetical tail
-    #     (q7_volume_shipping, q8_market_share, q9_product_profit,
-    #     rollup_returnflag_linestatus, sql_api_flagship,
-    #     streaming_session_certificate) queues for round 14.
+    #     (VERDICT r12 #1) — then 39 of the 46 r7-vintage rows,
+    #     alphabetical; the 7-row alphabetical tail
+    #     (q6_forecast_revenue, q7_volume_shipping, q8_market_share,
+    #     q9_product_profit, rollup_returnflag_linestatus,
+    #     sql_api_flagship, streaming_session_certificate) queues for
+    #     round 14.
     # r6 vintage (the final 6 of 49):
     "time_to_first_purchase",
     "token_entropy_quality",
@@ -163,7 +165,6 @@ _PRIORITY = (
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_revenue_by_nation",
-    "q6_forecast_revenue",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

@@ -1108,3 +1108,81 @@ def test_classifier_auc_equals_bruteforce_pair_count(spark, sf_dir):
     assert row.n_pos == len(pos) and row.n_neg == len(neg)
     assert row.auc == round(expected, 4), (row.auc, expected)
     assert row.gini == round(2 * expected - 1, 4), (row.gini, expected)
+
+
+def test_global_rank_refuses_reuse_breaking_inputs(spark):
+    """global_rank's offsets branch is consistent with its data branch
+    only via range-exchange reuse; over cached (InMemoryRelation) or
+    localCheckpointed/parallelized (LogicalRDD) inputs AQE does not
+    reuse, each physical exchange resamples boundaries under its own
+    RDD-id seed, and the ranks silently stop being a permutation
+    (measured round 13: +70 offset drift on a 5000-row cached input,
+    which shifted a Spearman rho by 9e-4 — plausible-looking and
+    wrong). The guard must refuse these inputs LOUDLY."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.core import (
+        global_rank,
+    )
+
+    df = spark.range(1000).select((F.col("id") % 70).alias("x"))
+    cached = df.persist()
+    try:
+        cached.count()
+        with pytest.raises(ValueError, match="persisted"):
+            global_rank(cached, ["x"])
+    finally:
+        cached.unpersist()
+    lc = df.localCheckpoint(eager=True)
+    with pytest.raises(ValueError, match="ExistingRDD"):
+        global_rank(lc, ["x"])
+    # the uncached plan ranks fine and IS a permutation
+    ranks = sorted(
+        r.rank for r in global_rank(df, ["x"]).select("rank").collect()
+    )
+    assert ranks == list(range(1, 1001))
+
+
+def test_spearman_equals_bruteforce_midranks(spark, sf_dir):
+    """The distributed min(rank)+max(rank) doubled-midrank Spearman
+    must equal pandas' rank(method='average') Pearson-on-ranks — the
+    textbook tie-corrected definition — computed from the operator's
+    own signals on the small fixture."""
+    import numpy as np
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.catalog import load_table
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.mlprep import (
+        quality_signal_spearman,
+    )
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        _hex4_bucket,
+        _tokens,
+        text_quality_score,
+    )
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.training import (
+        _W_SQL,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr(_W_SQL.format(b=_hex4_bucket("token", 64)))
+    margins = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("long").alias("x"))
+    )
+    score_i = text_quality_score(spark, sf_dir).select(
+        "doc_id", F.round(F.col("score") * 10000).cast("long").alias("y")
+    )
+    pdf = margins.join(score_i, "doc_id").toPandas()
+    rx = pdf.x.rank(method="average").to_numpy()
+    ry = pdf.y.rank(method="average").to_numpy()
+    expected = np.corrcoef(rx, ry)[0, 1]
+
+    row = quality_signal_spearman(spark, sf_dir).collect()[0]
+    assert row.n_docs == len(pdf)
+    assert row.n_margin_levels == pdf.x.nunique()
+    assert row.n_score_levels == pdf.y.nunique()
+    assert abs(row.spearman_rho - expected) < 5e-5, (row.spearman_rho, expected)
