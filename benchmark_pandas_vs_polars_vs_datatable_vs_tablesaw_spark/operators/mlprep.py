@@ -1444,15 +1444,24 @@ def quality_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(F.col("score") * 10000).cast("long").alias("y")
     )
     sig = margins.join(score_i, "doc_id")
+    # The level count rides ON the metadata-scale midrank table (a
+    # window over value-level rows, never the data) so the final agg
+    # needs no count_distinct — mixing count_distinct into the sums
+    # would plan an Expand that triples the doc-level agg input.
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     rx = (
         global_rank(sig.select("x"), ["x"])
         .groupBy("x")
         .agg((F.min("rank") + F.max("rank")).alias("mr2x"))
+        .withColumn("nx", F.count(F.lit(1)).over(w_all))
     )
     ry = (
         global_rank(sig.select("y"), ["y"])
         .groupBy("y")
         .agg((F.min("rank") + F.max("rank")).alias("mr2y"))
+        .withColumn("ny", F.count(F.lit(1)).over(w_all))
     )
     dx = F.col("mr2x").cast("decimal(38,0)")
     dy = F.col("mr2y").cast("decimal(38,0)")
@@ -1461,8 +1470,8 @@ def quality_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ry), "y")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.count_distinct(F.col("x")).alias("nx"),
-            F.count_distinct(F.col("y")).alias("ny"),
+            F.first("nx").alias("nx"),
+            F.first("ny").alias("ny"),
             F.sum(dx).alias("sx"),
             F.sum(dy).alias("sy"),
             F.sum(dx * dx).alias("sxx"),
