@@ -232,7 +232,24 @@ def global_rank(df: DataFrame, order_cols: list, num_partitions: int | None = No
             "its offsets depend on breaks over InMemoryRelation inputs "
             "(non-permutation ranks). Rank the uncached plan instead."
         )
-    if "LogicalRDD" in df._jdf.queryExecution().analyzed().toString():
+    # Round 14 (VERDICT r13 #2 / ADVICE): a plan DERIVED from a cached
+    # ancestor — cached.filter(...), or any subtree some other caller
+    # registered in the CacheManager — reads storageLevel NONE and has
+    # no LogicalRDD in its analyzed plan, yet InMemoryRelation is still
+    # substituted at physical planning (withCachedData), re-opening the
+    # exact broken-reuse hazard. Inspect the post-cache-substitution
+    # plan so persisted ANCESTORS are refused as loudly as persisted
+    # roots.
+    qe = df._jdf.queryExecution()
+    if "InMemoryRelation" in qe.withCachedData().toString():
+        raise ValueError(
+            "global_rank: input plan reads a cached (InMemoryRelation) "
+            "subtree after CacheManager substitution; the range-exchange "
+            "reuse its offsets depend on breaks over such inputs "
+            "(non-permutation ranks). Unpersist the ancestor or rank "
+            "the uncached plan instead."
+        )
+    if "LogicalRDD" in qe.analyzed().toString():
         raise ValueError(
             "global_rank: input contains an ExistingRDD scan (e.g. "
             "localCheckpoint); the range-exchange reuse its offsets "

@@ -42,6 +42,25 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from .core import global_rank
 
+# Per-call-site registry of persisted frames, so repeated invocations
+# of the same query in one long driver session don't accumulate
+# CacheManager entries without bound (ADVICE r13: the AUC value-level
+# persists leaked one entry per call, and stray cache entries are what
+# can trip global_rank's InMemoryRelation refusal on unrelated plans).
+_PERSIST_ROTATION: dict[str, list] = {}
+
+
+def _rotate_persists(key: str, *dfs: DataFrame) -> None:
+    """Unpersist the frames the PREVIOUS call at ``key`` persisted and
+    register the new ones — bounds the session cache footprint to one
+    invocation's (metadata-scale) entries per call site."""
+    for old in _PERSIST_ROTATION.get(key, []):
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # already unpersisted / session torn down — nothing to free
+    _PERSIST_ROTATION[key] = list(dfs)
+
 
 # --------------------------------------------------------------------------
 # Smoothed target encoding
@@ -1226,6 +1245,23 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals, broadcast per-bucket offsets — a window over ≤ n_part
     metadata rows, never a single-partition global window), so the
     plan survives any margin cardinality anyway.
+
+    Degenerate inputs (ADVICE r13): a single-class corpus (n_pos = 0
+    or n_neg = 0) has no defined AUC — the Mann-Whitney denominator is
+    an empty pair set. NULL is the DEFINED output for that case, made
+    explicit with the same CASE guard in both engines (rather than
+    relying on either engine's divide-by-zero behavior). Both classes
+    exist on every pinned fixture, so the guard is latent there by
+    construction.
+
+    Cache lifecycle (ADVICE r13): the two persists below (value-level
+    table + per-bucket totals) are bounded — margin-range × 1 row and
+    ≤ n_part rows — but repeated invocations in one long session would
+    accumulate CacheManager entries, and stray cache entries are
+    exactly what can trip :func:`core.global_rank`'s InMemoryRelation
+    refusal for unrelated plans sharing a subtree. Each call therefore
+    rotates out the frames the PREVIOUS call persisted
+    (``_rotate_persists``), bounding the leak to one invocation.
     """
     from .text import _hex4_bucket, _tokens
     from .training import _W_SQL
@@ -1291,6 +1327,7 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    _rotate_persists("classifier_auc_eval", perv, pidtot)
     w_cum = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1321,17 +1358,22 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u2r").cast("double")
         - (F.col("n_pos").cast("double") * (F.col("n_pos") + 1))
     )
+    defined = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
     return (
         tot.crossJoin(F.broadcast(u2))
         .select(
             "n_pos",
             "n_neg",
             "n_tied_values",
-            F.round(
-                numer2 / (2.0 * F.col("n_pos") * F.col("n_neg")), 4
+            F.when(
+                defined,
+                F.round(numer2 / (2.0 * F.col("n_pos") * F.col("n_neg")), 4),
             ).alias("auc"),
-            F.round(
-                numer2 / (1.0 * F.col("n_pos") * F.col("n_neg")) - 1.0, 4
+            F.when(
+                defined,
+                F.round(
+                    numer2 / (1.0 * F.col("n_pos") * F.col("n_neg")) - 1.0, 4
+                ),
             ).alias("gini"),
         )
     )
@@ -1375,14 +1417,169 @@ WITH tok AS (
   SELECT sum(pos * (2 * below + cnt + 1)) AS u2r FROM cum
 )
 SELECT n_pos, n_neg, n_tied_values,
-       round((CAST(u2r AS DOUBLE) - 1.0 * n_pos * (n_pos + 1))
-             / (2.0 * n_pos * n_neg), 4) AS auc,
-       round((CAST(u2r AS DOUBLE) - 1.0 * n_pos * (n_pos + 1))
-             / (1.0 * n_pos * n_neg) - 1.0, 4) AS gini
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round((CAST(u2r AS DOUBLE) - 1.0 * n_pos * (n_pos + 1))
+               / (2.0 * n_pos * n_neg), 4) END AS auc,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round((CAST(u2r AS DOUBLE) - 1.0 * n_pos * (n_pos + 1))
+               / (1.0 * n_pos * n_neg) - 1.0, 4) END AS gini
 FROM num, tot
 """
 
 CLASSIFIER_AUC_ORACLE = _classifier_auc_oracle()
+
+
+# --------------------------------------------------------------------------
+# Per-source ROC-AUC: the gate-tuning variant (VERDICT r13 #7)
+# --------------------------------------------------------------------------
+
+
+def classifier_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`classifier_auc_eval` partitioned by ``source`` — the
+    per-source threshold-tuning audit a real curation pipeline runs
+    before setting per-domain gates (VERDICT r13 #7): a classifier
+    with a healthy corpus-global AUC can still be non-discriminative
+    on one source, and the global number cannot show that. Same exact
+    tie-corrected doubled-midrank Mann-Whitney statistic, same
+    decimal(38,0) accumulation; the only structural change is that
+    every stage keys by ``source``.
+
+    Scale shape: the value-level reduction groups by (source, margin)
+    — still map-side combinable, and the per-source value table is
+    bounded by the integer margin RANGE (±500/token weights), not by
+    the source's doc count, so the per-source cumulative runs as an
+    ordinary ``Window.partitionBy(source).orderBy(margin)`` over
+    metadata-scale rows: parallel across sources, never a
+    single-partition global window, and immune to source skew (a 10×
+    bigger source has the same value-level cardinality bound). The
+    corpus-global query needs its two-phase arithmetic-bucket prefix
+    sum precisely because it lacks a partitioning key; here the group
+    key IS the partitioner, so the plan is one data-sized shuffle
+    (the doc-level agg) plus metadata-scale everything after.
+
+    Degenerate groups: a single-class SOURCE is likely in practice
+    (and possible on small fixtures) — its auc/gini are NULL by the
+    same explicit both-engine CASE guard as the global query, and the
+    row still reports its n_pos/n_neg so the caller can see why.
+    """
+    from .text import _hex4_bucket, _tokens
+    from .training import _W_SQL
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    w = F.expr(_W_SQL.format(b=_hex4_bucket("token", 64)))
+    margins = (
+        tok.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("long").alias("margin"))
+    )
+    toks = _tokens()
+    truth = docs.select(
+        "doc_id",
+        F.col("source"),
+        (F.size(F.array_distinct(toks)) * 100 >= F.size(toks) * 55).cast("int").alias(
+            "is_good"
+        ),
+    )
+    perv = (
+        margins.join(truth, "doc_id")
+        .groupBy("source", "margin")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("is_good").cast("long").alias("pos"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("margin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = perv.select(
+        "source",
+        "cnt",
+        "pos",
+        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("below"),
+    )
+    # 2·midrank = 2·below + cnt + 1; pos-weighted doubled rank-sum per
+    # source, plus the class totals — one metadata-scale aggregate.
+    agg = cum.groupBy("source").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
+        F.sum((F.col("cnt") >= 2).cast("int")).cast("long").alias("n_tied_values"),
+        F.sum(
+            F.col("pos").cast("decimal(38,0)")
+            * (2 * F.col("below") + F.col("cnt") + 1).cast("decimal(38,0)")
+        ).alias("u2r"),
+    )
+    numer2 = (
+        F.col("u2r").cast("double")
+        - (F.col("n_pos").cast("double") * (F.col("n_pos") + 1))
+    )
+    defined = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return agg.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        "n_tied_values",
+        F.when(
+            defined,
+            F.round(numer2 / (2.0 * F.col("n_pos") * F.col("n_neg")), 4),
+        ).alias("auc"),
+        F.when(
+            defined,
+            F.round(numer2 / (1.0 * F.col("n_pos") * F.col("n_neg")) - 1.0, 4),
+        ).alias("gini"),
+    )
+
+
+def _classifier_auc_by_source_oracle() -> str:
+    from .training import _LINEAR_W
+
+    return _CLASSIFIER_AUC_BY_SOURCE_ORACLE_TEMPLATE.format(w=_LINEAR_W)
+
+
+_CLASSIFIER_AUC_BY_SOURCE_ORACLE_TEMPLATE = """
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+), margins AS (
+  SELECT doc_id, CAST(sum({w}) AS BIGINT) AS margin
+  FROM tok GROUP BY doc_id
+), truth AS (
+  SELECT doc_id, source,
+         CASE WHEN len(list_distinct(string_split(text, ' '))) * 100
+                   >= len(string_split(text, ' ')) * 55
+              THEN 1 ELSE 0 END AS is_good
+  FROM documents
+), perv AS (
+  SELECT source, margin, count(*) AS cnt, sum(is_good) AS pos
+  FROM margins JOIN truth USING (doc_id)
+  GROUP BY source, margin
+), cum AS (
+  SELECT source, cnt, pos,
+         sum(cnt) OVER (PARTITION BY source ORDER BY margin) - cnt AS below
+  FROM perv
+), agg AS (
+  SELECT source,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tied_values,
+         sum(pos * (2 * below + cnt + 1)) AS u2r
+  FROM cum GROUP BY source
+)
+SELECT source, n_pos, n_neg, n_tied_values,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round((CAST(u2r AS DOUBLE) - 1.0 * n_pos * (n_pos + 1))
+               / (2.0 * n_pos * n_neg), 4) END AS auc,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round((CAST(u2r AS DOUBLE) - 1.0 * n_pos * (n_pos + 1))
+               / (1.0 * n_pos * n_neg) - 1.0, 4) END AS gini
+FROM agg
+"""
+
+CLASSIFIER_AUC_BY_SOURCE_ORACLE = _classifier_auc_by_source_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -1483,11 +1680,18 @@ def quality_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     denx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     deny = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # Degenerate inputs (ADVICE r13): a CONSTANT signal has zero rank
+    # variance and no defined correlation — NULL is the defined output,
+    # spelled with the same guard in both engines rather than left to
+    # divide-by-zero behavior. Both signals vary on every fixture.
     return sums.select(
         F.col("n").alias("n_docs"),
         F.col("nx").alias("n_margin_levels"),
         F.col("ny").alias("n_score_levels"),
-        F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 4).alias("spearman_rho"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 4),
+        ).alias("spearman_rho"),
     )
 
 
@@ -1535,9 +1739,12 @@ WITH tok AS (
 SELECT n AS n_docs,
        (SELECT CAST(count(*) AS BIGINT) FROM mrx) AS n_margin_levels,
        (SELECT CAST(count(*) AS BIGINT) FROM mry) AS n_score_levels,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS spearman_rho
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+       END AS spearman_rho
 FROM sums
 """
 
@@ -1549,6 +1756,10 @@ QUERIES: dict = {
     "retrieval_ndcg_eval": (retrieval_ndcg_eval, RETRIEVAL_NDCG_ORACLE),
     "classifier_pr_eval": (classifier_pr_eval, CLASSIFIER_PR_ORACLE),
     "classifier_auc_eval": (classifier_auc_eval, CLASSIFIER_AUC_ORACLE),
+    "classifier_auc_by_source": (
+        classifier_auc_by_source,
+        CLASSIFIER_AUC_BY_SOURCE_ORACLE,
+    ),
     "quality_signal_spearman": (quality_signal_spearman, QUALITY_SPEARMAN_ORACLE),
     "user_feature_vector": (user_feature_vector, USER_FEATURE_ORACLE),
     "quantile_normalize_scores": (quantile_normalize_scores, QUANTILE_NORMALIZE_ORACLE),

@@ -125,7 +125,7 @@ _PRIORITY = (
     "vocab_oov_rate",
     "winsorized_stats_by_group",
     "zorder_layout_stats",
-    # r7 vintage (41 of 46):
+    # r7 vintage (39 of 46):
     "anti_join_customers_without_orders",
     "blocklist_policy_gate",
     "broadcast_dim_join",

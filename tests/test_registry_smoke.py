@@ -79,3 +79,29 @@ def test_every_registry_query_is_documented_in_coverage():
     text = open(os.path.join(root, "COVERAGE.md")).read()
     missing = [name for name in REGISTRY if f"`{name}`" not in text]
     assert not missing, f"queries not documented in COVERAGE.md: {missing}"
+
+
+def test_coverage_header_counts_match_registry():
+    """VERDICT r13 #6: the COVERAGE.md header's registered /
+    oracle-checked counts lagged the registry twice (r12 comment,
+    r13 header). Pin them to the live registry so the bookkeeping
+    cannot drift a third time."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "COVERAGE.md")).read()
+    m = re.search(
+        r"(\d+) registered queries; (\d+) oracle-checked[^,]*, (\d+) rows-only",
+        text,
+    )
+    assert m, "COVERAGE.md header count sentence not found"
+    registered, oracle, rows_only = (int(g) for g in m.groups())
+    n_oracle = sum(1 for _, sql in REGISTRY.values() if sql is not None)
+    assert registered == len(REGISTRY), (
+        f"COVERAGE.md says {registered} registered, registry has {len(REGISTRY)}"
+    )
+    assert oracle == n_oracle, (
+        f"COVERAGE.md says {oracle} oracle-checked, registry has {n_oracle}"
+    )
+    assert rows_only == len(REGISTRY) - n_oracle

@@ -1110,6 +1110,63 @@ def test_classifier_auc_equals_bruteforce_pair_count(spark, sf_dir):
     assert row.gini == round(2 * expected - 1, 4), (row.gini, expected)
 
 
+def test_auc_by_source_equals_pergroup_bruteforce(spark, sf_dir):
+    """VERDICT r13 #7: the per-source AUC must equal the O(n²)
+    pair-count Mann-Whitney definition computed independently WITHIN
+    each source, and a single-class source must yield the defined NULL
+    (not a crash, not a fabricated number)."""
+    import numpy as np
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.catalog import load_table
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.mlprep import (
+        classifier_auc_by_source,
+    )
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.text import (
+        _hex4_bucket,
+        _tokens,
+    )
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.training import (
+        _W_SQL,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr(_W_SQL.format(b=_hex4_bucket("token", 64)))
+    margins = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("long").alias("margin"))
+    )
+    toks = _tokens()
+    truth = docs.select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct(toks)) * 100 >= F.size(toks) * 55)
+        .cast("int")
+        .alias("is_good"),
+    )
+    pdf = margins.join(truth, "doc_id").toPandas()
+    got = {r.source: r for r in classifier_auc_by_source(spark, sf_dir).collect()}
+    assert set(got) == set(pdf.source.unique())
+    for source, grp in pdf.groupby("source"):
+        pos = np.sort(grp.loc[grp.is_good == 1, "margin"].to_numpy())
+        neg = np.sort(grp.loc[grp.is_good == 0, "margin"].to_numpy())
+        row = got[source]
+        assert row.n_pos == len(pos) and row.n_neg == len(neg), source
+        if len(pos) == 0 or len(neg) == 0:
+            assert row.auc is None and row.gini is None, source
+            continue
+        wins = np.searchsorted(neg, pos, side="left").sum()
+        ties = (
+            np.searchsorted(neg, pos, side="right")
+            - np.searchsorted(neg, pos, side="left")
+        ).sum()
+        expected = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert row.auc == round(expected, 4), (source, row.auc, expected)
+        assert row.gini == round(2 * expected - 1, 4), (source, row.gini)
+
+
 def test_global_rank_refuses_reuse_breaking_inputs(spark):
     """global_rank's offsets branch is consistent with its data branch
     only via range-exchange reuse; over cached (InMemoryRelation) or
@@ -1132,11 +1189,24 @@ def test_global_rank_refuses_reuse_breaking_inputs(spark):
         cached.count()
         with pytest.raises(ValueError, match="persisted"):
             global_rank(cached, ["x"])
+        # Round 14 (VERDICT r13 #2): a plan DERIVED from the cached
+        # frame reads storageLevel NONE and has no LogicalRDD in its
+        # analyzed plan, yet InMemoryRelation is still substituted at
+        # physical planning — the guard must catch it via the
+        # post-cache-substitution (withCachedData) plan.
+        derived = cached.filter(F.col("x") >= 0)
+        assert not (derived.storageLevel.useMemory or derived.storageLevel.useDisk)
+        with pytest.raises(ValueError, match="InMemoryRelation"):
+            global_rank(derived, ["x"])
     finally:
         cached.unpersist()
     lc = df.localCheckpoint(eager=True)
     with pytest.raises(ValueError, match="ExistingRDD"):
         global_rank(lc, ["x"])
+    # derived-from-checkpoint keeps the LogicalRDD scan in its analyzed
+    # plan, so the existing check must still fire on it
+    with pytest.raises(ValueError, match="ExistingRDD"):
+        global_rank(lc.select("x"), ["x"])
     # the uncached plan ranks fine and IS a permutation
     ranks = sorted(
         r.rank for r in global_rank(df, ["x"]).select("rank").collect()
