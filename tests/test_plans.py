@@ -758,6 +758,39 @@ def test_semdedup_apply_zero_exchange(spark, sf_dir):
         assert "Bucketed: true" in seg
 
 
+def test_semdedup_multiprobe_exchange_budget(spark, sf_dir):
+    """semdedup_apply_multiprobe (VERDICT r13 #3) pays EXACTLY two
+    data exchanges over the base variant's zero — the (plist_id,
+    vec_id) witness-dedup aggregate and the ≤ nlist per-list rollup —
+    while the decision self-join stays the exchange-free bucketed SMJ
+    and the totals side stays exchange-free (the primary rows are
+    filtered from the same bucketed scan). A third exchange means the
+    pair fan-out leaked past the map side; zero means the plist
+    accounting silently rode the wrong distribution."""
+    import re
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import (
+        similarity,
+    )
+
+    df = similarity.semdedup_apply_multiprobe(spark, sf_dir)
+    text = explain.plan_text(df)
+    assert explain.shuffle_count(df) == 2, (
+        "multiprobe must pay exactly the two plist-keyed exchanges"
+    )
+    assert "SortMergeJoin" in text
+    midx_scans = [
+        seg
+        for seg in (s.strip() for s in text.split("\n\n"))
+        if re.match(r"\(\d+\) Scan parquet spark_catalog\.default\.ivfpq_midx_", seg)
+    ]
+    assert len(midx_scans) == 3  # a-side, b-side, totals
+    for seg in midx_scans:
+        assert "Bucketed: true" in seg
+    # the final accounting join broadcasts the tiny drops side
+    assert "BroadcastHashJoin LeftOuter" in text
+
+
 def test_ivfpq_index_append_preserves_bucket_pruned_probe(spark, sf_dir):
     """The ANN grow-by-batch lifecycle at 100 TB (the
     test_bucketed_index_append pattern for the IVF-PQ index): after a

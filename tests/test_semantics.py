@@ -1167,6 +1167,40 @@ def test_auc_by_source_equals_pergroup_bruteforce(spark, sf_dir):
         assert row.gini == round(2 * expected - 1, 4), (source, row.gini)
 
 
+def test_semdedup_boundary_certificate_and_multiprobe_dominance(spark, sf_dir):
+    """VERDICT r13 #3: the boundary-miss certificate must be
+    non-vacuous (true pairs exist at the fixture τ — a 0/0 certificate
+    proves nothing), top-2 visibility must strictly recover boundary
+    pairs the primary-only decision misses, and the multiprobe drop
+    set must DOMINATE the base per primary list (every base drop pair
+    shares primary lists, which both sides' top-2 sets contain — so
+    multiprobe can only drop more, never fewer)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators.similarity import (
+        semdedup_apply,
+        semdedup_apply_multiprobe,
+        semdedup_boundary_miss,
+    )
+
+    cert = semdedup_boundary_miss(spark, sf_dir).collect()[0]
+    assert cert.n_true_pairs > 0, "certificate is vacuous at this fixture/τ"
+    assert cert.n_visible_primary <= cert.n_visible_top2 <= cert.n_true_pairs
+    assert cert.n_visible_top2 > cert.n_visible_primary, (
+        "top-2 membership recovered no boundary pairs — fixture lost its "
+        "cross-list near-dups or the soft assignment broke"
+    )
+    assert cert.miss_rate_top2 < cert.miss_rate_primary
+
+    base = {r.list_id: r for r in semdedup_apply(spark, sf_dir).collect()}
+    multi = {r.list_id: r for r in semdedup_apply_multiprobe(spark, sf_dir).collect()}
+    assert set(base) == set(multi)  # same primary lists, same totals
+    for lid in base:
+        assert base[lid].n_vectors == multi[lid].n_vectors, lid
+        assert multi[lid].n_dropped >= base[lid].n_dropped, lid
+    assert sum(m.n_dropped for m in multi.values()) > sum(
+        b.n_dropped for b in base.values()
+    )
+
+
 def test_global_rank_refuses_reuse_breaking_inputs(spark):
     """global_rank's offsets branch is consistent with its data branch
     only via range-exchange reuse; over cached (InMemoryRelation) or
