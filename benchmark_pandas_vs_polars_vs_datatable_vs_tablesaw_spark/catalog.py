@@ -78,3 +78,30 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """:func:`load_table` with a SCAN-PARALLELISM FLOOR for operators
+    whose per-row compute dominates (r14 optimization, guide §2.5
+    "input skew: one huge unsplittable file ... repartition immediately
+    after the read").
+
+    Each fixture table is ONE small parquet file, so the scan plans as
+    ONE task — and every expression evaluated before the first exchange
+    (winnow char-folds, n-gram construction, md5 bucket hashes) runs on
+    one core while the other 31 idle. Measured at sf0.1: the gopher
+    gram build alone drops 1.87 s -> 0.62 s with the floor in place.
+
+    SCALE GATE: the round-robin repartition is applied ONLY when the
+    scan yields fewer partitions than ``defaultParallelism``. At real
+    scale (100 TB => thousands of scan tasks) the condition is false
+    and this is a plain :func:`load_table` — a blind repartition there
+    would shuffle the whole corpus payload for nothing. Row-level
+    results are partitioning-independent for every caller (per-row
+    projections and commutative aggregations only).
+    """
+    df = load_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_parallel
 
 MOD = 1_000_000_007
 N_HASHES = 32
@@ -679,7 +679,11 @@ def decontaminate_winnowing(
     shuffle of text. Cites the reference's benchmark framing only —
     composition is original (reference has no dedup machinery).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Scan-parallelism floor (r14 optimization, guide §2.5): the winnow
+    # char-fold below is the query's dominant cost and was serializing
+    # on the fixture's single-split parquet scan; see
+    # catalog.load_table_parallel for the scale gate.
+    docs = load_table_parallel(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     trimmed = F.expr(
         "substr(text, 1, length(text) - length(element_at(split(text, ' '), -1)) - 1)"
@@ -714,15 +718,24 @@ def decontaminate_winnowing(
 
     bench_prints = prints_of(bench).select("p").distinct()
     corpus_prints = prints_of(corpus)
-    shared = (
-        corpus_prints.join(F.broadcast(bench_prints), "p", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("shared_prints"))
+    # ONE pass over the corpus prints (r14 optimization, guide §1.2/§2.4):
+    # the previous shared/sizes pair each re-derived the full winnow-hash
+    # explode (the expensive subtree) and shuffled it twice; a broadcast
+    # membership mark + a single per-doc aggregate computes both counts
+    # from one derivation and one doc_id shuffle. The >= 1 floor keeps
+    # the inner-join semantics of the two-table formulation (a doc with
+    # zero shared prints never appeared in `shared`), matching the
+    # oracle for every min_shared.
+    marked = corpus_prints.join(
+        F.broadcast(bench_prints.withColumn("hit", F.lit(1))), "p", "left"
     )
-    sizes = corpus_prints.groupBy("doc_id").agg(F.count("*").alias("n_prints"))
     return (
-        shared.join(sizes, "doc_id")
-        .filter(F.col("shared_prints") >= int(min_shared))
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("hit").alias("shared_prints"),
+            F.count("*").alias("n_prints"),
+        )
+        .filter(F.col("shared_prints") >= max(int(min_shared), 1))
         .select("doc_id", "shared_prints", "n_prints")
         .orderBy("doc_id")
     )
@@ -849,17 +862,18 @@ def dedup_substring_exact(
         corpus.select("doc_id", F.split("text", " ").alias("T"))
         .filter(F.size("T") >= L)
     )
-    # doc_fingerprint's portable polynomial fold (acc*31 + codepoint,
-    # mod 1e9+7) over each L-token window — same engine-neutral hash
-    # family as _WINNOW_HASHES_EXPR, built once per window
-    hash_of_gram = (
-        "aggregate(sequence(1, length(g)), 0L,"
-        " (acc, i) -> (acc * 31 + ascii(substring(g, i, 1))) % 1000000007)"
-    )
+    # Window hash = native xxhash64 over the L-token slice (r14
+    # optimization, guide §4.1 "prefer built-ins"). The hash is ONLY a
+    # verified pre-filter — stage (3) re-counts on the gram TEXT, so any
+    # deterministic hash yields the same output; the previous portable
+    # per-character polynomial fold (acc*31+cp mod 1e9+7) materialized
+    # each gram string and paid two modulos per character, ~50 codegen
+    # ops per window vs one vectorized xxhash64 over the slice. The
+    # engine-neutrality the old fold bought is not needed here because
+    # the oracle groups on gram text, never on the hash.
     window_hashes = (
-        f"transform(transform(sequence(1, size(T) - {L} + 1),"
-        f"                    st -> concat_ws(' ', slice(T, st, {L}))),"
-        f"          g -> {hash_of_gram})"
+        f"transform(sequence(1, size(T) - {L} + 1),"
+        f"          st -> xxhash64(slice(T, st, {L})))"
     )
     postings = toked.select(
         "doc_id", F.posexplode(F.expr(window_hashes)).alias("i", "h")

@@ -22,7 +22,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_parallel
 
 def _tokens():
     return F.split(F.col("text"), " ")
@@ -2282,6 +2282,30 @@ QUALIFY row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id)
 """
 
 
+_BIGRAM_PAIRS_EXPR = """
+CASE WHEN size(T) >= 2 THEN
+  transform(sequence(0, size(T) - 2),
+            i -> named_struct('w1', T[i], 'w2', T[i + 1]))
+ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END
+"""
+
+
+def _bigram_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) adjacent-token pairs, built ARRAY-SIDE (r14
+    optimization, guide §2.4): a per-row transform over the token array
+    replaces the posexplode + lead()-window formulation, which shuffled
+    and sorted the entire exploded token stream by doc_id before a
+    single bigram existed — and paid that shuffle once per downstream
+    consumer. Row set is identical: docs with < 2 tokens produce no
+    pairs (the lead() IS NOT NULL filter), pair order is irrelevant to
+    every consumer (count tables and per-doc sums)."""
+    return (
+        docs.withColumn("T", _tokens())
+        .select("doc_id", F.explode(F.expr(_BIGRAM_PAIRS_EXPR)).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
 def _hex4_bucket(col_sql: str, n_buckets: int) -> str:
     """Engine-portable hashing-trick bucket: the first 4 hex digits of
     md5 parsed by positional ``instr`` arithmetic (identical SQL in
@@ -2351,26 +2375,33 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetitive text; high = rare/garbled. The classic KenLM-style
     quality gate, self-trained on the corpus in the same plan.
 
-    Pipeline: lead() pairs tokens per doc (one doc_id shuffle), corpus
-    bigram/unigram count tables (map-side combinable), a count join on
-    the bigram key, and per-doc aggregation. Per-term surprise is the
-    INTEGER floor-log2 of the inverse probability, computed from
-    binary-representation length (length(bin(k))-1) — pure integer
-    arithmetic end to end, so no cross-engine libm-log2 ulp can flip a
-    quantization boundary (float millibits did, observed at sf0.01);
-    the per-doc division is a single exact int/int op. At 100 TB the
-    count tables are the same shape the BPE counter ships, and the
-    count join broadcasts when the vocab fits.
+    Pipeline (r14 optimization, guide §2.4): bigrams are built
+    ARRAY-SIDE from each doc's token array — the previous lead()-window
+    formulation shuffled and sorted the whole exploded token stream by
+    doc_id, and re-ran that shuffle for every consumer of ``bi`` (count
+    tables + the scoring join). Corpus bigram/unigram count tables stay
+    map-side combinable, then a count join on the bigram key and
+    per-doc aggregation. Per-term surprise is the INTEGER floor-log2 of
+    the inverse probability, computed from binary-representation length
+    (length(bin(k))-1) — pure integer arithmetic end to end, so no
+    cross-engine libm-log2 ulp can flip a quantization boundary (float
+    millibits did, observed at sf0.01); the per-doc division is a
+    single exact int/int op. At 100 TB the count tables are the same
+    shape the BPE counter ships, and the count join broadcasts when the
+    vocab fits.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(_tokens()).alias("pos", "w1")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bi = tok.withColumn("w2", F.lead("w1").over(w)).where(F.col("w2").isNotNull())
+    # Scan-parallelism floor (guide §2.5): bigram construction + the
+    # count joins were serializing on the single-split scan.
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    bi = _bigram_pairs(docs)
     c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = tok.agg(F.count_distinct("w1").alias("v"))
+    # c1 is c2's marginal (both count bi rows, grouped differently), so
+    # derive it from the already-reduced bigram table instead of paying
+    # a second full pass over the bigram stream (r14 optimization).
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    vocab = docs.select(F.explode(_tokens()).alias("w1")).agg(
+        F.count_distinct("w1").alias("v")
+    )
     scored = (
         bi.join(c2, ["w1", "w2"])
         .join(c1, "w1")
@@ -2447,13 +2478,20 @@ def ccnet_perplexity_buckets(
     and are excluded, as in CCNet (unscorable lines drop to a side
     channel).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "w1"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bi = tok.withColumn("w2", F.lead("w1").over(w)).where(F.col("w2").isNotNull())
+    # Scan-parallelism floor (guide §2.5) + array-side bigram formation
+    # (r14 optimization): see ``_bigram_pairs`` — removes the
+    # per-consumer token-stream shuffle+sort the lead()-window
+    # formulation paid, and parallelizes the gram build.
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    bi = _bigram_pairs(docs)
     c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = tok.agg(F.count_distinct("w1").alias("v"))
+    # c1 is c2's marginal (both count bi rows, grouped differently), so
+    # derive it from the already-reduced bigram table instead of paying
+    # a second full pass over the bigram stream (r14 optimization).
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    vocab = docs.select(F.explode(_tokens()).alias("w1")).agg(
+        F.count_distinct("w1").alias("v")
+    )
     scored = (
         bi.join(c2, ["w1", "w2"])
         .join(c1, "w1")
@@ -3082,6 +3120,46 @@ flatten(transform(array(2, 3, 4, 5, 6), n ->
   ELSE CAST(array() AS array<struct<n: int, gram: string>>) END))
 """
 
+
+def _gram_run_fold(n: int) -> str:
+    """Per-document n-gram repetition fold (r14 optimization): sort the
+    doc's n-gram array and fold over it counting equal-gram runs,
+    emitting struct(top, dup) where top = max over distinct grams of
+    count*length(gram) and dup = sum over grams with count > 1 of
+    count*length(gram) — exactly the per-(doc, n) aggregates the
+    explode + groupBy(doc_id, n, gram) formulation produced, computed
+    with ZERO shuffle because every gram of a document already lives in
+    its own row. NULL when the doc has no n-grams (size(T) < n),
+    mirroring the missing per_n row of the join formulation. Integer
+    arithmetic end to end (counts and char lengths), so the rewrite
+    cannot move a single basis point."""
+    grams = (
+        f"array_sort(transform(sequence(1, size(T) - {n} + 1),"
+        f" i -> concat_ws(' ', slice(T, i, {n}))))"
+    )
+    close_run = (
+        "CASE WHEN a.prev IS NULL THEN 0L"
+        " ELSE a.run * CAST(length(a.prev) AS BIGINT) END"
+    )
+    close_dup = (
+        "CASE WHEN a.prev IS NOT NULL AND a.run > 1L"
+        " THEN a.run * CAST(length(a.prev) AS BIGINT) ELSE 0L END"
+    )
+    return f"""
+CASE WHEN size(T) >= {n} THEN
+  aggregate(
+    {grams},
+    named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'top', 0L, 'dup', 0L),
+    (a, g) -> CASE WHEN a.prev IS NOT NULL AND g = a.prev
+      THEN named_struct('prev', g, 'run', a.run + 1L, 'top', a.top, 'dup', a.dup)
+      ELSE named_struct('prev', g, 'run', 1L,
+                        'top', greatest(a.top, {close_run}),
+                        'dup', a.dup + {close_dup}) END,
+    a -> named_struct('top', greatest(a.top, {close_run}),
+                      'dup', a.dup + {close_dup}))
+ELSE CAST(NULL AS struct<top: bigint, dup: bigint>) END
+"""
+
 _GOPHER_GRAMS_SQL = """
 flatten(list_transform([2, 3, 4, 5, 6], n ->
   CASE WHEN len(T) >= n THEN
@@ -3111,54 +3189,38 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     no top-gram tie-break protocol is needed. The pass flag applies
     Gopher's published cutoffs (0.20/0.18/0.16 top, 0.15/0.14 dup).
 
-    Scale shape: ONE scan; all five n-gram streams come out of a
-    single explode of one flattened transform (no per-n re-scan);
-    the (doc_id, n, gram) count partial-aggregates map-side before
-    its only data-sized shuffle, and everything after is per-doc
-    rollup. Fan-out is 5x token count — the same constant-factor
-    budget every n-gram dedup op in dedup.py pays. A final broadcast-
-    sized left join keeps zero-gram docs (< 2 tokens) in the output
-    with zero coverage on BOTH engines (DuckDB's unnest drops them,
-    Spark's explode does too — the join-back makes the engines agree
-    by construction instead of by fixture luck).
+    Scale shape (r14 optimization, guide §2.4 "remove shuffles
+    outright"): every signal in the panel is a WITHIN-document
+    statistic, so no shuffle is fundamentally required — each doc's
+    grams already live in its own row. The previous formulation
+    exploded 5x token count into a (doc_id, n, gram) string shuffle
+    plus two rollup shuffles and a join-back; this one computes the
+    per-(doc, n) top/dup covers with a sorted-run fold over the gram
+    array (``_gram_run_fold``: O(k log k) per doc, integer-exact) in a
+    single projection — the ONLY exchange left is the output
+    orderBy(doc_id). Zero-gram docs (< 2 tokens) get NULL folds which
+    coalesce to zero coverage, the same result the left-join-back
+    produced.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    grams = (
-        docs.withColumn("T", _tokens())
-        .select("doc_id", "n_chars", F.explode(F.expr(_GOPHER_GRAMS_EXPR)).alias("g"))
-        .select("doc_id", "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    # Scan-parallelism floor (guide §2.5): the per-doc gram folds are
+    # the whole query and were serializing on the single-split scan.
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    folded = docs.withColumn("T", _tokens()).select(
+        "doc_id",
+        "n_chars",
+        *[F.expr(_gram_run_fold(n)).alias(f"f{n}") for n in (2, 3, 4, 5, 6)],
     )
-    counts = grams.groupBy("doc_id", "n_chars", "n", "gram").agg(
-        F.count("*").alias("c")
-    )
-    per_n = counts.groupBy("doc_id", "n_chars", "n").agg(
-        F.max(F.col("c") * F.length("gram")).alias("top_cover"),
-        F.sum(
-            F.when(F.col("c") > 1, F.col("c") * F.length("gram")).otherwise(F.lit(0))
-        ).alias("dup_cover"),
-    )
-    sig = per_n.groupBy("doc_id", "n_chars").agg(
-        *[
-            F.max(F.when(F.col("n") == n, F.col("top_cover"))).alias(f"top{n}_cover")
-            for n in (2, 3, 4)
-        ],
-        *[
-            F.max(F.when(F.col("n") == n, F.col("dup_cover"))).alias(f"dup{n}_cover")
-            for n in (5, 6)
-        ],
-    )
-    base = docs.select("doc_id", F.col("n_chars").alias("nc"))
-    joined = base.join(sig, base.doc_id == sig.doc_id, "left").select(
-        base.doc_id.alias("doc_id"),
+    joined = folded.select(
+        "doc_id",
         *[
             F.coalesce(
-                F.expr(f"top{n}_cover * 10000 div nc"), F.lit(0).cast("long")
+                F.expr(f"f{n}.top * 10000 div n_chars"), F.lit(0).cast("long")
             ).alias(f"top{n}gram_bp")
             for n in (2, 3, 4)
         ],
         *[
             F.coalesce(
-                F.expr(f"dup{n}_cover * 10000 div nc"), F.lit(0).cast("long")
+                F.expr(f"f{n}.dup * 10000 div n_chars"), F.lit(0).cast("long")
             ).alias(f"dup{n}gram_bp")
             for n in (5, 6)
         ],

@@ -32,8 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
-from .text import _hex4_bucket, _tokens
+from ..catalog import load_table, load_table_parallel
+from .text import _gram_run_fold, _hex4_bucket, _tokens
 
 # Deterministic stand-in weight for a hashed-feature linear model:
 # Knuth multiplicative hash of the bucket id folded into [-500, 500].
@@ -276,35 +276,38 @@ def dup_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication, no division. Docs with < 3 tokens have no
     3-grams and are excluded (mirrored in the oracle).
 
-    Scale shape: lead()-based gram construction costs one doc_id
-    shuffle; the (doc_id, gram) count and the per-doc rollup both
-    partial-aggregate map-side. State per doc is bounded by the doc's
-    own gram count — nothing corpus-wide.
+    Scale shape (r14 optimization, guide §2.4): the metric is a
+    WITHIN-document statistic, so it needs no shuffle at all — grams
+    are built array-side from the token array (the lead()-window
+    formulation shuffled and sorted the whole token stream by doc_id)
+    and both character masses come from per-row folds: dup_chars from
+    the sorted-run fold (``text._gram_run_fold``, the exact per-doc
+    analogue of the old groupBy(doc_id, gram) count) and total_chars
+    from a linear length fold. The only exchange left is the output
+    orderBy(doc_id). State per doc is bounded by the doc's own gram
+    count — nothing corpus-wide.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "w1"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        tok.withColumn("w2", F.lead("w1", 1).over(w))
-        .withColumn("w3", F.lead("w1", 2).over(w))
-        .where(F.col("w3").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "w1", "w2", "w3").alias("gram"))
+    # Scan-parallelism floor (guide §2.5): per-doc gram folds dominate
+    # and were serializing on the single-split scan.
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    total_expr = (
+        f"aggregate(transform(sequence(1, size(T) - 2),"
+        f"                    i -> concat_ws(' ', slice(T, i, 3))),"
+        f" 0L, (a, g) -> a + CAST(length(g) AS BIGINT))"
     )
-    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
-    mass = F.col("cnt") * F.length("gram")
     return (
-        counts.groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("cnt") >= 2, mass).otherwise(0))
-            .cast("long")
-            .alias("dup_chars"),
-            F.sum(mass).cast("long").alias("total_chars"),
+        docs.withColumn("T", _tokens())
+        .where(F.expr("size(T) >= 3"))
+        .select(
+            "doc_id",
+            F.expr(_gram_run_fold(3)).alias("f3"),
+            F.expr(total_expr).alias("total_chars"),
         )
         .select(
             "doc_id",
-            "dup_chars",
+            F.col("f3.dup").alias("dup_chars"),
             "total_chars",
-            (F.col("dup_chars") * 5 > F.col("total_chars")).alias("flagged"),
+            (F.col("f3.dup") * 5 > F.col("total_chars")).alias("flagged"),
         )
         .orderBy("doc_id")
     )
@@ -847,33 +850,52 @@ def dsir_importance_weights(
     cross-engine (the float ln touches only deterministic integer
     inputs, never data-order-dependent partial sums).
 
-    Scale shape: ONE data-sized shuffle (the (doc, bucket) count,
-    partial-aggregated map-side to ≤128 rows per doc); the target and
-    raw bucket histograms are 128-row aggregates that BROADCAST back;
-    no vocabulary state anywhere — the sketch width is constant at
-    any corpus size, which is DSIR's entire point at 100 TB.
+    Scale shape (r14 optimization): ONE data-sized shuffle — the
+    (doc, source, bucket) count, partial-aggregated map-side to ≤128
+    rows per doc — whose EXCHANGE IS SHARED by every consumer
+    (ReusedExchange: the per-doc score chain and the histogram chain
+    read the same shuffle output). Bigrams come from an array-side
+    transform over the token array (guide §2.4): the previous
+    posexplode + lead()-window formulation shuffled and sorted the
+    whole token stream by doc_id — and re-ran that shuffle three
+    times, once per consumer of `feats`. Both bucket histograms now
+    come out of one 128-row aggregate over the shared shuffle (raw =
+    sum of all counts, target = the same sum filtered on source), and
+    BROADCAST back; no vocabulary state anywhere — the sketch width
+    is constant at any corpus size, which is DSIR's entire point at
+    100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    bigram_bucket = F.expr(_hex4_bucket("concat(w1, ' ', w2)", buckets))
-    tok = docs.select(
+    # Scan-parallelism floor (guide §2.5): the md5 bucket hash per
+    # bigram dominates and was serializing on the single-split scan.
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    bigram_bucket = _hex4_bucket("concat(T[i], ' ', T[i+1])", buckets)
+    # T[i] is 0-based subscripting; the CASE guards sequence() against
+    # descending ranges on docs with < 2 tokens (empty bigram set).
+    bigram_buckets_expr = (
+        "CASE WHEN size(T) >= 2 THEN"
+        f" transform(sequence(0, size(T) - 2), i -> {bigram_bucket})"
+        " ELSE CAST(array() AS array<int>) END"
+    )
+    feats = docs.withColumn("T", _tokens()).select(
         "doc_id",
         "source",
-        F.posexplode(_tokens()).alias("pos", "w1"),
+        F.explode(F.expr(bigram_buckets_expr)).alias("b"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    feats = (
-        tok.withColumn("w2", F.lead("w1", 1).over(w))
-        .where(F.col("w2").isNotNull())
-        .select("doc_id", "source", bigram_bucket.alias("b"))
+    doc_bucket = feats.groupBy("doc_id", "source", "b").agg(F.count("*").alias("c"))
+    hist = doc_bucket.groupBy("b").agg(
+        F.sum("c").alias("r_c"),
+        F.sum(
+            F.when(
+                F.col("source").isin(*DSIR_TARGET_SOURCES), F.col("c")
+            ).otherwise(F.lit(0))
+        ).alias("t_c"),
     )
-    doc_bucket = feats.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
-    tgt = feats.where(F.col("source").isin(*DSIR_TARGET_SOURCES))
-    tgt_hist = tgt.groupBy("b").agg(F.count("*").alias("t_c"))
-    raw_hist = feats.groupBy("b").agg(F.count("*").alias("r_c"))
+    tgt_hist = hist.select("b", "t_c")
+    raw_hist = hist.select("b", "r_c")
     # corpus totals as broadcast 1-row aggregates (the bm25 `tot`
     # idiom) — no driver-side count() action, no extra scan jobs
-    tgt_tot = tgt_hist.agg(F.coalesce(F.sum("t_c"), F.lit(0)).alias("tgt_n"))
-    raw_tot = raw_hist.agg(F.coalesce(F.sum("r_c"), F.lit(0)).alias("raw_n"))
+    tgt_tot = hist.agg(F.coalesce(F.sum("t_c"), F.lit(0)).alias("tgt_n"))
+    raw_tot = hist.agg(F.coalesce(F.sum("r_c"), F.lit(0)).alias("raw_n"))
     bucket_ids = spark.range(buckets).select(F.col("id").cast("int").alias("b"))
     lmicro = (
         bucket_ids.join(F.broadcast(tgt_hist), "b", "left")

@@ -96,75 +96,73 @@ _MODULES = (
 # (tests/test_registry_smoke.py), so a convention violation fails
 # pytest before it can fail a driver round.
 _PRIORITY = (
-    # ---- ROUND 13 WINDOW (first 50 = the driver's check set) ----
-    # Entering round 13 all 295 pre-existing queries are green at
-    # their latest driver row; round 13 adds 4 never-checked entries
-    # (299 total). Window composition per the ledger
-    # (scripts/attestation_ledger.py, round-13 run: rows by round
-    # {0: 2, 6: 6, 7: 46, 8: 47, ...}):
-    # (iii) never-checked: the round-13 additions rotate in first.
-    "semdedup_apply",                      # new r13 (similarity.py, SemDeDup applied on the stored index — VERDICT r12 #7)
-    "bpe_train_merges_adaptive",           # new r13 (text.py, hybrid recount/delta trainer — VERDICT r12 #5)
-    "classifier_auc_eval",                 # new r13 (mlprep.py, tie-corrected Mann-Whitney AUC of the linear gate)
-    "quality_signal_spearman",             # new r13 (mlprep.py, tie-corrected Spearman scorer-agreement audit)
-    # (i) changed-since-row:
-    "streaming_minhash_dedup_precision",   # per-fixture FP ceilings at measured+margin (VERDICT r12 #4)
+    # ---- ROUND 14 WINDOW (first 50 = the driver's check set) ----
+    # Entering round 14 all 299 r13-registered queries are green at
+    # their latest driver row; the r13->r14 interregnum added 3
+    # never-checked entries (302 total) and edited the two r13 eval
+    # queries (degenerate-NULL guard + persist rotation). Window
+    # composition per the ledger (scripts/attestation_ledger.py,
+    # round-14 run: rows by round {0: 3, 7: 7, 8: 47, 9: 50, ...}):
+    # (iii) never-checked: the interregnum additions rotate in first.
+    "classifier_auc_by_source",            # new r14 (mlprep.py, per-source tie-corrected AUC — VERDICT r13 #7)
+    "semdedup_apply_multiprobe",           # new r14 (similarity.py, soft top-2 SemDeDup — VERDICT r13 #3)
+    "semdedup_boundary_miss",              # new r14 (similarity.py, cross-list miss certificate — VERDICT r13 #3)
+    # (i) changed-since-row (the d654025 degenerate-NULL/persist edits
+    #     + every function optimized in round 14 — the optimization
+    #     round's whole point is that each rewritten query re-attests
+    #     against the oracle in the same round it changed):
+    "classifier_auc_eval",                 # NULL degenerate guard + persist rotation (ADVICE r13)
+    "quality_signal_spearman",             # NULL degenerate guard (ADVICE r13)
+    "decontaminate_winnowing",             # r14 opt: one-pass shared/size aggregation
+    "gopher_repetition_signals",           # r14 opt: per-doc HOF rewrite, gram shuffle removed
+    "dsir_importance_weights",             # r14 opt: array-side bigrams, window shuffle removed
+    "ccnet_perplexity_buckets",            # r14 opt: array-side bigrams
+    "bigram_lm_score",                     # r14 opt: array-side bigrams
+    "dup_ngram_char_fraction",             # r14 opt: array-side trigrams
+    "dedup_substring_exact",               # r14 opt: xxhash64 window hashes (verified pre-filter)
     # (ii) stalest-first, monotone (max in-window round <= min
-    #     excluded round, changed entries aside): the final 6
-    #     r6-vintage rows — the r6 vintage fully drains this round
-    #     (VERDICT r12 #1) — then 39 of the 46 r7-vintage rows,
-    #     alphabetical; the 7-row alphabetical tail
-    #     (q6_forecast_revenue, q7_volume_shipping, q8_market_share,
-    #     q9_product_profit, rollup_returnflag_linestatus,
-    #     sql_api_flagship, streaming_session_certificate) queues for
-    #     round 14.
-    # r6 vintage (the final 6 of 49):
-    "time_to_first_purchase",
-    "token_entropy_quality",
-    "user_growth_accounting",
-    "vocab_oov_rate",
-    "winsorized_stats_by_group",
-    "zorder_layout_stats",
-    # r7 vintage (39 of 46):
-    "anti_join_customers_without_orders",
-    "blocklist_policy_gate",
-    "broadcast_dim_join",
-    "cast_nan_matrix",
-    "csv_roundtrip",
-    "dedup_clusters_cc",
-    "dedup_ngram_jaccard",
-    "dedup_sentence_clean",
-    "dedup_sentence_stats",
-    "distinct_counts",
-    "filter_numeric_gt",
-    "generator_scaling4_invariants",
-    "groupby_first",
-    "groupby_first_minby",
-    "groupby_mean",
-    "groupby_multi_mean",
-    "intersect_segments",
-    "ks_drift_test",
-    "limit_prefix",
-    "mapinarrow_matrix_stats",
-    "matrix_col_means",
-    "median_stats",
-    "merge_upsert_orders",
-    "outer_join_coverage",
-    "pivot_linestatus",
-    "project_first_numeric",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_revenue_by_nation",
+    #     excluded round, changed entries aside): the 7-row r7 tail
+    #     drains fully this round, then r8 vintage alphabetical fills
+    #     the remaining slots; the r8 remainder queues for round 15.
+    # r7 vintage (all 7 — the r7 vintage drains this round,
+    # VERDICT r13 #5):
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_returnflag_linestatus",
+    "sql_api_flagship",
+    "streaming_session_certificate",
+    # r8 vintage (29 of 47, alphabetical):
+    "ann_cosine_topk",
+    "ann_cosine_topk_vectorized",
+    "ansi_safe_arithmetic",
+    "applyinpandas_zscore",
+    "approx_distinct_bounds",
+    "bm25_keyword_topk",
+    "chunk_documents",
+    "crossmodal_retrieval",
+    "curation_pipeline",
+    "dedup_exact",
+    "dedup_exact_hash",
+    "dedup_winnowing_fingerprints",
+    "doc_fingerprint",
+    "embedding_norm_stats",
+    "events_funnel_conversion",
+    "events_gapfill_resample",
+    "events_hourly_agg",
+    "events_json_extract",
+    "events_sliding_window",
+    "events_topk_users_per_type",
+    "events_trailing_range_window",
+    "events_variant_json",
+    "ewma_customer_orders",
+    "lang_confusion_matrix",
+    "lang_id_heuristic",
+    "map_funcs_suite",
+    "pandas_udf_doc_score",
+    "phrase_proximity_topk",
+    "pii_redaction",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
