@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, load_table_parallel
+from ..catalog import load_table, load_table_parallel, scan_parallelism_floor
 
 MOD = 1_000_000_007
 N_HASHES = 32
@@ -2038,6 +2038,14 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked.
     """
     corpus, batch = _incremental_sides(spark, sf_dir)
+    # r14: scan-parallelism floor (guide §2.5) — signature hashing was
+    # serializing on the single-split scan; measured 1.3x at sf0.1
+    # (results/scan_floor_ab.json). Applied here and NOT inside
+    # _incremental_sides: the bucketed-index twin writes bucketBy
+    # tables from the same sides, and flooring its write input
+    # multiplies the per-bucket file count (measured 3x SLOWER there).
+    corpus = scan_parallelism_floor(spark, corpus)
+    batch = scan_parallelism_floor(spark, batch)
     index_sigs = _persist_index(minhash_signatures(corpus))
     index_bands = _persist_index(band_table(index_sigs))
     batch_sigs = _persist_index(minhash_signatures(batch))

@@ -60,8 +60,13 @@ STOPWORDS = ("the", "a", "and", "of")
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio + length-saturating score in
     [0,1]. The shape every corpus-filtering pipeline needs; thresholds
-    on ``score`` become the pushed-down filter of a cleaning job."""
-    docs = load_table(spark, sf_dir, "documents")
+    on ``score`` become the pushed-down filter of a cleaning job.
+
+    r14: scan-parallelism floor added (guide §2.5) — the token filter
+    lambda was serializing on the single-split scan, and this scorer
+    feeds quality_percentile_rank (measured 3.4x there with the floor,
+    results/scan_floor_ab.json) and the calibration cells."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
     toks = _tokens()
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -2172,8 +2177,12 @@ def boilerplate_phrase_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation re-explodes the corpus to probe — measured 8× slower
     at sf0.1). Per-doc agg is the second and final shuffle. Only
     affected docs (>= 1 boilerplate phrase) are emitted.
+
+    r14: scan-parallelism floor added (guide §2.5) — the phrase build
+    and the window sort were serializing on the single-split scan;
+    measured 1.9x at sf0.1 (results/scan_floor_ab.json).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     phrases = docs.withColumn("toks", F.split("text", " ")).select(
         "doc_id",
         F.explode(F.expr(f"array_distinct({_PHRASE_EXPR})")).alias("ph"),
@@ -3331,8 +3340,12 @@ def gopher_quality_signals(
     run FIRST in real pipelines, ahead of anything that shuffles.
     Cites the reference's benchmark framing only (NB-main has no
     quality machinery); rules are from the public Gopher paper.
+
+    r14: scan-parallelism floor added (guide §2.5) — the per-row rlike
+    filters and length folds were serializing on the single-split
+    scan; measured 1.6x at sf0.1 (results/scan_floor_ab.json).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     toks = _tokens()
     n_words = F.size(toks).cast("long")
     mean_len_bp = F.expr(

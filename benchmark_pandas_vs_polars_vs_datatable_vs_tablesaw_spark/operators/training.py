@@ -219,8 +219,12 @@ def linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     thanks to partial aggregation -> 30-key source rollup. No
     vocabulary state anywhere; constant-width feature space at any
     corpus size.
+
+    r14: scan-parallelism floor added (guide §2.5) — the per-token md5
+    bucket hash was serializing on the single-split scan; measured
+    1.3x at sf0.1 (results/scan_floor_ab.json).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "source", F.explode(_tokens()).alias("token"))
     w = F.expr(_W_SQL.format(b=_hex4_bucket("token", 64)))
     perdoc = (

@@ -120,6 +120,13 @@ _PRIORITY = (
     "bigram_lm_score",                     # r14 opt: array-side bigrams
     "dup_ngram_char_fraction",             # r14 opt: array-side trigrams
     "dedup_substring_exact",               # r14 opt: xxhash64 window hashes (verified pre-filter)
+    "boilerplate_phrase_ratio",            # r14 opt: scan-parallelism floor
+    "gopher_quality_signals",              # r14 opt: scan-parallelism floor
+    "text_quality_score",                  # r14 opt: scan-parallelism floor (feeds quality_percentile_rank)
+    "hybrid_rrf_fusion",                   # r14 opt: scan-parallelism floor
+    "linear_quality_classifier",           # r14 opt: scan-parallelism floor
+    "dedup_minhash_incremental",           # r14 opt: scan-parallelism floor (probe side)
+    "ann_cosine_topk",                     # r14 opt: scan-parallelism floor
     # (ii) stalest-first, monotone (max in-window round <= min
     #     excluded round, changed entries aside): the 7-row r7 tail
     #     drains fully this round, then r8 vintage alphabetical fills
@@ -133,8 +140,8 @@ _PRIORITY = (
     "rollup_returnflag_linestatus",
     "sql_api_flagship",
     "streaming_session_certificate",
-    # r8 vintage (29 of 47, alphabetical):
-    "ann_cosine_topk",
+    # r8 vintage (alphabetical; ann_cosine_topk moved up to the
+    # changed-since-row block):
     "ann_cosine_topk_vectorized",
     "ansi_safe_arithmetic",
     "applyinpandas_zscore",
@@ -157,12 +164,6 @@ _PRIORITY = (
     "events_trailing_range_window",
     "events_variant_json",
     "ewma_customer_orders",
-    "lang_confusion_matrix",
-    "lang_id_heuristic",
-    "map_funcs_suite",
-    "pandas_udf_doc_score",
-    "phrase_proximity_topk",
-    "pii_redaction",
 )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

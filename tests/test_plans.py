@@ -874,3 +874,67 @@ def test_incremental_minhash_bucketed_verify_join_uses_sig_buckets(spark, sf_dir
         assert scan_detail, f"{tbl} scan missing from probe plan"
     assert "Bucketed: false" not in text, "a stored index scan fell off the bucketed read path"
     assert "Bucketed: true" in text
+
+
+def test_gopher_repetition_is_shuffle_free_per_doc(spark, sf_dir):
+    """r14 rewrite pin: the repetition panel is a within-document
+    statistic computed by per-row sorted-run folds — the plan must
+    carry NO data-sized shuffle (no gram explode, no Window, no
+    aggregate exchange). Allowed exchanges: the scan-parallelism floor
+    (RoundRobinPartitioning) and the output sort (range)."""
+    import re
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import text
+
+    plan = explain.plan_text(text.gopher_repetition_signals(spark, sf_dir))
+    assert "Window" not in plan, "per-doc fold regressed to a window"
+    assert "HashAggregate" not in plan, "per-doc fold regressed to explode+agg"
+    kinds = re.findall(r"Exchange (\w+)", plan)
+    assert all(k in ("RoundRobinPartitioning", "rangepartitioning") for k in kinds), kinds
+
+
+def test_dsir_no_token_stream_window(spark, sf_dir):
+    """r14 rewrite pin: bigrams come from an array-side transform, so
+    the plan must carry NO Window node (the old lead()-over-pos form
+    shuffled and sorted the whole token stream per consumer)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import training
+
+    plan = explain.plan_text(training.dsir_importance_weights(spark, sf_dir))
+    assert "Window" not in plan, "bigram formation regressed to lead() window"
+
+
+def test_bigram_consumers_no_token_stream_window(spark, sf_dir):
+    """r14 rewrite pin for the bigram-LM family (same array-side
+    formation as dsir): only ccnet's per-source ntile window may
+    remain."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import text
+
+    lm = explain.plan_text(text.bigram_lm_score(spark, sf_dir))
+    assert "Window" not in lm
+    ccnet = explain.plan_text(text.ccnet_perplexity_buckets(spark, sf_dir))
+    assert ccnet.count("Window") <= 2, "token-stream windows came back"
+
+
+def test_decontaminate_single_corpus_print_pass(spark, sf_dir):
+    """r14 rewrite pin: shared/size counts come from ONE aggregation
+    over ONE derivation of the corpus prints — the winnow-hash
+    Generate (explode) must appear exactly twice in the plan (bench
+    side + corpus side), not three times as in the shared/sizes pair
+    formulation."""
+    import re
+
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import dedup
+
+    plan = explain.plan_text(dedup.decontaminate_winnowing(spark, sf_dir))
+    generates = len(re.findall(r"\(\d+\) Generate", plan))
+    assert generates == 2, f"expected 2 print explodes (bench + corpus), got {generates}"
+
+
+def test_substring_window_hash_is_native(spark, sf_dir):
+    """r14 rewrite pin: stage-1 window hashes are native xxhash64 over
+    the token slice (the hash is a text-verified pre-filter, so the
+    engine-portable per-char fold is not needed here)."""
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.operators import dedup
+
+    plan = explain.plan_text(dedup.dedup_substring_exact(spark, sf_dir))
+    assert "xxhash64" in plan
