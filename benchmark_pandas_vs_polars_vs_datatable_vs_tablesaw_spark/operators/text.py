@@ -770,8 +770,17 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-shingle overlap ratio and flag docs above the threshold.
     Only overlapping docs are emitted — at 100 TB the output is the
     (tiny) quarantine list, never the corpus.
+
+    r14 optimization (same pair of fixes as decontaminate_winnowing,
+    guide §2.4/§2.5): scan-parallelism floor (the shingle build was
+    serializing on the single-split scan) and ONE pass over the corpus
+    shingles — a broadcast membership mark + a single per-doc aggregate
+    replaces the shared/sizes pair that re-derived the full shingle
+    explode twice. The n_shared >= 1 filter preserves the old
+    inner-join semantics (docs with zero shared shingles never appeared
+    in `shared`).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table_parallel(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     leaks = docs.filter(F.col("doc_id") % 51 == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
@@ -785,15 +794,17 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_sh = corpus.select(
         "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES_EXPR})")).alias("sh")
     )
-    sizes = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    shared = (
-        corpus_sh.join(F.broadcast(bench_sh), "sh")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
+    marked = corpus_sh.join(
+        F.broadcast(bench_sh.withColumn("hit", F.lit(1))), "sh", "left"
     )
     ratio = F.col("n_shared") / F.col("n_shingles")
     return (
-        shared.join(sizes, "doc_id")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= 1)
         .select(
             "doc_id",
             "n_shingles",

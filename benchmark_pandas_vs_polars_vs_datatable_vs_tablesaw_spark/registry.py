@@ -127,6 +127,7 @@ _PRIORITY = (
     "linear_quality_classifier",           # r14 opt: scan-parallelism floor
     "dedup_minhash_incremental",           # r14 opt: scan-parallelism floor (probe side)
     "ann_cosine_topk",                     # r14 opt: scan-parallelism floor
+    "contamination_ngram_overlap",         # r14 opt: one-pass mark-join + floor
     # (ii) stalest-first, monotone (max in-window round <= min
     #     excluded round, changed entries aside): the 7-row r7 tail
     #     drains fully this round, then r8 vintage alphabetical fills
