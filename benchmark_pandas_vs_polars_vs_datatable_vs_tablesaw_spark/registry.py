@@ -96,76 +96,87 @@ _MODULES = (
 # (tests/test_registry_smoke.py), so a convention violation fails
 # pytest before it can fail a driver round.
 _PRIORITY = (
-    # ---- ROUND 14 WINDOW (first 50 = the driver's check set) ----
-    # Entering round 14 all 299 r13-registered queries are green at
-    # their latest driver row; the r13->r14 interregnum added 3
-    # never-checked entries (302 total) and edited the two r13 eval
-    # queries (degenerate-NULL guard + persist rotation). Window
-    # composition per the ledger (scripts/attestation_ledger.py,
-    # round-14 run: rows by round {0: 3, 7: 7, 8: 47, 9: 50, ...}):
-    # (iii) never-checked: the interregnum additions rotate in first.
-    "classifier_auc_by_source",            # new r14 (mlprep.py, per-source tie-corrected AUC — VERDICT r13 #7)
-    "semdedup_apply_multiprobe",           # new r14 (similarity.py, soft top-2 SemDeDup — VERDICT r13 #3)
-    "semdedup_boundary_miss",              # new r14 (similarity.py, cross-list miss certificate — VERDICT r13 #3)
-    # (i) changed-since-row (the d654025 degenerate-NULL/persist edits
-    #     + every function optimized in round 14 — the optimization
-    #     round's whole point is that each rewritten query re-attests
-    #     against the oracle in the same round it changed):
-    "classifier_auc_eval",                 # NULL degenerate guard + persist rotation (ADVICE r13)
-    "quality_signal_spearman",             # NULL degenerate guard (ADVICE r13)
-    "decontaminate_winnowing",             # r14 opt: one-pass shared/size aggregation
-    "gopher_repetition_signals",           # r14 opt: per-doc HOF rewrite, gram shuffle removed
-    "dsir_importance_weights",             # r14 opt: array-side bigrams, window shuffle removed
-    "ccnet_perplexity_buckets",            # r14 opt: array-side bigrams
-    "bigram_lm_score",                     # r14 opt: array-side bigrams
-    "dup_ngram_char_fraction",             # r14 opt: array-side trigrams
-    "dedup_substring_exact",               # r14 opt: xxhash64 window hashes (verified pre-filter)
-    "boilerplate_phrase_ratio",            # r14 opt: scan-parallelism floor
-    "gopher_quality_signals",              # r14 opt: scan-parallelism floor
-    "text_quality_score",                  # r14 opt: scan-parallelism floor (feeds quality_percentile_rank)
-    "hybrid_rrf_fusion",                   # r14 opt: scan-parallelism floor
-    "linear_quality_classifier",           # r14 opt: scan-parallelism floor
-    "dedup_minhash_incremental",           # r14 opt: scan-parallelism floor (probe side)
-    "ann_cosine_topk",                     # r14 opt: scan-parallelism floor
-    "contamination_ngram_overlap",         # r14 opt: one-pass mark-join + floor
+    # ---- ROUND 15 WINDOW (first 50 = the driver's check set) ----
+    # Entering round 15 all 302 queries are green at their latest
+    # driver row and the round-14 ledger shows zero changed-since-row
+    # entries: rows by round {8: 21, 9: 45, 10: 44, 11: 48, 12: 46,
+    # 13: 48, 14: 50}. Composition per the pinned rotation policy:
+    # (i) changed-since-row first — every query function edited in
+    #     this optimization round re-attests in the same round
+    #     (entries move up into this block as the round's edits land,
+    #     displacing the r9 alphabetical tail);
     # (ii) stalest-first, monotone (max in-window round <= min
-    #     excluded round, changed entries aside): the 7-row r7 tail
-    #     drains fully this round, then r8 vintage alphabetical fills
-    #     the remaining slots; the r8 remainder queues for round 15.
-    # r7 vintage (all 7 — the r7 vintage drains this round,
-    # VERDICT r13 #5):
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "rollup_returnflag_linestatus",
-    "sql_api_flagship",
-    "streaming_session_certificate",
-    # r8 vintage (alphabetical; ann_cosine_topk moved up to the
-    # changed-since-row block):
-    "ann_cosine_topk_vectorized",
-    "ansi_safe_arithmetic",
-    "applyinpandas_zscore",
-    "approx_distinct_bounds",
-    "bm25_keyword_topk",
-    "chunk_documents",
-    "crossmodal_retrieval",
-    "curation_pipeline",
-    "dedup_exact",
-    "dedup_exact_hash",
-    "dedup_winnowing_fingerprints",
-    "doc_fingerprint",
-    "embedding_norm_stats",
-    "events_funnel_conversion",
-    "events_gapfill_resample",
-    "events_hourly_agg",
-    "events_json_extract",
-    "events_sliding_window",
-    "events_topk_users_per_type",
-    "events_trailing_range_window",
-    "events_variant_json",
-    "ewma_customer_orders",
+    #     excluded round, changed entries aside): the full 21-row r8
+    #     vintage drains this round, then r9 vintage alphabetical
+    #     fills the remaining slots; the r9 remainder queues for
+    #     round 16.
+    # r8 vintage (all 21):
+    "lang_confusion_matrix",
+    "lang_id_heuristic",
+    "map_funcs_suite",
+    "pandas_udf_doc_score",
+    "phrase_proximity_topk",
+    "pii_redaction",
+    "scale_up_duplicate",
+    "semi_join_customers_with_orders",
+    "set_ops_union_except",
+    "streaming_hourly_agg",
+    "streaming_sliding_agg",
+    "streaming_stateful_counter",
+    "streaming_topk_users",
+    "text_clean_normalize",
+    "text_repetition_filter",
+    "text_stats",
+    "tfidf_top_terms",
+    "token_count_regex",
+    "topk_orders",
+    "udtf_token_explode",
+    "window_running_total",
+    # r9 vintage (alphabetical fill to exactly 50 — ADVICE r14: the
+    # window must have exactly DRIVER_WINDOW entries so the 50th slot
+    # is never an implicit module-order fallthrough):
+    "ab_test_welch",
+    "ann_lsh_topk",
+    "approx_quantile_bounds",
+    "bpe_pair_counts",
+    "bucketed_join_revenue",
+    "corr_covar_stats",
+    "cube_priority_status",
+    "data_budget_repeats",
+    "data_mixture_resample",
+    "date_parts_agg",
+    "dedup_embedding_cosine",
+    "dpp_join_pruned_scan",
+    "embedding_quantize_int8",
+    "exact_percentiles_by_group",
+    "grouping_sets_custom",
+    "higher_moments_stats",
+    "histogram_totalprice",
+    "ivf_ann_topk",
+    "ivfpq_ann_topk",
+    "json_roundtrip",
+    "kmeans_assign_fixed",
+    "map_hof_suite",
+    "mips_topk",
+    "ntile_balance_quartiles",
+    "null_handling_suite",
+    "orc_roundtrip",
+    "parquet_zstd_roundtrip",
+    "partition_pruned_scan",
+    "q12_priority_shipping",
 )
+
+# The documented driver check window: the driver oracle-verifies the
+# first DRIVER_WINDOW registry entries each round. _PRIORITY must fill
+# it exactly (ADVICE r14 — at 49 entries the 50th slot silently fell
+# to module registration order, skipping the scheduled vintage drain).
+DRIVER_WINDOW = 50
+if len(_PRIORITY) != DRIVER_WINDOW:
+    raise ValueError(
+        f"_PRIORITY has {len(_PRIORITY)} entries; the driver checks the "
+        f"first {DRIVER_WINDOW} registry entries, so the window must fill "
+        "it exactly"
+    )
 
 _BY_NAME: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 for _m in _MODULES:

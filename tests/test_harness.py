@@ -27,12 +27,20 @@ def test_memory_probes_report_components(spark):
 
 
 def test_registry_priority_fits_driver_window():
-    # the driver verifies the first 50 registry entries per round; a
-    # priority list that silently overflows the window would push
-    # stale/new entries past verification
-    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.registry import _PRIORITY
+    # the driver verifies the first 50 registry entries per round; the
+    # priority list must fill that window EXACTLY (ADVICE r14: at 49
+    # entries the 50th slot silently fell to module registration
+    # order, so the scheduled vintage drain skipped a query)
+    from benchmark_pandas_vs_polars_vs_datatable_vs_tablesaw_spark.registry import (
+        DRIVER_WINDOW,
+        _PRIORITY,
+    )
 
-    assert len(_PRIORITY) <= 50, f"priority window overflow: {len(_PRIORITY)}"
+    assert DRIVER_WINDOW == 50
+    assert len(_PRIORITY) == DRIVER_WINDOW, (
+        f"priority window must fill the driver check set exactly: "
+        f"{len(_PRIORITY)} != {DRIVER_WINDOW}"
+    )
 
 def test_gc_heap_probe_positive_and_bounded(spark):
     # the r4 artifact recorded -18 GB "deltas" across GC boundaries;
