@@ -163,6 +163,39 @@ CASE WHEN len(string_split(text, ' ')) >= 3 THEN
 ELSE [text] END
 """
 
+# _SHINGLES_EXPR with the token split hoisted into a materialized
+# `_toks` column (r15, guide §1.2 step 2): inside an interpreted HOF
+# lambda each `element_at(split(text, ' '), i)` re-splits the whole
+# text per element — O(tokens^2) allocations per document. That
+# allocation burst is what collapsed 32-concurrent-task stages under a
+# loaded heap (VERDICT r14 #1; reproduced in scripts/coldq_probe.py /
+# results/winnow_token_hash_ab.json as isolated 25 s reps). Shingle
+# VALUES are identical; only the evaluation cost changes.
+_SHINGLES_FROM_TOKS_EXPR = """
+CASE WHEN size(_toks) >= 3 THEN
+  transform(sequence(1, size(_toks) - 2),
+            i -> concat_ws(' ', element_at(_toks, i),
+                                element_at(_toks, i + 1),
+                                element_at(_toks, i + 2)))
+ELSE array(text) END
+"""
+
+
+def _distinct_shingled(
+    frame: DataFrame, alias: str = "sh", cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """(cols..., <alias>) rows: per-doc DISTINCT word-3-gram shingles
+    built from ONE split per row (see _SHINGLES_FROM_TOKS_EXPR)."""
+    return (
+        frame.withColumn("_toks", F.split(F.col("text"), " "))
+        .select(
+            *cols,
+            F.explode(
+                F.expr(f"array_distinct({_SHINGLES_FROM_TOKS_EXPR})")
+            ).alias(alias),
+        )
+    )
+
 
 # --------------------------------------------------------------------------
 # MinHash + LSH
@@ -181,10 +214,9 @@ def minhash_signatures(corpus: DataFrame, n_hashes: int = N_HASHES) -> DataFrame
     shingle 32x inside transform() closures: 7s for 5k docs at sf0.1
     vs ~1s for this one.)
     """
-    hashed = corpus.select(
-        "doc_id",
-        F.explode(F.expr(f"array_distinct({_SHINGLES_EXPR})")).alias("s"),
-    ).select("doc_id", F.expr(f"pmod(xxhash64(s), {MOD})").alias("h"))
+    hashed = _distinct_shingled(corpus, "s").select(
+        "doc_id", F.expr(f"pmod(xxhash64(s), {MOD})").alias("h")
+    )
     aggs = [
         F.min(F.expr(f"pmod({_A[i]}L * h + {_B[i]}L, {MOD})")).alias(f"mh_{i}")
         for i in range(n_hashes)
@@ -388,10 +420,7 @@ def _shingle_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the containment query, and the CC clustering all share ONE build.
     """
     corpus = _corpus_with_near_dups(spark, sf_dir)
-    all_shingled = (
-        corpus.withColumn("sh", F.explode(F.expr(f"array_distinct({_SHINGLES_EXPR})")))
-        .select("doc_id", "sh")
-    )
+    all_shingled = _distinct_shingled(corpus)
     hot = (
         all_shingled.groupBy("sh")
         .agg(F.count("*").alias("df"))
@@ -516,12 +545,115 @@ MAX_PRINT_DF = 20  # stop-print cap, same rationale as MAX_SHINGLE_DF
 # array_distinct here, unlike the Jaccard pipeline), each hashed with
 # doc_fingerprint's portable polynomial fold (acc·31 + codepoint,
 # mod 1e9+7). One codegen'd projection, zero shuffle.
+#
+# Kept as the REFERENCE formulation (scale probes A/B against it; the
+# DuckDB oracle recomputes the same formula): it chars every shingle
+# independently, so each character is folded ~3x (once per covering
+# 3-gram) with a per-char substring allocation inside an interpreted
+# lambda. The query paths use the token-level factorization below,
+# which produces bit-identical values with each character folded ONCE.
 _WINNOW_HASHES_EXPR = f"""
 transform({_SHINGLES_EXPR},
           s -> aggregate(sequence(1, length(s)), 0L,
                          (acc, i) -> (acc * 31 + ascii(substring(s, i, 1)))
                                      % 1000000007))
 """
+
+_WINNOW_P = 1_000_000_007
+# 31^k mod p for k = 0..63 — covers every realistic token length; the
+# rare longer token falls back to a multiply fold.
+_POW31_LITERAL = "array(%s)" % ", ".join(
+    f"{pow(31, k, _WINNOW_P)}L" for k in range(64)
+)
+
+# Per-token polynomial hash + 31^len power, from a pre-split token
+# array column `_toks`. The polynomial fold is LINEAR over
+# concatenation — H(a || b) = (H(a) * 31^len(b) + H(b)) mod p — so the
+# per-shingle hash of "t1 t2 t3" is an O(1) combine of per-token
+# hashes and powers (space = codepoint 32, 31^1 = 31). Each character
+# is folded exactly once per document instead of once per covering
+# shingle (~3x less interpreted-lambda work, no concat_ws shingle
+# strings, no per-shingle char re-walk); all intermediates stay below
+# p^2 ~ 1e18 < 2^63, so the modular identity is exact (r15
+# optimization, guide §1.2 step 2 "per-task work").
+_TOKEN_HASHES_EXPR = """
+transform(_toks, t -> CASE WHEN length(t) = 0 THEN 0L ELSE
+  aggregate(sequence(1, length(t)), 0L,
+            (acc, i) -> (acc * 31 + ascii(substring(t, i, 1)))
+                        % 1000000007) END)
+"""
+
+_TOKEN_POWS_EXPR = f"""
+transform(_toks, t -> CASE WHEN length(t) < 64
+  THEN element_at({_POW31_LITERAL}, length(t) + 1)
+  ELSE aggregate(sequence(1, length(t)), 1L,
+                 (acc, i) -> (acc * 31) % 1000000007) END)
+"""
+
+
+def _combine_sql(parts_h: list[str], parts_pw: list[str]) -> str:
+    """Left-fold combine of per-token hashes into the hash of the
+    space-joined string: H = ((H*31 + 32) % p * pw_k + h_k) % p per
+    appended token. Emitted as a flat expression (no lambda)."""
+    expr = parts_h[0]
+    for h, pw in zip(parts_h[1:], parts_pw[1:]):
+        expr = f"((({expr}) * 31 + 32) % {_WINNOW_P} * {pw} + {h}) % {_WINNOW_P}"
+    return expr
+
+
+# Shingle hashes from token hashes: the 3-gram branch combines
+# (i, i+1, i+2); the short-doc branch (< 3 tokens) combines the whole
+# token list, which equals the char fold of the raw text because
+# split-on-' '/join-with-' ' is lossless.
+_WINNOW_H_FROM_TOKENS_EXPR = (
+    "CASE WHEN size(_th) >= 3 THEN transform(sequence(1, size(_th) - 2), i -> "
+    + _combine_sql(
+        ["element_at(_th, i)", "element_at(_th, i + 1)", "element_at(_th, i + 2)"],
+        ["1", "element_at(_pw, i + 1)", "element_at(_pw, i + 2)"],
+    )
+    + ") WHEN size(_th) = 2 THEN array("
+    + _combine_sql(
+        ["element_at(_th, 1)", "element_at(_th, 2)"], ["1", "element_at(_pw, 2)"]
+    )
+    + ") ELSE array(element_at(_th, 1)) END"
+)
+
+
+def _with_winnow_hashes(frame: DataFrame) -> DataFrame:
+    """Add the ordered winnow-hash array ``H`` (bit-identical to
+    ``_WINNOW_HASHES_EXPR`` / the DuckDB ``_WINNOW_HASHES_SQL``) via
+    the token-level factorization. Staged projections keep the token
+    split and per-token folds evaluated once per row (the produced
+    arrays are referenced more than once downstream, which blocks
+    CollapseProject from re-inlining them)."""
+    return (
+        frame.withColumn("_toks", F.split(F.col("text"), " "))
+        .withColumn("_th", F.expr(_TOKEN_HASHES_EXPR))
+        .withColumn("_pw", F.expr(_TOKEN_POWS_EXPR))
+        .withColumn("H", F.expr(_WINNOW_H_FROM_TOKENS_EXPR))
+        .drop("_toks", "_th", "_pw")
+    )
+
+
+def _prints_expr(w: int) -> str:
+    """Winnowed prints from the hash array ``H``: distinct window-min
+    over windows of w consecutive hashes. The window min is a flat
+    ``least(element_at(...))`` chain instead of ``array_min(slice())``
+    — no per-window array allocation (r15; H entries are never NULL,
+    so least == array_min)."""
+    w = int(w)
+    if w <= 1:
+        win_min = "element_at(H, st)"
+    else:
+        win_min = "least(%s)" % ", ".join(
+            f"element_at(H, st + {k})" for k in range(w)
+        )
+    return (
+        f"CASE WHEN size(H) >= {w} THEN"
+        f" array_distinct(transform(sequence(1, size(H) - {w} + 1),"
+        f" st -> {win_min}))"
+        f" ELSE array(array_min(H)) END"
+    )
 
 _WINNOW_HASHES_SQL = f"""
 list_transform({_SHINGLES_SQL},
@@ -558,15 +690,9 @@ def dedup_winnowing_fingerprints(
     over winnowed-print sets, threshold WINNOW_JACCARD.
     """
     corpus = _corpus_with_near_dups(spark, sf_dir)
-    prints_expr = (
-        f"CASE WHEN size(H) >= {w} THEN"
-        f" array_distinct(transform(sequence(1, size(H) - {w} + 1),"
-        f" st -> array_min(slice(H, st, {w}))))"
-        f" ELSE array(array_min(H)) END"
-    )
     all_prints = (
-        corpus.withColumn("H", F.expr(_WINNOW_HASHES_EXPR))
-        .select("doc_id", F.explode(F.expr(prints_expr)).alias("p"))
+        _with_winnow_hashes(corpus)
+        .select("doc_id", F.explode(F.expr(_prints_expr(w))).alias("p"))
         # A zero-shingle doc yields a NULL print (array_min of empty H).
         # Drop it explicitly on BOTH engines: Spark's left_anti would keep
         # the NULL posting row (inflating that doc's sz) while the oracle's
@@ -701,18 +827,15 @@ def decontaminate_winnowing(
         .unionByName(leak_exact)
         .unionByName(leak_trunc)
     )
-    w = WINNOW_W
-    prints_expr = (
-        f"CASE WHEN size(H) >= {w} THEN"
-        f" array_distinct(transform(sequence(1, size(H) - {w} + 1),"
-        f" st -> array_min(slice(H, st, {w}))))"
-        f" ELSE array(array_min(H)) END"
-    )
-
     def prints_of(frame: DataFrame) -> DataFrame:
+        # Token-level winnow hashes (r15, see _with_winnow_hashes):
+        # bit-identical values, ~3x less per-char fold work — the fold
+        # was this query's dominant cost AND its 32-core GC-pressure
+        # driver (VERDICT r14 #1: 32 concurrent allocation-heavy HOF
+        # tasks anti-scaled 7x vs 8 cores under a loaded heap).
         return (
-            frame.withColumn("H", F.expr(_WINNOW_HASHES_EXPR))
-            .select("doc_id", F.explode(F.expr(prints_expr)).alias("p"))
+            _with_winnow_hashes(frame)
+            .select("doc_id", F.explode(F.expr(_prints_expr(WINNOW_W))).alias("p"))
             .filter(F.col("p").isNotNull())
         )
 
@@ -2212,11 +2335,11 @@ def dedup_minhash_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFr
     it).
     """
     corpus, batch = _incremental_sides(spark, sf_dir)
-    postings = (
-        corpus.select(F.lit("c").alias("side"), "doc_id", "text")
-        .unionByName(batch.select(F.lit("b").alias("side"), "doc_id", "text"))
-        .withColumn("sh", F.explode(F.expr(f"array_distinct({_SHINGLES_EXPR})")))
-        .select("side", "doc_id", "sh")
+    postings = _distinct_shingled(
+        corpus.select(F.lit("c").alias("side"), "doc_id", "text").unionByName(
+            batch.select(F.lit("b").alias("side"), "doc_id", "text")
+        ),
+        cols=("side", "doc_id"),
     )
     hot = (
         postings.groupBy("sh")

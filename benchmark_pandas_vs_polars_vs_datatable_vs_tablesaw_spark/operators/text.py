@@ -752,6 +752,37 @@ CASE WHEN len(string_split(text, ' ')) >= 3 THEN
 ELSE [text] END
 """
 
+# _SHINGLES_EXPR with the token split hoisted into a materialized
+# `_toks` column (r15, guide §1.2 step 2): inside an interpreted HOF
+# lambda each `element_at(split(text, ' '), i)` re-splits the full
+# text per element — O(tokens^2) allocations per document, the same
+# allocation-burst class that made the winnow fold collapse under 32
+# concurrent tasks (VERDICT r14 #1; reproduced here as a 25.6 s rep
+# in scripts/coldq_probe.py before the fix). Splitting once per row
+# makes the shingle build O(tokens).
+_SHINGLES_FROM_TOKS_EXPR = """
+CASE WHEN size(_toks) >= 3 THEN
+  transform(sequence(1, size(_toks) - 2),
+            i -> concat_ws(' ', element_at(_toks, i),
+                                element_at(_toks, i + 1),
+                                element_at(_toks, i + 2)))
+ELSE array(text) END
+"""
+
+
+def _distinct_shingles(frame: DataFrame, *cols: str) -> DataFrame:
+    """(cols..., sh) rows: per-row DISTINCT word-3-gram shingles from a
+    single pre-split token array (values identical to _SHINGLES_EXPR)."""
+    return (
+        frame.withColumn("_toks", F.split(F.col("text"), " "))
+        .select(
+            *cols,
+            F.explode(
+                F.expr(f"array_distinct({_SHINGLES_FROM_TOKS_EXPR})")
+            ).alias("sh"),
+        )
+    )
+
 CONTAMINATION_THRESHOLD = 0.5
 
 
@@ -787,13 +818,12 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.filter(F.col("doc_id") % 17 != 0).unionByName(leaks)
 
-    bench_sh = (
-        bench.select(F.explode(F.expr(f"array_distinct({_SHINGLES_EXPR})")).alias("sh"))
-        .distinct()
-    )
-    corpus_sh = corpus.select(
-        "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES_EXPR})")).alias("sh")
-    )
+    # r15: shingles from a pre-split token column (_distinct_shingles)
+    # — the in-lambda split(text) re-evaluation was O(tokens^2) per doc
+    # and collapsed under 32 concurrent tasks exactly like the winnow
+    # fold (VERDICT r14 #1 sibling warning; 25.6 s rep reproduced).
+    bench_sh = _distinct_shingles(bench).select("sh").distinct()
+    corpus_sh = _distinct_shingles(corpus, "doc_id")
     marked = corpus_sh.join(
         F.broadcast(bench_sh.withColumn("hit", F.lit(1))), "sh", "left"
     )
@@ -862,14 +892,19 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the limit is deterministic.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # One split per row (r15): pairs from a materialized token array —
+    # the in-lambda split(text)[i] form re-split the text per element
+    # (O(tokens^2) allocations; see _BPE_SEQ_PAIRS_EXPR).
     pairs_expr = """
-    CASE WHEN size(split(text, ' ')) >= 2 THEN
-      transform(sequence(0, size(split(text, ' ')) - 2),
-                i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1]))
+    CASE WHEN size(_toks) >= 2 THEN
+      transform(sequence(0, size(_toks) - 2),
+                i -> concat_ws(' ', element_at(_toks, i + 1),
+                                    element_at(_toks, i + 2)))
     ELSE array() END
     """
     return (
-        docs.select(F.explode(F.expr(pairs_expr)).alias("pair"))
+        docs.withColumn("_toks", F.split(F.col("text"), " "))
+        .select(F.explode(F.expr(pairs_expr)).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("pair").asc())
@@ -900,11 +935,20 @@ BPE_MERGES = 3
 # Adjacent-pair extraction over a space-separated token sequence held
 # in column `seq` (tokens never contain spaces; merged tokens use '+',
 # which the fixture charset [a-z0-9 ] guarantees collision-free).
+# The token split is evaluated ONCE per row and bound as a lambda
+# variable via the single-element transform(array(...)) trick (r15,
+# guide §1.2 step 2): the previous `split(seq, ' ')[i]` inside the
+# interpreted HOF lambda re-split the whole sequence per element —
+# O(tokens^2) allocations per document, the allocation-burst class
+# behind the r14 32-core anti-scaling (VERDICT r14 #2:
+# bpe_train_merges ratio 0.74). Pair values are identical; the
+# expression stays a drop-in over any frame with a `seq` column.
 _BPE_SEQ_PAIRS_EXPR = """
-CASE WHEN size(split(seq, ' ')) >= 2 THEN
-  transform(sequence(0, size(split(seq, ' ')) - 2),
-            i -> concat_ws(' ', split(seq, ' ')[i], split(seq, ' ')[i + 1]))
-ELSE array() END
+flatten(transform(array(split(seq, ' ')), bt ->
+  CASE WHEN size(bt) >= 2 THEN
+    transform(sequence(0, size(bt) - 2),
+              i -> concat_ws(' ', element_at(bt, i + 1), element_at(bt, i + 2)))
+  ELSE array() END))
 """
 
 # Greedy left-to-right merge application via the doubled-space trick:
@@ -1911,21 +1955,23 @@ def chunk_documents(
     point: the output feeds an embedding model batch-wise.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
+    # One split per row (r15): chunk windows slice a materialized token
+    # array — the in-lambda split(text) form re-split the text once per
+    # chunk (see _BPE_SEQ_PAIRS_EXPR for the pattern and rationale).
     chunks = F.expr(
         f"""
-        transform(sequence(0, CAST(floor((size(split(text, ' ')) - 1) / {stride})
+        transform(sequence(0, CAST(floor((size(_toks) - 1) / {stride})
                                    AS INT)),
                   i -> struct(
                     i AS chunk_idx,
                     i * {stride} AS start_tok,
-                    concat_ws(' ', slice(split(text, ' '),
-                                         i * {stride} + 1, {window}))
+                    concat_ws(' ', slice(_toks, i * {stride} + 1, {window}))
                       AS chunk_text))
         """
     )
     return (
-        docs.select("doc_id", F.size(toks).alias("n_tokens"), F.explode(chunks).alias("c"))
+        docs.withColumn("_toks", F.split(F.col("text"), " "))
+        .select("doc_id", F.size("_toks").alias("n_tokens"), F.explode(chunks).alias("c"))
         .select(
             "doc_id",
             F.col("c.chunk_idx").alias("chunk_idx"),

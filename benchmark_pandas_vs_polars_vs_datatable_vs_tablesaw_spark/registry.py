@@ -104,12 +104,19 @@ _PRIORITY = (
     # (i) changed-since-row first — every query function edited in
     #     this optimization round re-attests in the same round
     #     (entries move up into this block as the round's edits land,
-    #     displacing the r9 alphabetical tail);
+    #     displacing the r9 alphabetical tail):
+    "decontaminate_winnowing",             # r15 opt: token-factorized winnow hash (chars folded once)
+    "dedup_winnowing_fingerprints",        # r15 opt: same shared _with_winnow_hashes rewrite
+    "contamination_ngram_overlap",         # r15 opt: pre-split shingle build (O(tokens), was O(tokens^2))
+    "dedup_minhash_incremental_recall",    # r15 opt: same pre-split shingle build
+    "streaming_minhash_dedup_precision",   # r15 opt: same pre-split shingle build
+    "chunk_documents",                     # r15 opt: pre-split chunk windows (one split per row)
     # (ii) stalest-first, monotone (max in-window round <= min
     #     excluded round, changed entries aside): the full 21-row r8
     #     vintage drains this round, then r9 vintage alphabetical
     #     fills the remaining slots; the r9 remainder queues for
-    #     round 16.
+    #     round 16. (bpe_pair_counts — also edited this round —
+    #     already sits in the r9 block below.)
     # r8 vintage (all 21):
     "lang_confusion_matrix",
     "lang_id_heuristic",
@@ -158,12 +165,6 @@ _PRIORITY = (
     "kmeans_assign_fixed",
     "map_hof_suite",
     "mips_topk",
-    "ntile_balance_quartiles",
-    "null_handling_suite",
-    "orc_roundtrip",
-    "parquet_zstd_roundtrip",
-    "partition_pruned_scan",
-    "q12_priority_shipping",
 )
 
 # The documented driver check window: the driver oracle-verifies the

@@ -995,7 +995,7 @@ def streaming_minhash_dedup_precision(spark: SparkSession, sf_dir: str) -> DataF
     flips it — wholesale false rejection is 30-100%, the ceilings are
     0.5-1.6% at measured + margin, see STREAM_PRECISION_FP_RATE_CEILS)."""
     from ..catalog import read_raw
-    from ..operators.dedup import MAX_SHINGLE_DF, _SHINGLES_EXPR
+    from ..operators.dedup import MAX_SHINGLE_DF, _distinct_shingled
 
     decisions = streaming_minhash_dedup(spark, sf_dir)
     stream_docs = _with_planted_resubmissions(
@@ -1008,9 +1008,10 @@ def streaming_minhash_dedup_precision(spark: SparkSession, sf_dir: str) -> DataF
         (F.col("admitted") == 0) & (F.col("doc_id") < 1_000_000)
     ).select("doc_id")
 
-    postings = stream_docs.select(
-        "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES_EXPR})")).alias("sh")
-    )
+    # r15: shingles from one pre-split token array per row (see
+    # dedup._SHINGLES_FROM_TOKS_EXPR — the in-lambda split was
+    # O(tokens^2) per doc); shingle values unchanged.
+    postings = _distinct_shingled(stream_docs)
     hot = (
         postings.groupBy("sh")
         .agg(F.count("*").alias("df"))
