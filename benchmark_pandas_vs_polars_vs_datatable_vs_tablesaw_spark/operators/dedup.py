@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, load_table_parallel, scan_parallelism_floor
+from ..catalog import load_table, load_table_parallel
 
 MOD = 1_000_000_007
 N_HASHES = 32
@@ -2161,14 +2161,13 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked.
     """
     corpus, batch = _incremental_sides(spark, sf_dir)
-    # r14: scan-parallelism floor (guide §2.5) — signature hashing was
-    # serializing on the single-split scan; measured 1.3x at sf0.1
-    # (results/scan_floor_ab.json). Applied here and NOT inside
-    # _incremental_sides: the bucketed-index twin writes bucketBy
-    # tables from the same sides, and flooring its write input
-    # multiplies the per-bucket file count (measured 3x SLOWER there).
-    corpus = scan_parallelism_floor(spark, corpus)
-    batch = scan_parallelism_floor(spark, batch)
+    # r15: the r14 probe-side scan-parallelism floor REVERTED — its
+    # 1.3x was a hot-epoch read (the serial stock scan is maximally
+    # penalized in contended windows); the driver read 0.65x and the
+    # r15 calm-window requalification read 1.07x
+    # (results/floor_requalify_r15.json), under the pinned >= 1.15x
+    # keep rule. The bucketed-index twin stays unfloored as before
+    # (flooring a bucketBy write input multiplies per-bucket files).
     index_sigs = _persist_index(minhash_signatures(corpus))
     index_bands = _persist_index(band_table(index_sigs))
     batch_sigs = _persist_index(minhash_signatures(batch))

@@ -62,11 +62,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     [0,1]. The shape every corpus-filtering pipeline needs; thresholds
     on ``score`` become the pushed-down filter of a cleaning job.
 
-    r14: scan-parallelism floor added (guide §2.5) — the token filter
-    lambda was serializing on the single-split scan, and this scorer
-    feeds quality_percentile_rank (measured 3.4x there with the floor,
-    results/scan_floor_ab.json) and the calibration cells."""
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    r15: the r14 scan-parallelism floor REVERTED — the r14 A/B's 3.4x
+    was measured in a hot epoch that maximally penalized the serial
+    stock scan; the driver read 0.91x, and the r15 calm-window
+    requalification (results/floor_requalify_r15.json, interleaved
+    floored-vs-stock at local[32]) read 0.94x. Per the pinned
+    only-measured-wins rule (>= 1.15x keeps), plain load_table."""
+    docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))

@@ -111,6 +111,8 @@ _PRIORITY = (
     "dedup_minhash_incremental_recall",    # r15 opt: same pre-split shingle build
     "streaming_minhash_dedup_precision",   # r15 opt: same pre-split shingle build
     "chunk_documents",                     # r15 opt: pre-split chunk windows (one split per row)
+    "text_quality_score",                  # r15: scan floor REVERTED (calm-window requalify 0.94x)
+    "dedup_minhash_incremental",           # r15: probe-side scan floor REVERTED (requalify 1.07x)
     # (ii) stalest-first, monotone (max in-window round <= min
     #     excluded round, changed entries aside): the full 21-row r8
     #     vintage drains this round, then r9 vintage alphabetical
@@ -163,8 +165,6 @@ _PRIORITY = (
     "ivfpq_ann_topk",
     "json_roundtrip",
     "kmeans_assign_fixed",
-    "map_hof_suite",
-    "mips_topk",
 )
 
 # The documented driver check window: the driver oracle-verifies the
