@@ -106,11 +106,19 @@ FROM documents
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage (stubbed codec, real plumbing): target box 64x64,
-    aspect-preserving integer downscale factor."""
-    decoded = decode_media(media_table(spark, sf_dir))
+    aspect-preserving integer downscale factor.
+
+    r15 (guide §4.1): decode + resize run in ONE ``mapInPandas`` —
+    the r14 shape chained two, paying the JVM->Python->JVM transpose
+    and Arrow (de)serialization twice per row for a pipeline whose
+    intermediate (the decode frame) no one else consumes. A real
+    decoder+resampler composes inside the same batch loop the same
+    way; output rows/values are unchanged (oracle-checked)."""
+    media = media_table(spark, sf_dir)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
+        for batch in batches:
+            b = _fake_decode(batch)
             factor = (
                 pd.concat([b["width"] // 64, b["height"] // 64], axis=1).max(axis=1).clip(lower=1)
             )
@@ -122,7 +130,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return decoded.mapInPandas(fn, schema="doc_id long, out_w int, out_h int")
+    return media.mapInPandas(fn, schema="doc_id long, out_w int, out_h int")
 
 
 MULTIMODAL_RESIZE_ORACLE = """
@@ -147,11 +155,20 @@ FROM f
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for video rows: every 4th frame, exploded to one
     row per sampled frame — the fan-out stage before per-frame feature
-    extraction. Column algebra (sequence + explode), no Python."""
-    decoded = decode_media(media_table(spark, sf_dir))
+    extraction. Column algebra (sequence + explode), no Python.
+
+    r15 (guide §4.1 column pruning at the opaque boundary): the video
+    filter moves BELOW the decode — ``media_type`` is computed
+    JVM-side in ``media_table``, so Spark cannot push the predicate
+    through the opaque ``mapInPandas`` itself, and the r14 shape
+    shipped every image/audio payload through the Python decoder only
+    to drop it afterwards. Only video rows (1/6 of the fixture mix)
+    now cross the Arrow boundary; rows/values unchanged."""
+    decoded = decode_media(
+        media_table(spark, sf_dir).filter(F.col("media_type") == "video")
+    )
     return (
-        decoded.filter(F.col("media_type") == "video")
-        .select(
+        decoded.select(
             "doc_id",
             "n_frames",
             F.explode(F.expr("sequence(0, n_frames - 1, 4)")).alias("frame_idx"),
@@ -192,7 +209,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                 {
                     "doc_id": batch["doc_id"],
                     "media_type": batch["media_type"],
-                    "feature": [np.round(row, 6).tolist() for row in feats],
+                    # one vectorized round + tolist over the whole
+                    # batch (r15) — the per-row comprehension looped
+                    # np.round once per row in Python
+                    "feature": np.round(feats, 6).tolist(),
                     "l2": np.round(np.sqrt((feats * feats).sum(axis=1)), 4),
                 }
             )

@@ -113,6 +113,9 @@ _PRIORITY = (
     "chunk_documents",                     # r15 opt: pre-split chunk windows (one split per row)
     "text_quality_score",                  # r15: scan floor REVERTED (calm-window requalify 0.94x)
     "dedup_minhash_incremental",           # r15: probe-side scan floor REVERTED (requalify 1.07x)
+    "phrase_proximity_topk",               # r15 opt: join-free per-row proximity (also r8 vintage)
+    "multimodal_resize",                   # r15 opt: decode+resize fused into one mapInPandas
+    "multimodal_frame_sample",             # r15 opt: video filter pushed below the Python boundary
     # (ii) stalest-first, monotone (max in-window round <= min
     #     excluded round, changed entries aside): the full 21-row r8
     #     vintage drains this round, then r9 vintage alphabetical
@@ -124,7 +127,6 @@ _PRIORITY = (
     "lang_id_heuristic",
     "map_funcs_suite",
     "pandas_udf_doc_score",
-    "phrase_proximity_topk",
     "pii_redaction",
     "scale_up_duplicate",
     "semi_join_customers_with_orders",
@@ -163,8 +165,6 @@ _PRIORITY = (
     "histogram_totalprice",
     "ivf_ann_topk",
     "ivfpq_ann_topk",
-    "json_roundtrip",
-    "kmeans_assign_fixed",
 )
 
 # The documented driver check window: the driver oracle-verifies the
